@@ -1,0 +1,130 @@
+"""On-device sampling primitives: temperature, top-k, top-p, CFG, categorical.
+
+Everything here is pure JAX, shape-polymorphic over leading batch axes, and
+designed to run *inside* the compiled decode loop — sampling never leaves the
+device (the reference samples on-GPU too, but syncs each step to check the
+stop token; we keep the whole loop on-device).
+
+Semantics match the reference fast path (fam/llm/fast_inference_utils.py):
+
+  * temperature floor of 1e-5                          (:92)
+  * top-k keeps logits >= the k-th largest             (:94-97)
+  * top-p uses the ascending-sort variant: drop tokens whose inclusive
+    ascending cumulative probability is <= (1 - top_p), always keeping the
+    argmax                                             (:68-82)
+  * CFG: g * cond + (1 - g) * uncond over a leading batch pair  (:116-117)
+  * categorical sampling via the exponential race argmax(probs / Exp(1))
+    (:61-65), which is distribution-identical to Gumbel-max; we use
+    jax.random.categorical with explicit PRNG keys (the reference relies on
+    torch's global seed).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # finite "-inf" that keeps softmax numerics exact in bf16/f32
+
+
+def apply_temperature(logits: jax.Array, temperature: jax.Array | float) -> jax.Array:
+    """logits / max(temperature, 1e-5); reference fast_inference_utils.py:92."""
+    t = jnp.maximum(jnp.asarray(temperature, dtype=logits.dtype), 1e-5)
+    return logits / t
+
+
+def top_k_mask(logits: jax.Array, k: int) -> jax.Array:
+    """Mask all but the top-k logits (last axis) to -inf.
+
+    ``k`` must be static. Ties with the k-th value are kept, matching
+    ``logits < pivot -> -inf`` in the reference (:94-97).
+    """
+    k = min(int(k), logits.shape[-1])
+    pivot = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < pivot, jnp.asarray(NEG_INF, logits.dtype), logits)
+
+
+def top_p_mask(logits: jax.Array, top_p: jax.Array | float) -> jax.Array:
+    """Nucleus filtering over the last axis, reference variant (:68-82).
+
+    Keep token i iff the exclusive cumulative probability of all
+    strictly-higher-ranked tokens is < top_p (equivalently: the reference
+    removes tokens whose inclusive ascending cumsum <= 1 - top_p). The
+    highest-probability token is always kept.
+    """
+    top_p = jnp.asarray(top_p, dtype=jnp.float32)
+    # Descending sort. f32 for the softmax/cumsum to keep thresholds exact.
+    sorted_logits = jnp.sort(logits.astype(jnp.float32), axis=-1)[..., ::-1]
+    order = jnp.argsort(-logits, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum_excl = jnp.cumsum(probs, axis=-1) - probs
+    keep_sorted = cum_excl < top_p
+    keep_sorted = keep_sorted.at[..., 0].set(True)
+    # Scatter keep flags back to vocabulary order via the inverse permutation.
+    inv = jnp.argsort(order, axis=-1)
+    keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+    return jnp.where(keep, logits, jnp.asarray(NEG_INF, logits.dtype))
+
+
+def cfg_merge(logits: jax.Array, guidance_scale: jax.Array | float) -> jax.Array:
+    """Classifier-free-guidance merge over a leading conditioned/unconditioned pair.
+
+    ``logits``: (2*B, V) where rows [0, B) are speaker-conditioned and rows
+    [B, 2B) are unconditioned. Returns (B, V):
+    g * cond + (1 - g) * uncond. Reference fast_inference_utils.py:116-117.
+    """
+    b2 = logits.shape[0]
+    cond, uncond = jnp.split(logits, 2, axis=0)
+    del b2
+    g = jnp.asarray(guidance_scale, dtype=logits.dtype)
+    return g * cond + (1.0 - g) * uncond
+
+
+def logits_to_probs(
+    logits: jax.Array,
+    temperature: jax.Array | float = 1.0,
+    top_p: jax.Array | float | None = None,
+    top_k: int | None = None,
+) -> jax.Array:
+    """Temperature -> top-k -> top-p -> softmax, as fast_inference_utils.py:85-104."""
+    logits = apply_temperature(logits, temperature)
+    if top_k is not None:
+        logits = top_k_mask(logits, top_k)
+    if top_p is not None:
+        logits = top_p_mask(logits, top_p)
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def sample_from_logits(
+    key: jax.Array,
+    logits: jax.Array,
+    temperature: jax.Array | float = 1.0,
+    top_p: jax.Array | float | None = None,
+    top_k: int | None = None,
+) -> jax.Array:
+    """Draw one token per row of ``logits`` (..., V) -> (...,) int32.
+
+    Gumbel-max over the filtered logits — identical in distribution to the
+    reference's softmax + exponential-race multinomial (:61-65,102).
+    """
+    logits = apply_temperature(logits, temperature)
+    if top_k is not None:
+        logits = top_k_mask(logits, top_k)
+    if top_p is not None:
+        logits = top_p_mask(logits, top_p)
+    return jax.random.categorical(key, logits.astype(jnp.float32), axis=-1).astype(
+        jnp.int32
+    )
+
+
+def sample_cfg(
+    key: jax.Array,
+    logits: jax.Array,
+    guidance_scale: jax.Array | float,
+    temperature: jax.Array | float = 1.0,
+    top_p: jax.Array | float | None = None,
+    top_k: int | None = None,
+) -> jax.Array:
+    """CFG merge then sample. ``logits``: (2B, V) -> (B,) int32 tokens."""
+    merged = cfg_merge(logits, guidance_scale)
+    return sample_from_logits(key, merged, temperature=temperature, top_p=top_p, top_k=top_k)
