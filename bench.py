@@ -1,0 +1,112 @@
+"""Benchmark: first-stage decode throughput on the real TPU chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric (round 1): steady-state first-stage decode tokens/sec for
+the full metavoice-1B configuration (24L/16H/2048d, CFG batch pair, bf16),
+run as a single XLA while_loop with on-device top-p sampling — the
+counterpart of the reference's tokens/sec print at
+fam/llm/fast_inference_utils.py:437-443.
+
+Baseline derivation: the north star is RTF < 0.5 at batch 1 on one v5e chip
+(BASELINE.json). The first stage emits 2 interleaved tokens per 75 Hz
+EnCodec frame => 150 tokens per second of audio, so stage-1 RTF = 150/tps
+and the north star needs >= 300 tok/s. vs_baseline = tps / 300 (>1 = better
+than the north-star requirement).
+
+All progress goes to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    from metavoice_tpu.core.config import first_stage_config
+    from metavoice_tpu.models import first_stage as fs
+    from metavoice_tpu.models import transformer as tfm
+
+    cfg = first_stage_config()
+    log(f"devices: {jax.devices()}")
+    log(f"building metavoice-1B ({cfg.n_layer}L/{cfg.n_head}H/{cfg.dim}d) bf16 ...")
+
+    key = jax.random.PRNGKey(0)
+    params = tfm.init_params(key, cfg, dtype=jnp.bfloat16)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    log(f"params: {n_params/1e9:.3f}B ({param_bytes/1e9:.2f} GB)")
+
+    kv = tfm.KVCache.create(cfg, 2, cfg.block_size, dtype=jnp.bfloat16)
+
+    prompt_len = 64
+    prompt = jax.random.randint(key, (1, 128), 2049, cfg.vocab_size)
+    spk = jax.random.normal(key, (1, cfg.speaker_emb_dim), jnp.bfloat16)
+    temperature = jnp.asarray(1.0, jnp.float32)
+    top_p = jnp.asarray(0.95, jnp.float32)
+    guidance = jnp.asarray(3.0, jnp.float32)
+
+    t0 = time.perf_counter()
+    first_token, kv = fs.prefill(
+        params, cfg, prompt, jnp.asarray(prompt_len, jnp.int32), spk, kv,
+        key, temperature, top_p, guidance,
+    )
+    jax.block_until_ready(first_token)
+    log(f"prefill compile+run: {time.perf_counter()-t0:.1f}s")
+
+    n_tokens = 256
+    never_eoa = 10**6  # disable early stop so every run decodes n_tokens
+
+    def run():
+        buf, lens, _ = fs.decode(
+            params, cfg, first_token, jnp.asarray(prompt_len, jnp.int32), spk,
+            kv, jax.random.PRNGKey(1), temperature, top_p, guidance,
+            jnp.asarray(n_tokens, jnp.int32), cfg.block_size, never_eoa,
+            jnp.bfloat16,
+        )
+        jax.block_until_ready(buf)
+        return buf, lens
+
+    t0 = time.perf_counter()
+    run()
+    log(f"decode compile+first run: {time.perf_counter()-t0:.1f}s")
+
+    # steady-state measurement
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        buf, lens = run()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        log(f"run {i}: {dt:.3f}s -> {n_tokens/dt:.1f} tok/s")
+
+    best = min(times)
+    tps = n_tokens / best
+    stage1_rtf = 150.0 / tps
+    bandwidth_gbs = param_bytes * tps / 1e9
+
+    result = {
+        "metric": "first_stage_decode_tokens_per_sec",
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / 300.0, 3),
+        "stage1_rtf": round(stage1_rtf, 3),
+        "achieved_bandwidth_gb_s": round(bandwidth_gbs, 1),
+        "params_b": round(n_params / 1e9, 3),
+        "config": "metavoice-1B 24L/16H/2048d bf16, CFG pair, block 2048",
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,284 @@
+"""First-stage 1.2B causal LLM: prefill + single-compilation decode loop.
+
+This replaces the reference's gpt-fast-style Python decode loop
+(fam/llm/fast_inference_utils.py:148-174), which launches one compiled CUDA
+step per token and syncs with the host every iteration to check the
+end-of-audio token (:161). Here the *entire* autoregressive generation is one
+``jax.lax.while_loop`` inside one XLA program:
+
+  * static-shape KV cache in the loop carry,
+  * CFG as a leading batch pair — rows [0,B) speaker-conditioned, rows
+    [B,2B) unconditioned via a zeroing mask on the speaker projection
+    (reference fam/llm/fast_model.py:132-134,156),
+  * temperature -> top-p -> Gumbel-max sampling on device,
+  * per-row end-of-audio latches (the batched analogue of the reference's
+    `(cur_token == end_of_audio_token).any()` early stop),
+  * no host<->device traffic until the loop exits.
+
+Prompts are right-padded to static bucket lengths so each bucket compiles
+once (AOT-compilable; kills the reference's 30-90s torch.compile warmup,
+README.md:98).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from metavoice_tpu.core import sampling as S
+from metavoice_tpu.core import tokens as T
+from metavoice_tpu.core.config import TransformerConfig
+from metavoice_tpu.models import transformer as tfm
+
+
+class DecodeState(NamedTuple):
+    """Carry of the decode while_loop."""
+
+    cur_token: jax.Array  # (B,) int32 — last sampled token per utterance
+    pos: jax.Array  # () int32 — absolute position of the NEXT write
+    step: jax.Array  # () int32 — decode iteration counter
+    kv: tfm.KVCache
+    key: jax.Array
+    done: jax.Array  # (B,) bool — end-of-audio latch per row
+    out_buf: jax.Array  # (B, max_steps) int32 — sampled tokens
+    out_len: jax.Array  # (B,) int32 — tokens emitted per row (incl. EOA)
+
+
+def _cfg_rows(x: jax.Array) -> jax.Array:
+    """(B, ...) -> (2B, ...): duplicate rows for the CFG cond/uncond pair.
+
+    Both rows consume the same token stream (reference
+    fam/llm/fast_inference_utils.py:172 repeats the sampled token onto both
+    guidance rows); only the speaker conditioning differs via the mask.
+    """
+    return jnp.concatenate([x, x], axis=0)
+
+
+def make_spk_cond_mask(batch_size: int) -> jax.Array:
+    """(2B, 1, 1) mask: 1 for conditioned rows, 0 for unconditioned."""
+    return jnp.concatenate(
+        [jnp.ones((batch_size, 1, 1)), jnp.zeros((batch_size, 1, 1))], axis=0
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def prefill(
+    params: tfm.Params,
+    cfg: TransformerConfig,
+    prompt: jax.Array,  # (B, T_pad) int32, right-padded
+    prompt_len: jax.Array,  # () int32 — true length (uniform across batch)
+    spk_emb: jax.Array,  # (B, spk_dim)
+    kv_cache: tfm.KVCache,  # (L, 2B, H, S, Dh)
+    key: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    guidance_scale: jax.Array,
+    compute_dtype=jnp.bfloat16,
+) -> tuple[jax.Array, tfm.KVCache]:
+    """Process the prompt, fill the KV cache, sample the first new token.
+
+    Mirrors reference ``prefill`` (fam/llm/fast_inference_utils.py:123-132)
+    but pads to a static bucket and extracts the hidden state at the true
+    last position before the lm head (single-row head matmul instead of a
+    (T, V) one). Returns ((B,) next token, updated cache).
+    """
+    b = prompt.shape[0]
+    idx2 = _cfg_rows(prompt)
+    spk2 = _cfg_rows(spk_emb)
+    mask2 = make_spk_cond_mask(b)
+
+    t = prompt.shape[1]
+    positions = jnp.arange(t)
+    x = tfm.embed_inputs(params, cfg, idx2, positions, spk2, mask2, compute_dtype)
+    attn_mask = tfm.causal_mask_for(positions, kv_cache.max_seq_len)[None, None]
+    x, new_kv = apply = tfm.apply_blocks(params, cfg, x, attn_mask, kv_cache, jnp.asarray(0))
+    del apply
+    # hidden at the true last prompt position (padded tail unused)
+    x_last = jax.lax.dynamic_slice_in_dim(x, prompt_len - 1, 1, axis=1)  # (2B, 1, D)
+    logits = tfm.output_logits(params, cfg, x_last)[0][:, 0, :]  # (2B, V)
+    next_token = S.sample_cfg(
+        key, logits, guidance_scale, temperature=temperature, top_p=top_p
+    )
+    return next_token, new_kv
+
+
+def _decode_fn(
+    params: tfm.Params,
+    cfg: TransformerConfig,
+    first_token: jax.Array,  # (B,)
+    start_pos: jax.Array,  # ()
+    spk_emb: jax.Array,  # (B, spk_dim)
+    kv_cache: tfm.KVCache,
+    key: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    guidance_scale: jax.Array,
+    max_new_tokens: jax.Array,  # () — dynamic cap (<= max_steps)
+    max_steps: int,  # static buffer size
+    end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
+    compute_dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array, tfm.KVCache]:
+    """Run the full decode loop on device. Returns (tokens (B, max_steps),
+    lengths (B,), cache). ``tokens[b, :lengths[b]]`` are valid and include
+    the end-of-audio token if one was emitted."""
+    b = first_token.shape[0]
+    spk2 = _cfg_rows(spk_emb)
+    mask2 = make_spk_cond_mask(b)
+    block_size = cfg.block_size
+
+    init_done = first_token == end_of_audio_token
+    state = DecodeState(
+        cur_token=first_token.astype(jnp.int32),
+        pos=start_pos.astype(jnp.int32),
+        step=jnp.asarray(0, jnp.int32),
+        kv=kv_cache,
+        key=key,
+        done=init_done,
+        out_buf=jnp.full((b, max_steps), end_of_audio_token, jnp.int32),
+        out_len=jnp.zeros((b,), jnp.int32),
+    )
+    # The first sampled token (from prefill) is recorded by the caller;
+    # out_buf holds tokens sampled *inside* the loop.
+
+    def cond(s: DecodeState):
+        return (
+            (~jnp.all(s.done))
+            & (s.step < max_new_tokens)
+            & (s.pos < block_size)
+        )
+
+    def body(s: DecodeState) -> DecodeState:
+        key, sub = jax.random.split(s.key)
+        idx2 = _cfg_rows(s.cur_token)[:, None]  # (2B, 1)
+        positions = s.pos[None]  # (1,)
+        x = tfm.embed_inputs(params, cfg, idx2, positions, spk2, mask2, compute_dtype)
+        attn_mask = tfm.causal_mask_for(positions, s.kv.max_seq_len)[None, None]
+        x, new_kv = tfm.apply_blocks(params, cfg, x, attn_mask, s.kv, s.pos)
+        logits = tfm.output_logits(params, cfg, x)[0][:, 0, :]  # (2B, V)
+        sampled = S.sample_cfg(
+            sub, logits, guidance_scale, temperature=temperature, top_p=top_p
+        )  # (B,)
+        # Rows already done keep emitting EOA (frozen).
+        next_token = jnp.where(s.done, end_of_audio_token, sampled).astype(jnp.int32)
+        out_buf = jax.lax.dynamic_update_slice(s.out_buf, next_token[:, None], (0, s.step))
+        newly_active = ~s.done
+        done = s.done | (next_token == end_of_audio_token)
+        out_len = s.out_len + newly_active.astype(jnp.int32)
+        return DecodeState(
+            cur_token=next_token,
+            pos=s.pos + 1,
+            step=s.step + 1,
+            kv=new_kv,
+            key=key,
+            done=done,
+            out_buf=out_buf,
+            out_len=out_len,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.out_buf, final.out_len, final.kv
+
+
+decode = jax.jit(
+    _decode_fn,
+    static_argnames=("cfg", "max_steps", "end_of_audio_token", "compute_dtype"),
+)
+
+
+def pad_to_bucket(tokens, multiple: int = 128, max_len: int | None = None):
+    """Right-pad a 1-D token list/array to the next multiple (static bucket)."""
+    import numpy as np
+
+    tokens = np.asarray(tokens, dtype=np.int32)
+    t = len(tokens)
+    bucket = -(-t // multiple) * multiple
+    if max_len is not None:
+        bucket = min(bucket, max_len)
+    out = np.zeros((bucket,), np.int32)
+    out[:t] = tokens[:bucket]
+    return out, t
+
+
+def generate(
+    params: tfm.Params,
+    cfg: TransformerConfig,
+    prompt_tokens,  # 1-D int sequence (BPE-offset text ids)
+    spk_emb: jax.Array,  # (spk_dim,) or (1, spk_dim)
+    *,
+    key: jax.Array,
+    temperature: float = 1.0,
+    top_p: float = 0.95,
+    guidance_scale: float = 3.0,
+    max_new_tokens: int | None = None,
+    end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
+    prompt_pad_multiple: int = 128,
+    kv_cache: tfm.KVCache | None = None,
+    compute_dtype=jnp.bfloat16,
+):
+    """Host-facing single-utterance generation (batch 1, CFG rows = 2).
+
+    Equivalent of reference ``generate`` (fam/llm/fast_inference_utils.py:
+    182-228): prefill on the prompt, then decode until end-of-audio /
+    max_new_tokens / block_size. Returns the full sequence
+    [prompt ++ generated] as a 1-D numpy array (EOA included if emitted).
+    """
+    import numpy as np
+
+    padded, t_true = pad_to_bucket(
+        prompt_tokens, prompt_pad_multiple, max_len=cfg.block_size
+    )
+    max_steps = cfg.block_size - t_true
+    if max_new_tokens is not None:
+        max_steps = min(max_steps, max_new_tokens)
+    if max_steps <= 0:
+        raise ValueError("Prompt is too long to generate more tokens")
+
+    if kv_cache is None:
+        kv_cache = tfm.KVCache.create(cfg, 2, cfg.block_size, dtype=compute_dtype)
+    spk_emb = jnp.asarray(spk_emb).reshape(1, -1)
+
+    key_prefill, key_decode = jax.random.split(key)
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p_a = jnp.asarray(top_p, jnp.float32)
+    guidance = jnp.asarray(guidance_scale, jnp.float32)
+
+    first_token, kv_cache = prefill(
+        params,
+        cfg,
+        jnp.asarray(padded)[None, :],
+        jnp.asarray(t_true, jnp.int32),
+        spk_emb,
+        kv_cache,
+        key_prefill,
+        temperature,
+        top_p_a,
+        guidance,
+        compute_dtype=compute_dtype,
+    )
+
+    # decode buffer is statically sized by the block; dynamic caps bound the loop
+    buf_steps = cfg.block_size
+    out_buf, out_len, _ = decode(
+        params,
+        cfg,
+        first_token,
+        jnp.asarray(t_true, jnp.int32),
+        spk_emb,
+        kv_cache,
+        key_decode,
+        temperature,
+        top_p_a,
+        guidance,
+        jnp.asarray(max_steps - 1, jnp.int32),
+        buf_steps,
+        end_of_audio_token,
+        compute_dtype,
+    )
+
+    first = np.asarray(first_token)
+    n = int(np.asarray(out_len)[0])
+    gen = np.asarray(out_buf)[0, :n]
+    return np.concatenate([np.asarray(prompt_tokens, np.int32), first.astype(np.int32), gen])

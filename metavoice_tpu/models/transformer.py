@@ -1,0 +1,348 @@
+"""The shared functional transformer core for both TTS stages.
+
+One parameterized pure function replaces the reference's duplicated model
+pair (fam/llm/model.py ``GPT`` for train/slow-infer and fam/llm/fast_model.py
+``Transformer`` for compiled decode). TPU-first design:
+
+  * Layer parameters are **stacked** along a leading L axis and the block
+    stack runs as one ``jax.lax.scan`` — O(1) XLA graph size in depth, fast
+    compiles, and a natural home for pipeline-parallel sharding later.
+  * The KV cache is a pair of (L, B, H_kv, S, Dh) arrays threaded through the
+    scan as explicit function state — no module buffers, no mutation; decode
+    updates it with ``lax.dynamic_update_slice`` at a traced position.
+  * Norms run in f32 regardless of compute dtype (the reference does the
+    same: fam/llm/fast_model.py:256-261), matmuls in bf16 on the MXU.
+  * Multi-hierarchy token embeddings are summed (fam/llm/model.py:232-235)
+    and per-hierarchy output heads are separate matmuls
+    (fam/llm/model.py:285-311); the single-vocab first stage is the
+    degenerate 1-hierarchy case.
+
+Weight layout convention: all linear weights are stored **(in, out)** so the
+forward pass is ``x @ w`` with no transposes (torch stores (out, in); the
+checkpoint converter — utils/checkpoint.py — transposes once at load time).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from metavoice_tpu.core.config import TransformerConfig
+
+Params = dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer KV cache: (L, B, H_kv, S, Dh)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def create(
+        cls,
+        cfg: TransformerConfig,
+        batch_size: int,
+        max_seq_len: int | None = None,
+        dtype=jnp.bfloat16,
+    ) -> "KVCache":
+        s = max_seq_len or cfg.block_size
+        shape = (cfg.n_layer, batch_size, cfg.n_local_heads, s, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k.shape[3]
+
+
+# --------------------------------------------------------------------------------------
+# Initialization
+# --------------------------------------------------------------------------------------
+
+
+def init_params(
+    key: jax.Array, cfg: TransformerConfig, dtype=jnp.float32
+) -> Params:
+    """Random-normal(0.02) init, matching the reference (fam/llm/model.py:170-176)."""
+
+    def normal(key, shape, std=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    n_keys = 16
+    keys = iter(jax.random.split(key, n_keys))
+    d, i_sz = cfg.dim, cfg.intermediate_size
+    l = cfg.n_layer
+    qkv_out = (cfg.n_head + 2 * cfg.n_local_heads) * cfg.head_dim
+
+    params: Params = {
+        "wtes": [normal(k, (v, d)) for k, v in zip(jax.random.split(next(keys), cfg.num_hierarchies), cfg.vocab_sizes)],
+        "wpe": normal(next(keys), (cfg.block_size, d)),
+        "layers": {
+            "attn_norm_w": jnp.ones((l, d), dtype),
+            "wqkv": normal(next(keys), (l, d, qkv_out)),
+            "wo": normal(next(keys), (l, d, d), std=0.02 / (2 * l) ** 0.5),
+            "ffn_norm_w": jnp.ones((l, d), dtype),
+        },
+        "ln_f_w": jnp.ones((d,), dtype),
+    }
+
+    if cfg.nonlinearity_type == "swiglu":
+        params["layers"]["w1"] = normal(next(keys), (l, d, i_sz))
+        params["layers"]["w3"] = normal(next(keys), (l, d, i_sz))
+        params["layers"]["w2"] = normal(next(keys), (l, i_sz, d), std=0.02 / (2 * l) ** 0.5)
+    elif cfg.nonlinearity_type == "gelu":
+        params["layers"]["w_fc"] = normal(next(keys), (l, d, 4 * d))
+        params["layers"]["w_proj"] = normal(next(keys), (l, 4 * d, d), std=0.02 / (2 * l) ** 0.5)
+    else:
+        raise ValueError(f"unknown nonlinearity {cfg.nonlinearity_type}")
+
+    if cfg.bias:
+        params["layers"]["attn_norm_b"] = jnp.zeros((l, d), dtype)
+        params["layers"]["ffn_norm_b"] = jnp.zeros((l, d), dtype)
+        params["layers"]["wqkv_b"] = jnp.zeros((l, qkv_out), dtype)
+        params["layers"]["wo_b"] = jnp.zeros((l, d), dtype)
+        if cfg.nonlinearity_type == "gelu":
+            params["layers"]["w_fc_b"] = jnp.zeros((l, 4 * d), dtype)
+            params["layers"]["w_proj_b"] = jnp.zeros((l, d), dtype)
+        params["ln_f_b"] = jnp.zeros((d,), dtype)
+
+    if cfg.speaker_emb_dim:
+        params["speaker_cond"] = normal(next(keys), (cfg.speaker_emb_dim, d))
+
+    if cfg.target_vocab_sizes is not None:
+        params["lm_heads"] = [
+            normal(k, (d, v))
+            for k, v in zip(
+                jax.random.split(next(keys), len(cfg.target_vocab_sizes)),
+                cfg.target_vocab_sizes,
+            )
+        ]
+    # else: heads are weight-tied to wtes (fam/llm/model.py:139-143); the
+    # forward pass reuses params["wtes"] transposed.
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+# --------------------------------------------------------------------------------------
+# Building blocks
+# --------------------------------------------------------------------------------------
+
+
+def _norm(x: jax.Array, w: jax.Array, b: jax.Array | None, norm_type: str, eps: float) -> jax.Array:
+    """RMSNorm / LayerNorm in f32, result cast back to x.dtype."""
+    xf = x.astype(jnp.float32)
+    if norm_type == "rmsnorm":
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    elif norm_type == "layernorm":
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+    else:
+        raise ValueError(norm_type)
+    out = xf.astype(x.dtype) * w.astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def _linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    y = jnp.einsum("...d,df->...f", x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _mlp(x: jax.Array, lp: Params, cfg: TransformerConfig) -> jax.Array:
+    if cfg.nonlinearity_type == "swiglu":
+        return _linear(jax.nn.silu(_linear(x, lp["w1"])) * _linear(x, lp["w3"]), lp["w2"])
+    return _linear(
+        jax.nn.gelu(_linear(x, lp["w_fc"], lp.get("w_fc_b")), approximate=False),
+        lp["w_proj"],
+        lp.get("w_proj_b"),
+    )
+
+
+def _attention(
+    x: jax.Array,
+    lp: Params,
+    cfg: TransformerConfig,
+    mask: jax.Array | None,
+    layer_cache: tuple[jax.Array, jax.Array] | None,
+    cache_pos: jax.Array | None,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
+    """Multi-head (optionally grouped-query) attention for one layer.
+
+    x: (B, T, D). With ``layer_cache`` = (k_cache, v_cache) of shape
+    (B, H_kv, S, Dh), writes this block's K/V at ``cache_pos`` and attends
+    over the full cache; ``mask`` then must be (..., T, S). Without a cache,
+    attends within the T window.
+    """
+    b, t, d = x.shape
+    h, h_kv, dh = cfg.n_head, cfg.n_local_heads, cfg.head_dim
+
+    qkv = _linear(x, lp["wqkv"], lp.get("wqkv_b"))
+    q, k, v = jnp.split(qkv, [h * dh, h * dh + h_kv * dh], axis=-1)
+    q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, h_kv, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, h_kv, dh).transpose(0, 2, 1, 3)
+
+    new_cache = None
+    if layer_cache is not None:
+        k_cache, v_cache = layer_cache
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, 0, cache_pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, 0, cache_pos, 0))
+        new_cache = (k_cache, v_cache)
+        k, v = k_cache, v_cache
+
+    if h_kv != h:
+        rep = h // h_kv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / dh**0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    y = jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=x.dtype)
+    y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return _linear(y, lp["wo"], lp.get("wo_b")), new_cache
+
+
+# --------------------------------------------------------------------------------------
+# Full forward
+# --------------------------------------------------------------------------------------
+
+
+def embed_inputs(
+    params: Params,
+    cfg: TransformerConfig,
+    idx: jax.Array,
+    positions: jax.Array,
+    spk_emb: jax.Array | None,
+    spk_cond_mask: jax.Array | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Token + position + speaker-conditioning embeddings.
+
+    idx: (B, T) single-vocab or (B, C, T) multi-hierarchy (summed, reference
+    fam/llm/model.py:232-235). spk_emb: (B, S_spk_dim) or (B, T, S_spk_dim)
+    for per-position conditioning. spk_cond_mask: (B, 1, 1) 0/1 rows for CFG
+    (reference fam/llm/fast_model.py:132-134,156).
+    """
+    if idx.ndim == 2:
+        idx = idx[:, None, :]
+    tok = jnp.zeros((idx.shape[0], idx.shape[2], cfg.dim), compute_dtype)
+    for i, wte in enumerate(params["wtes"]):
+        tok = tok + jnp.take(wte.astype(compute_dtype), idx[:, i, :], axis=0)
+    pos = jnp.take(params["wpe"].astype(compute_dtype), positions, axis=0)
+    x = tok + pos
+    if spk_emb is not None and "speaker_cond" in params:
+        cond = _linear(spk_emb.astype(compute_dtype), params["speaker_cond"])
+        if cond.ndim == 2:
+            cond = cond[:, None, :]  # (B, 1, D), broadcast over time
+        if spk_cond_mask is not None:
+            cond = cond * spk_cond_mask.astype(compute_dtype)
+        x = x + cond
+    return x
+
+
+def apply_blocks(
+    params: Params,
+    cfg: TransformerConfig,
+    x: jax.Array,
+    mask: jax.Array | None,
+    kv_cache: KVCache | None = None,
+    cache_pos: jax.Array | None = None,
+) -> tuple[jax.Array, KVCache | None]:
+    """Run the L-layer block stack as one ``lax.scan``."""
+    lp_stack = params["layers"]
+
+    def body(x, scanned):
+        lp, layer_cache = scanned
+        h_attn, new_cache = _attention(
+            _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg.norm_type, cfg.norm_eps),
+            lp,
+            cfg,
+            mask,
+            layer_cache,
+            cache_pos,
+        )
+        h = x + h_attn
+        out = h + _mlp(_norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg.norm_type, cfg.norm_eps), lp, cfg)
+        return out, new_cache
+
+    if kv_cache is not None:
+        x, caches = jax.lax.scan(body, x, (lp_stack, (kv_cache.k, kv_cache.v)))
+        new_kv = KVCache(k=caches[0], v=caches[1])
+    else:
+        x, _ = jax.lax.scan(lambda c, lp: body(c, (lp, None)), x, lp_stack)
+        new_kv = None
+
+    x = _norm(x, params["ln_f_w"], params.get("ln_f_b"), cfg.norm_type, cfg.norm_eps)
+    return x, new_kv
+
+
+def output_logits(
+    params: Params, cfg: TransformerConfig, x: jax.Array
+) -> list[jax.Array]:
+    """Per-hierarchy lm-head logits in f32. Weight-tied to wtes when
+    target_vocab_sizes is None (fam/llm/model.py:139-143)."""
+    if cfg.target_vocab_sizes is not None:
+        heads = params["lm_heads"]
+        return [
+            jnp.einsum("...d,dv->...v", x, h.astype(x.dtype), preferred_element_type=jnp.float32)
+            for h in heads
+        ]
+    return [
+        jnp.einsum("...d,vd->...v", x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        for w in params["wtes"]
+    ]
+
+
+def causal_mask_for(positions: jax.Array, kv_len: int) -> jax.Array:
+    """(..., T, kv_len) boolean mask: query at absolute position p sees
+    cache slots [0, p]. Equivalent to indexing the reference's precomputed
+    tril table with input_pos (fam/llm/fast_model.py:148-151)."""
+    kv_pos = jnp.arange(kv_len)
+    return positions[..., :, None] >= kv_pos[..., None, :]
+
+
+def forward(
+    params: Params,
+    cfg: TransformerConfig,
+    idx: jax.Array,
+    *,
+    positions: jax.Array | None = None,
+    spk_emb: jax.Array | None = None,
+    spk_cond_mask: jax.Array | None = None,
+    kv_cache: KVCache | None = None,
+    cache_pos: jax.Array | int = 0,
+    compute_dtype=jnp.bfloat16,
+) -> tuple[list[jax.Array], KVCache | None]:
+    """Full forward pass: (B, [C,] T) tokens -> per-hierarchy (B, T, V) logits.
+
+    * causal without cache: standard training / slow-infer forward
+    * causal with cache: prefill (T>1) or decode (T=1) at ``cache_pos``
+    * non-causal: all-to-all attention (second stage)
+    """
+    t = idx.shape[-1]
+    if positions is None:
+        positions = jnp.arange(t) + (cache_pos if kv_cache is not None else 0)
+
+    x = embed_inputs(params, cfg, idx, positions, spk_emb, spk_cond_mask, compute_dtype)
+
+    if not cfg.causal:
+        mask = None
+    elif kv_cache is not None:
+        mask = causal_mask_for(positions, kv_cache.max_seq_len)[None, None]
+    else:
+        mask = causal_mask_for(positions, t)[None, None]
+
+    x, new_kv = apply_blocks(params, cfg, x, mask, kv_cache, jnp.asarray(cache_pos) if kv_cache is not None else None)
+    return output_logits(params, cfg, x), new_kv

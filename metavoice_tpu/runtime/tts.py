@@ -1,0 +1,269 @@
+"""End-to-end TTS orchestration — the user-facing ``TTS`` class.
+
+API parity with the reference ``TTS`` (fam/llm/fast_inference.py:38-195):
+``TTS(...).synthesise(text, spk_ref_path, top_p, guidance_scale, temperature)
+-> path to .wav``, with the same sampling defaults. The five synthesis stages
+(SURVEY.md section 0) run as:
+
+  1. speaker encoder (models/speaker_encoder) — cached per reference file,
+  2. first-stage LLM (models/first_stage): one XLA while_loop decode,
+  3. token split (core/tokens.split_flattened_interleaved),
+  4. second-stage non-causal completion (models/second_stage),
+  5. vocoder: EnCodec decoder (models/encodec). The reference's quality
+     chain (MBD diffusion + DeepFilterNet) layers on top via
+     ``vocoder="mbd"`` once those stages land; EnCodec's own decoder is the
+     documented fallback (reference README.md:165 notes MBD is a quality
+     choice over it).
+
+Also ships what the reference left unshipped (README.md:150-153): arbitrary
+length text via sentence chunking with one speaker embedding reused across
+chunks (core/text.chunk_text).
+
+Weights load from converted checkpoints (utils/checkpoint) or random-init
+for development/benchmarking (``from_random``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metavoice_tpu.core import tokens as T
+from metavoice_tpu.core.config import (
+    RuntimeConfig,
+    TransformerConfig,
+    first_stage_config,
+    second_stage_config,
+)
+from metavoice_tpu.core.text import chunk_text, normalize_text
+from metavoice_tpu.models import encodec as ec
+from metavoice_tpu.models import first_stage as fs
+from metavoice_tpu.models import second_stage as ss
+from metavoice_tpu.models import speaker_encoder as se
+from metavoice_tpu.models import transformer as tfm
+from metavoice_tpu.tokenizer import TrainedBPETokeniser
+from metavoice_tpu.utils import audio_io as aio
+
+MAX_CHARS_PER_CHUNK = 220  # reference truncation point (fam/llm/inference.py:537)
+
+
+@dataclass
+class TTSComponents:
+    first_stage_params: tfm.Params
+    first_stage_cfg: TransformerConfig
+    second_stage_params: tfm.Params
+    second_stage_cfg: TransformerConfig
+    spk_params: se.SpeakerEncoderParams
+    encodec_params: dict
+    encodec_cfg: ec.EncodecConfig
+    tokenizer: TrainedBPETokeniser
+    enhancer: object | None = None
+
+
+class TTS:
+    """Text-to-speech with zero-shot voice cloning.
+
+    Mirrors reference fam/llm/fast_inference.py:38 (class TTS).
+    """
+
+    END_OF_AUDIO_TOKEN = T.HIERARCHY_EOA  # 1024, per-hierarchy space
+
+    def __init__(
+        self,
+        components: TTSComponents,
+        *,
+        seed: int = 1337,
+        output_dir: str = "outputs",
+        runtime: RuntimeConfig | None = None,
+        enforce_min_ref_duration: bool = True,
+    ):
+        self.c = components
+        self.runtime = runtime or RuntimeConfig(seed=seed, output_dir=output_dir)
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self._key = jax.random.PRNGKey(seed)
+        self._emb_cache: dict[str, np.ndarray] = {}
+        self._enforce_min_ref = enforce_min_ref_duration
+        self._compute_dtype = (
+            jnp.bfloat16 if self.runtime.dtype == "bfloat16" else jnp.float32
+        )
+        # persistent KV cache buffer (2 CFG rows), reused across calls
+        self._kv_cache = tfm.KVCache.create(
+            self.c.first_stage_cfg, 2, self.c.first_stage_cfg.block_size,
+            dtype=self._compute_dtype,
+        )
+
+    # ------------------------------------------------------------------ constructors
+    @classmethod
+    def from_random(cls, key: jax.Array | None = None, *, small: bool = False, **kwargs) -> "TTS":
+        """Random-weight instance for development and benchmarking."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        cfg1 = first_stage_config() if not small else first_stage_config(
+            n_layer=2, n_head=4, dim=128, block_size=512
+        )
+        cfg2 = second_stage_config() if not small else second_stage_config(
+            n_layer=2, n_head=2, dim=64, block_size=256
+        )
+        ecfg = ec.EncodecConfig() if not small else ec.EncodecConfig(
+            n_filters=8, dimension=32, codebook_size=1024
+        )
+        comps = TTSComponents(
+            first_stage_params=tfm.init_params(k1, cfg1, dtype=jnp.bfloat16),
+            first_stage_cfg=cfg1,
+            second_stage_params=tfm.init_params(k2, cfg2, dtype=jnp.bfloat16),
+            second_stage_cfg=cfg2,
+            spk_params=se.init_params(k3),
+            encodec_params=ec.init_params(k4, ecfg),
+            encodec_cfg=ecfg,
+            tokenizer=TrainedBPETokeniser(),
+        )
+        kwargs.setdefault("enforce_min_ref_duration", False)
+        return cls(comps, **kwargs)
+
+    @classmethod
+    def from_checkpoints(
+        cls,
+        first_stage_path: str,
+        second_stage_path: str,
+        speaker_encoder_path: str,
+        encodec_path: str | None = None,
+        **kwargs,
+    ) -> "TTS":
+        """Build from converted reference checkpoints (utils/checkpoint)."""
+        from metavoice_tpu.utils import checkpoint as ck
+
+        p1, cfg1, tok_info = ck.load_first_stage_pt(first_stage_path)
+        p2, cfg2, tok_info2 = ck.load_second_stage_pt(second_stage_path)
+        spk = ck.load_speaker_encoder_pt(speaker_encoder_path)
+        tok_info = tok_info or tok_info2
+        tokenizer = TrainedBPETokeniser(**tok_info) if tok_info else TrainedBPETokeniser()
+        ecfg = ec.EncodecConfig()
+        if encodec_path:
+            eparams, _meta = ck.load_npz(encodec_path)
+        else:
+            eparams = ec.init_params(jax.random.PRNGKey(0), ecfg)
+        comps = TTSComponents(
+            first_stage_params=jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), p1),
+            first_stage_cfg=cfg1,
+            second_stage_params=jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), p2),
+            second_stage_cfg=cfg2,
+            spk_params=spk,
+            encodec_params=eparams,
+            encodec_cfg=ecfg,
+            tokenizer=tokenizer,
+        )
+        return cls(comps, **kwargs)
+
+    # ------------------------------------------------------------------ speaker embedding
+    def _get_speaker_embedding(self, spk_ref_path: str) -> np.ndarray:
+        """md5-cached speaker embedding (reference fam/llm/inference.py:419-435)."""
+        with open(spk_ref_path, "rb") as f:
+            cache_key = hashlib.md5(f.read(1 << 20)).hexdigest() + f":{os.path.getsize(spk_ref_path)}"
+        if cache_key in self._emb_cache:
+            return self._emb_cache[cache_key]
+        wav, _ = aio.load_audio(spk_ref_path, target_sr=se.SAMPLING_RATE)
+        wav = se.trim_silence(wav, top_db=20.0)
+        emb = se.embed_utterance(self.c.spk_params, wav)
+        self._emb_cache[cache_key] = emb
+        return emb
+
+    # ------------------------------------------------------------------ synthesis
+    def _synthesise_chunk(
+        self,
+        text: str,
+        spk_emb: np.ndarray,
+        top_p: float,
+        guidance_scale: float,
+        temperature: float,
+        key: jax.Array,
+    ) -> np.ndarray:
+        """One <=220-char chunk -> 24 kHz waveform (float32)."""
+        k1, k2 = jax.random.split(key)
+        prompt = self.c.tokenizer.encode(text)
+
+        seq = fs.generate(
+            self.c.first_stage_params,
+            self.c.first_stage_cfg,
+            prompt,
+            jnp.asarray(spk_emb),
+            key=k1,
+            temperature=temperature,
+            top_p=top_p,
+            guidance_scale=guidance_scale,
+            prompt_pad_multiple=self.runtime.prompt_pad_multiple,
+            kv_cache=self._kv_cache,
+            compute_dtype=self._compute_dtype,
+        )
+        _text_ids, coarse = T.split_flattened_interleaved(seq, self.END_OF_AUDIO_TOKEN)
+        if len(coarse[0]) == 0:
+            raise RuntimeError(f"first stage produced no audio tokens for: {text!r}")
+
+        full_codes = ss.complete_hierarchies(
+            self.c.second_stage_params,
+            self.c.second_stage_cfg,
+            prompt,
+            coarse,
+            jnp.asarray(spk_emb),
+            key=k2,
+            temperature=1.0,
+            top_k=200,
+            compute_dtype=self._compute_dtype,
+        )  # (8, T_audio)
+
+        wav = np.asarray(
+            ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, full_codes)
+        )[0]
+        if self.c.enhancer is not None:
+            wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
+        return wav.astype(np.float32)
+
+    def synthesise(
+        self,
+        text: str,
+        spk_ref_path: str,
+        top_p: float = 0.95,
+        guidance_scale: float = 3.0,
+        temperature: float = 1.0,
+    ) -> str:
+        """Synthesise ``text`` in the voice of ``spk_ref_path``.
+
+        Signature and defaults match reference fam/llm/fast_inference.py:111.
+        Returns the path to a loudness-normalized 24 kHz wav.
+        """
+        start = time.time()
+        text = normalize_text(text)
+        if self._enforce_min_ref:
+            aio.check_audio_file(spk_ref_path)
+        spk_emb = self._get_speaker_embedding(spk_ref_path)
+
+        chunks = chunk_text(text, MAX_CHARS_PER_CHUNK) or [""]
+        wavs = []
+        for chunk in chunks:
+            self._key, sub = jax.random.split(self._key)
+            wavs.append(
+                self._synthesise_chunk(
+                    chunk, spk_emb, top_p, guidance_scale, temperature, sub
+                )
+            )
+        gap = np.zeros(int(0.1 * self.c.encodec_cfg.sample_rate), np.float32)
+        wav = wavs[0] if len(wavs) == 1 else np.concatenate(
+            [w for pair in zip(wavs, [gap] * len(wavs)) for w in pair][:-1]
+        )
+
+        digest = hashlib.md5(f"{text}{spk_ref_path}{time.time()}".encode()).hexdigest()[:12]
+        out_path = os.path.join(self.output_dir, f"synth_{digest}.wav")
+        aio.write_wav_loudness_normalized(out_path, wav, self.c.encodec_cfg.sample_rate)
+
+        elapsed = time.time() - start
+        duration = len(wav) / self.c.encodec_cfg.sample_rate
+        rtf = elapsed / max(duration, 1e-6)
+        print(f"Total time to synth (s): {elapsed:.2f}")
+        print(f"Real-time factor: {rtf:.2f}")
+        return out_path

@@ -1,0 +1,233 @@
+"""First-stage LLM finetuning: optax AdamW + pjit-sharded train step.
+
+Behavioral parity with the reference trainer (fam/llm/finetune.py):
+
+  * per-hierarchy cross-entropy with ignore_index=-1
+    (fam/llm/model.py:285-303),
+  * AdamW with weight decay only on rank>=2 tensors
+    (fam/llm/model.py:316-340),
+  * cosine LR schedule with linear warmup (fam/llm/finetune.py:170-181),
+  * last-N-block freezing + final norm (fam/llm/finetune.py:236-244) — done
+    here as a per-layer 0/1 gradient mask broadcast along the stacked-layer
+    axis (our layer params are stacked, so torch-style requires_grad flags
+    don't map),
+  * gradient accumulation and global-norm clipping (:320-344),
+  * bf16 compute / f32 params & optimizer state.
+
+TPU-native additions the reference lacks (its DDP is dead code): the train
+step is jit-compiled over a (data, tensor) mesh; batch shards over the data
+axis, params over tensor; XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from metavoice_tpu.core.config import TransformerConfig
+from metavoice_tpu.models import transformer as tfm
+
+
+@dataclass(frozen=True)
+class FinetuneConfig:
+    """Defaults mirror fam/llm/config/finetune_params.py."""
+
+    learning_rate: float = 3e-5
+    min_lr: float = 3e-6  # lr/10 rule (finetune_params.py:59)
+    warmup_iters: int = 100
+    lr_decay_iters: int = 5000
+    weight_decay: float = 0.1
+    beta1: float = 0.9
+    beta2: float = 0.95
+    grad_clip: float = 1.0
+    batch_size: int = 2
+    gradient_accumulation_steps: int = 1
+    last_n_blocks_to_finetune: int = 1
+    max_iters: int = 5000
+    eval_interval: int = 200
+    eval_iters: int = 20
+    seed: int = 1337
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def lr_schedule(cfg: FinetuneConfig):
+    """Linear warmup then cosine decay to min_lr (finetune.py:170-181)."""
+    warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_iters)
+    cosine = optax.cosine_decay_schedule(
+        cfg.learning_rate,
+        max(cfg.lr_decay_iters - cfg.warmup_iters, 1),
+        alpha=cfg.min_lr / cfg.learning_rate,
+    )
+    return optax.join_schedules([warmup, cosine], [cfg.warmup_iters])
+
+
+def weight_decay_mask(params: Any) -> Any:
+    """Decay rank>=2 tensors only (fam/llm/model.py:321-328)."""
+    return jax.tree.map(lambda p: p.ndim >= 2, params)
+
+
+def trainable_mask(params: Any, model_cfg: TransformerConfig, last_n_blocks: int) -> Any:
+    """0/1 gradient multipliers implementing last-N-block finetuning.
+
+    Matches reference freezing (finetune.py:236-244): everything frozen
+    except the last N transformer blocks and the final norm. Stacked layer
+    leaves get a per-layer (L, 1, ...) multiplier instead of a boolean.
+    """
+    l = model_cfg.n_layer
+    layer_gate = (jnp.arange(l) >= l - last_n_blocks).astype(jnp.float32)
+
+    def mask_like(path_is_layer_stack: bool, leaf):
+        if path_is_layer_stack:
+            return layer_gate.reshape((l,) + (1,) * (leaf.ndim - 1))
+        return jnp.zeros((), jnp.float32)
+
+    masked = {}
+    for k, v in params.items():
+        if k == "layers":
+            masked[k] = {lk: mask_like(True, lv) for lk, lv in v.items()}
+        elif k.startswith("ln_f"):
+            masked[k] = jnp.ones((), jnp.float32)
+        elif isinstance(v, list):
+            masked[k] = [jnp.zeros((), jnp.float32) for _ in v]
+        else:
+            masked[k] = jnp.zeros((), jnp.float32)
+    return masked
+
+
+def apply_grad_mask(grads: Any, mask: Any) -> Any:
+    return jax.tree.map(lambda g, m: g * m, grads, mask)
+
+
+def make_optimizer(cfg: FinetuneConfig, params: Any) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(
+            learning_rate=lr_schedule(cfg),
+            b1=cfg.beta1,
+            b2=cfg.beta2,
+            weight_decay=cfg.weight_decay,
+            mask=weight_decay_mask(params),
+        ),
+    )
+
+
+def hierarchy_cross_entropy(
+    logits: list[jax.Array], targets: jax.Array
+) -> jax.Array:
+    """Mean CE over hierarchies and non-ignored positions.
+
+    targets: (B, C, T) with -1 = ignore (fam/llm/model.py:289-301).
+    """
+    if targets.ndim == 2:
+        targets = targets[:, None, :]
+    total, count = 0.0, 0.0
+    for i, lg in enumerate(logits):
+        tgt = targets[:, i, :]
+        valid = tgt != -1
+        safe_tgt = jnp.where(valid, tgt, 0)
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe_tgt[..., None], axis=-1)[..., 0]
+        total = total + jnp.sum(nll * valid)
+        count = count + jnp.sum(valid)
+    return total / jnp.maximum(count, 1.0)
+
+
+def loss_fn(
+    params: Any,
+    model_cfg: TransformerConfig,
+    batch: dict[str, jax.Array],
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    logits, _ = tfm.forward(
+        params,
+        model_cfg,
+        batch["x"],
+        spk_emb=batch.get("spk_emb"),
+        compute_dtype=compute_dtype,
+    )
+    return hierarchy_cross_entropy(logits, batch["y"])
+
+
+def init_train_state(
+    params: Any, cfg: FinetuneConfig
+) -> tuple[TrainState, optax.GradientTransformation]:
+    opt = make_optimizer(cfg, params)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32)), opt
+
+
+def make_train_step(
+    model_cfg: TransformerConfig,
+    cfg: FinetuneConfig,
+    opt: optax.GradientTransformation,
+    grad_mask: Any | None = None,
+    compute_dtype=jnp.bfloat16,
+):
+    """Returns jitted train_step(state, batch) -> (state, metrics).
+
+    With gradient_accumulation_steps > 1, ``batch`` carries a leading
+    micro-step axis and grads average across micro-steps inside one
+    compiled step (lax.scan), mirroring the reference's micro-step loop
+    (finetune.py:320-340) without host round-trips.
+    """
+
+    def single_grads(params, micro_batch):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, model_cfg, micro_batch, compute_dtype
+        )
+        return loss, grads
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict[str, jax.Array]):
+        if cfg.gradient_accumulation_steps > 1:
+            def scan_body(carry, micro_batch):
+                loss_acc, grads_acc = carry
+                loss, grads = single_grads(state.params, micro_batch)
+                return (
+                    loss_acc + loss,
+                    jax.tree.map(jnp.add, grads_acc, grads),
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (loss_sum, grads_sum), _ = jax.lax.scan(
+                scan_body, (jnp.zeros(()), zeros), batch
+            )
+            k = cfg.gradient_accumulation_steps
+            loss = loss_sum / k
+            grads = jax.tree.map(lambda g: g / k, grads_sum)
+        else:
+            loss, grads = single_grads(state.params, batch)
+
+        if grad_mask is not None:
+            grads = apply_grad_mask(grads, grad_mask)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        if grad_mask is not None:
+            # AdamW's decoupled weight decay would still move frozen slices
+            # (decay is grad-independent); mask the final updates too so
+            # frozen parameters are bit-identical across steps.
+            updates = apply_grad_mask(updates, grad_mask)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(new_params, new_opt_state, state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return train_step
+
+
+def make_eval_step(model_cfg: TransformerConfig, compute_dtype=jnp.bfloat16):
+    @jax.jit
+    def eval_step(params, batch):
+        return loss_fn(params, model_cfg, batch, compute_dtype)
+
+    return eval_step

@@ -1,0 +1,266 @@
+"""Checkpoint interop: reference torch ``.pt`` files <-> JAX param pytrees.
+
+The reference ships three pickled checkpoints (first_stage.pt,
+second_stage.pt, speaker_encoder.pt; fam/llm/fast_inference.py:71-100) with
+schema {model, optimizer, model_args, iter_num, best_val_loss, config,
+meta:{speaker_cond, speaker_emb_size, tokenizer:{...}}}
+(fam/llm/finetune.py:300-313). This module:
+
+  * imports that layout into our stacked-layer (in, out) pytrees, applying
+    the same key remapping the reference's fast path applies
+    (fam/llm/fast_inference_utils.py:245-279) — torch (out, in) linear
+    weights are transposed once here so the forward pass never does;
+  * exports/loads native checkpoints as flat ``.npz`` (plus orbax for
+    training state, see training/finetune.py);
+  * torch is used only as a host-side pickle reader — nothing from torch
+    touches the compute path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+from metavoice_tpu.core.config import TransformerConfig, first_stage_config
+from metavoice_tpu.models.speaker_encoder import (
+    MODEL_NUM_LAYERS,
+    SpeakerEncoderParams,
+)
+
+Params = dict[str, Any]
+
+_UNWANTED_PREFIX = "_orig_mod."  # torch.compile artifact (finetune.py:83-88)
+
+
+def _strip_compile_prefix(state_dict: dict) -> dict:
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith(_UNWANTED_PREFIX):
+            k = k[len(_UNWANTED_PREFIX) :]
+        out[k] = v
+    return out
+
+
+def _to_np(t) -> np.ndarray:
+    return t.detach().to("cpu").float().numpy()
+
+
+def load_first_stage_pt(path: str, cfg: TransformerConfig | None = None, dtype=np.float32):
+    """first_stage.pt -> (params pytree, cfg, tokenizer_info dict).
+
+    Accepts the training-format names (transformer.wtes.0.weight, ...,
+    transformer.h.{i}.attn.c_attn.weight) per the remap table at
+    fam/llm/fast_inference_utils.py:250-279.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = _strip_compile_prefix(ckpt["model"])
+    cfg = cfg or first_stage_config()
+    l = cfg.n_layer
+
+    def g(name):
+        return _to_np(sd[name]).astype(dtype)
+
+    def stack(fmt, transpose=False):
+        mats = [_to_np(sd[fmt.format(i=i)]).astype(dtype) for i in range(l)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return np.stack(mats, axis=0)
+
+    params: Params = {
+        "wtes": [g("transformer.wtes.0.weight")],
+        "wpe": g("transformer.wpe.weight"),
+        "speaker_cond": g("speaker_cond_pos.weight").T,
+        "layers": {
+            "attn_norm_w": stack("transformer.h.{i}.ln_1.weight"),
+            "wqkv": stack("transformer.h.{i}.attn.c_attn.weight", transpose=True),
+            "wo": stack("transformer.h.{i}.attn.c_proj.weight", transpose=True),
+            "ffn_norm_w": stack("transformer.h.{i}.ln_2.weight"),
+            "w1": stack("transformer.h.{i}.mlp.swiglu.w1.weight", transpose=True),
+            "w3": stack("transformer.h.{i}.mlp.swiglu.w3.weight", transpose=True),
+            "w2": stack("transformer.h.{i}.mlp.c_proj.weight", transpose=True),
+        },
+        "ln_f_w": g("transformer.ln_f.weight"),
+    }
+    # lm_heads.0.weight is tied to wtes.0 (fam/llm/model.py:139-143); our
+    # forward reuses wtes for the tied head, so nothing further to load.
+    tokenizer_info = ckpt.get("meta", {}).get("tokenizer", {})
+    return params, cfg, tokenizer_info
+
+
+def load_second_stage_pt(path: str, dtype=np.float32):
+    """second_stage.pt -> (params, cfg, tokenizer_info).
+
+    Builds the TransformerConfig from checkpoint-embedded model_args
+    (fam/llm/inference.py:124-131).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = _strip_compile_prefix(ckpt["model"])
+    args = ckpt["model_args"]
+    meta = ckpt.get("meta", {})
+    ckpt_cfg = ckpt.get("config", {})
+
+    cfg = TransformerConfig(
+        block_size=args["block_size"],
+        n_layer=args["n_layer"],
+        n_head=args["n_head"],
+        dim=args["n_embd"],
+        vocab_sizes=tuple(args["vocab_sizes"]),
+        target_vocab_sizes=tuple(args["target_vocab_sizes"]) if args.get("target_vocab_sizes") else None,
+        causal=ckpt_cfg.get("causal", args.get("causal", False)),
+        norm_type=args.get("norm_type", "layernorm"),
+        nonlinearity_type=args.get("nonlinearity_type", "gelu"),
+        bias=args.get("bias", True),
+        speaker_emb_dim=meta.get("speaker_emb_size", 256),
+        norm_eps=args.get("rmsnorm_eps") or 1e-5,
+    )
+    l = cfg.n_layer
+
+    def g(name):
+        return _to_np(sd[name]).astype(dtype)
+
+    def has(name):
+        return name in sd
+
+    def stack(fmt, transpose=False):
+        mats = [_to_np(sd[fmt.format(i=i)]).astype(dtype) for i in range(l)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return np.stack(mats, axis=0)
+
+    layers: Params = {
+        "attn_norm_w": stack("transformer.h.{i}.ln_1.weight"),
+        "wqkv": stack("transformer.h.{i}.attn.c_attn.weight", transpose=True),
+        "wo": stack("transformer.h.{i}.attn.c_proj.weight", transpose=True),
+        "ffn_norm_w": stack("transformer.h.{i}.ln_2.weight"),
+    }
+    if has("transformer.h.0.ln_1.bias"):
+        layers["attn_norm_b"] = stack("transformer.h.{i}.ln_1.bias")
+        layers["ffn_norm_b"] = stack("transformer.h.{i}.ln_2.bias")
+    if has("transformer.h.0.attn.c_attn.bias"):
+        layers["wqkv_b"] = stack("transformer.h.{i}.attn.c_attn.bias")
+    if has("transformer.h.0.attn.c_proj.bias"):
+        layers["wo_b"] = stack("transformer.h.{i}.attn.c_proj.bias")
+    if has("transformer.h.0.mlp.swiglu.w1.weight"):
+        layers["w1"] = stack("transformer.h.{i}.mlp.swiglu.w1.weight", transpose=True)
+        layers["w3"] = stack("transformer.h.{i}.mlp.swiglu.w3.weight", transpose=True)
+        layers["w2"] = stack("transformer.h.{i}.mlp.c_proj.weight", transpose=True)
+    else:
+        layers["w_fc"] = stack("transformer.h.{i}.mlp.c_fc.weight", transpose=True)
+        layers["w_proj"] = stack("transformer.h.{i}.mlp.c_proj.weight", transpose=True)
+        if has("transformer.h.0.mlp.c_fc.bias"):
+            layers["w_fc_b"] = stack("transformer.h.{i}.mlp.c_fc.bias")
+            layers["w_proj_b"] = stack("transformer.h.{i}.mlp.c_proj.bias")
+
+    params: Params = {
+        "wtes": [
+            g(f"transformer.wtes.{i}.weight") for i in range(len(cfg.vocab_sizes))
+        ],
+        "wpe": g("transformer.wpe.weight"),
+        "layers": layers,
+        "ln_f_w": g("transformer.ln_f.weight"),
+    }
+    if has("transformer.ln_f.bias"):
+        params["ln_f_b"] = g("transformer.ln_f.bias")
+    if has("speaker_cond_pos.weight"):
+        params["speaker_cond"] = g("speaker_cond_pos.weight").T
+    if cfg.target_vocab_sizes is not None:
+        params["lm_heads"] = [
+            g(f"lm_heads.{i}.weight").T for i in range(len(cfg.target_vocab_sizes))
+        ]
+    tokenizer_info = meta.get("tokenizer", {})
+    return params, cfg, tokenizer_info
+
+
+def load_speaker_encoder_pt(path: str, dtype=np.float32) -> SpeakerEncoderParams:
+    """speaker_encoder.pt {model_state: ...} -> SpeakerEncoderParams.
+
+    torch LSTM stores weight_ih_l{k} (4H, in), weight_hh_l{k} (4H, H) and two
+    bias vectors that always appear summed in the cell; we fold them.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state", ckpt)
+
+    w_ih, w_hh, b = [], [], []
+    in_max = None
+    for k in range(MODEL_NUM_LAYERS):
+        wi = _to_np(sd[f"lstm.weight_ih_l{k}"]).T.astype(dtype)  # (in, 4H)
+        wh = _to_np(sd[f"lstm.weight_hh_l{k}"]).T.astype(dtype)  # (H, 4H)
+        bias = (
+            _to_np(sd[f"lstm.bias_ih_l{k}"]) + _to_np(sd[f"lstm.bias_hh_l{k}"])
+        ).astype(dtype)
+        in_max = max(in_max or 0, wi.shape[0], wh.shape[0])
+        w_ih.append(wi)
+        w_hh.append(wh)
+        b.append(bias)
+    # pad layer-0 input rows so layers stack uniformly
+    w_ih = [
+        np.pad(w, ((0, in_max - w.shape[0]), (0, 0))) if w.shape[0] < in_max else w
+        for w in w_ih
+    ]
+    return SpeakerEncoderParams(
+        w_ih=np.stack(w_ih),
+        w_hh=np.stack(w_hh),
+        b=np.stack(b),
+        linear_w=_to_np(sd["linear.weight"]).T.astype(dtype),
+        linear_b=_to_np(sd["linear.bias"]).astype(dtype),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Native .npz save/load (flat key -> array)
+# --------------------------------------------------------------------------------------
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            flat.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> Any:
+    tree: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [listify(node[str(i)]) for i in range(len(keys))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(tree)
+
+
+def save_npz(path: str, params: Any, meta: dict | None = None) -> None:
+    flat = _flatten(params)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, __meta__=json.dumps(meta or {}), **flat)
+
+
+def load_npz(path: str) -> tuple[Any, dict]:
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"])) if "__meta__" in data else {}
+    flat = {k: data[k] for k in data.files if k != "__meta__"}
+    return _unflatten(flat), meta

@@ -2,13 +2,33 @@
 
 Multi-chip TPU hardware is unavailable in CI; sharding logic is exercised on
 host CPU devices instead (the TPU-world analogue of a fake distributed
-backend — see SURVEY.md section 4). Env vars must be set before JAX import.
+backend — see SURVEY.md section 4).
+
+NOTE: this environment imports jax at interpreter startup (sitecustomize ->
+axon plugin), so JAX_PLATFORMS in os.environ is already consumed by the time
+conftest runs; we must go through jax.config.update. XLA_FLAGS is read
+lazily at backend creation, so setting it here still works as long as no
+test touched a device yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# Force CPU even though the shell pre-sets JAX_PLATFORMS=axon (the TPU
+# plugin): tests must be hermetic and able to fake an 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: XLA compiles are slow in this environment;
+# cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/mvtpu_jax"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()}, devices: {jax.device_count()}"

@@ -1,0 +1,148 @@
+"""Numerical parity against torch oracles.
+
+Builds tiny torch models matching the reference architecture spec
+(fam/llm/fast_model.py for stage 1, torch.nn.LSTM for the speaker encoder),
+saves reference-format .pt checkpoints, converts them with utils/checkpoint,
+and checks our JAX forward matches torch to f32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from metavoice_tpu.core.config import first_stage_config  # noqa: E402
+from metavoice_tpu.models import speaker_encoder as se  # noqa: E402
+from metavoice_tpu.models import transformer as tfm  # noqa: E402
+from metavoice_tpu.utils import checkpoint as ckpt_util  # noqa: E402
+
+TINY = first_stage_config(
+    n_layer=2, n_head=4, dim=32, block_size=32, vocab_sizes=(50,), intermediate_size=64
+)
+
+
+def _torch_first_stage_state(cfg, seed=0):
+    """Random weights under the reference's *training* names
+    (the converter applies the fast_inference_utils.py:250-279 remap)."""
+    g = torch.Generator().manual_seed(seed)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    d, i_sz, v = cfg.dim, cfg.intermediate_size, cfg.vocab_sizes[0]
+    sd = {
+        "transformer.wtes.0.weight": r(v, d),
+        "transformer.wpe.weight": r(cfg.block_size, d),
+        "speaker_cond_pos.weight": r(d, cfg.speaker_emb_dim),
+        "transformer.ln_f.weight": torch.ones(d) + 0.1 * r(d),
+        "lm_heads.0.weight": r(v, d),  # tied in practice; ignored by converter
+    }
+    for i in range(cfg.n_layer):
+        sd[f"transformer.h.{i}.ln_1.weight"] = torch.ones(d) + 0.1 * r(d)
+        sd[f"transformer.h.{i}.attn.c_attn.weight"] = r(3 * d, d)
+        sd[f"transformer.h.{i}.attn.c_proj.weight"] = r(d, d)
+        sd[f"transformer.h.{i}.ln_2.weight"] = torch.ones(d) + 0.1 * r(d)
+        sd[f"transformer.h.{i}.mlp.swiglu.w1.weight"] = r(i_sz, d)
+        sd[f"transformer.h.{i}.mlp.swiglu.w3.weight"] = r(i_sz, d)
+        sd[f"transformer.h.{i}.mlp.c_proj.weight"] = r(d, i_sz)
+    return sd
+
+
+def _torch_forward(sd, cfg, idx, spk_emb, spk_on):
+    """Torch oracle implementing the reference stage-1 forward semantics
+    (fast_model.py:150-163): tok+pos+spk*mask -> pre-norm blocks -> RMSNorm
+    -> tied lm head."""
+    import torch.nn.functional as F
+
+    def rms(x, w):
+        xf = x.float()
+        xf = xf * torch.rsqrt((xf * xf).mean(-1, keepdim=True) + cfg.norm_eps)
+        return xf.type_as(x) * w
+
+    b, t = idx.shape
+    d, h = cfg.dim, cfg.n_head
+    x = sd["transformer.wtes.0.weight"][idx]
+    x = x + sd["transformer.wpe.weight"][:t]
+    cond = spk_emb @ sd["speaker_cond_pos.weight"].T
+    x = x + cond[:, None, :] * spk_on.view(-1, 1, 1)
+    mask = torch.tril(torch.ones(t, t, dtype=torch.bool))
+    for i in range(cfg.n_layer):
+        xa = rms(x, sd[f"transformer.h.{i}.ln_1.weight"])
+        qkv = xa @ sd[f"transformer.h.{i}.attn.c_attn.weight"].T
+        q, k, v = qkv.split(d, dim=-1)
+        q = q.view(b, t, h, d // h).transpose(1, 2)
+        k = k.view(b, t, h, d // h).transpose(1, 2)
+        v = v.view(b, t, h, d // h).transpose(1, 2)
+        y = F.scaled_dot_product_attention(q, k, v, attn_mask=mask)
+        y = y.transpose(1, 2).reshape(b, t, d)
+        x = x + y @ sd[f"transformer.h.{i}.attn.c_proj.weight"].T
+        xm = rms(x, sd[f"transformer.h.{i}.ln_2.weight"])
+        hidden = F.silu(xm @ sd[f"transformer.h.{i}.mlp.swiglu.w1.weight"].T) * (
+            xm @ sd[f"transformer.h.{i}.mlp.swiglu.w3.weight"].T
+        )
+        x = x + hidden @ sd[f"transformer.h.{i}.mlp.c_proj.weight"].T
+    x = rms(x, sd["transformer.ln_f.weight"])
+    return x @ sd["transformer.wtes.0.weight"].T  # tied head
+
+
+def test_first_stage_parity(tmp_path):
+    sd = _torch_first_stage_state(TINY)
+    path = tmp_path / "first_stage.pt"
+    torch.save({"model": sd, "meta": {"tokenizer": {}}}, path)
+
+    params, cfg, _ = ckpt_util.load_first_stage_pt(str(path), TINY)
+
+    idx_np = np.random.default_rng(0).integers(0, 50, size=(2, 7))
+    spk_np = np.random.default_rng(1).normal(size=(2, TINY.speaker_emb_dim)).astype(np.float32)
+    spk_on = np.array([1.0, 0.0], np.float32)  # row 1 unconditioned (CFG)
+
+    with torch.no_grad():
+        ref = _torch_forward(
+            sd, TINY, torch.tensor(idx_np), torch.tensor(spk_np), torch.tensor(spk_on)
+        ).numpy()
+
+    logits, _ = tfm.forward(
+        params,
+        cfg,
+        jnp.asarray(idx_np),
+        spk_emb=jnp.asarray(spk_np),
+        spk_cond_mask=jnp.asarray(spk_on).reshape(2, 1, 1),
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_speaker_encoder_parity(tmp_path):
+    h, e = se.MODEL_HIDDEN_SIZE, se.MODEL_EMBEDDING_SIZE
+    torch.manual_seed(0)
+    lstm = torch.nn.LSTM(se.MEL_N_CHANNELS, h, se.MODEL_NUM_LAYERS, batch_first=True)
+    linear = torch.nn.Linear(h, e)
+
+    sd = {f"lstm.{k}": v for k, v in lstm.state_dict().items()}
+    sd.update({f"linear.{k}": v for k, v in linear.state_dict().items()})
+    path = tmp_path / "speaker_encoder.pt"
+    torch.save({"model_state": sd}, path)
+
+    params = ckpt_util.load_speaker_encoder_pt(str(path))
+
+    mels = np.random.default_rng(2).normal(size=(3, 20, se.MEL_N_CHANNELS)).astype(np.float32)
+    with torch.no_grad():
+        _, (hidden, _) = lstm(torch.tensor(mels))
+        raw = torch.relu(linear(hidden[-1]))
+        ref = (raw / torch.norm(raw, dim=1, keepdim=True)).numpy()
+
+    ours = np.asarray(se.forward(params, jnp.asarray(mels)))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+
+def test_npz_roundtrip(tmp_path):
+    params = tfm.init_params(jax.random.PRNGKey(0), TINY)
+    path = str(tmp_path / "model.npz")
+    ckpt_util.save_npz(path, jax.tree.map(np.asarray, params), meta={"stage": 1})
+    loaded, meta = ckpt_util.load_npz(path)
+    assert meta == {"stage": 1}
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), b)

@@ -1,0 +1,94 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Validates: mesh construction, TP param placement, sharded forward == single
+device forward, and a DP+TP train step compiling and executing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding
+
+from metavoice_tpu.core.config import first_stage_config
+from metavoice_tpu.models import transformer as tfm
+from metavoice_tpu.parallel import mesh as pmesh
+from metavoice_tpu.parallel import sharding as psh
+from metavoice_tpu.training import finetune as ft
+
+TINY = first_stage_config(n_layer=2, n_head=4, dim=64, block_size=32, vocab_sizes=(64,))
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return tfm.init_params(jax.random.PRNGKey(0), TINY)
+
+
+def test_mesh_shapes():
+    m = pmesh.make_mesh(8, tensor_parallel=2)
+    assert m.shape == {"data": 4, "tensor": 2}
+    with pytest.raises(ValueError):
+        pmesh.make_mesh(8, tensor_parallel=3)
+
+
+def test_param_placement(params):
+    m = pmesh.make_mesh(8, tensor_parallel=4)
+    sharded = psh.shard_params(params, TINY, m)
+    wqkv = sharded["layers"]["wqkv"]
+    assert isinstance(wqkv.sharding, NamedSharding)
+    # column-parallel: last dim split over 4 devices
+    assert wqkv.sharding.shard_shape(wqkv.shape)[-1] == wqkv.shape[-1] // 4
+
+
+def test_sharded_forward_matches_single(params):
+    m = pmesh.make_mesh(8, tensor_parallel=4)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 64)
+    spk = jnp.ones((4, 256))
+
+    ref_logits, _ = tfm.forward(params, TINY, idx, spk_emb=spk, compute_dtype=jnp.float32)
+
+    sharded = psh.shard_params(params, TINY, m)
+    idx_s = jax.device_put(idx, NamedSharding(m, psh.batch_spec(2)))
+    spk_s = jax.device_put(spk, NamedSharding(m, psh.batch_spec(2)))
+    out_logits, _ = jax.jit(
+        lambda p, i, s: tfm.forward(p, TINY, i, spk_emb=s, compute_dtype=jnp.float32)
+    )(sharded, idx_s, spk_s)
+    np.testing.assert_allclose(
+        np.asarray(out_logits[0]), np.asarray(ref_logits[0]), atol=2e-3, rtol=2e-2
+    )
+
+
+def test_sharded_train_step(params):
+    """DP=2 x TP=4 train step compiles, runs, and updates sharded params."""
+    m = pmesh.make_mesh(8, tensor_parallel=4)
+    cfg = ft.FinetuneConfig()
+    sharded = psh.shard_params(params, TINY, m)
+    state, opt = ft.init_train_state(sharded, cfg)
+    step = ft.make_train_step(TINY, cfg, opt, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jax.device_put(
+            jnp.asarray(rng.integers(0, 64, (4, 8))), NamedSharding(m, psh.batch_spec(2))
+        ),
+        "y": jax.device_put(
+            jnp.asarray(rng.integers(0, 64, (4, 8))), NamedSharding(m, psh.batch_spec(2))
+        ),
+        "spk_emb": jax.device_put(
+            jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32)),
+            NamedSharding(m, psh.batch_spec(2)),
+        ),
+    }
+    new_state, metrics = step(state, batch)
+    new_state, metrics = step(new_state, batch)  # warmup LR is 0 at step 0
+    assert np.isfinite(float(metrics["loss"]))
+    # params moved and retained their sharding
+    w = new_state.params["layers"]["wqkv"]
+    assert w.sharding.shard_shape(w.shape)[-1] == w.shape[-1] // 4
+    assert not np.allclose(
+        np.asarray(w), np.asarray(params["layers"]["wqkv"])
+    )

@@ -1,0 +1,114 @@
+"""Trainer semantics tests: loss masking, freezing, accumulation, LR schedule."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metavoice_tpu.core.config import first_stage_config
+from metavoice_tpu.models import transformer as tfm
+from metavoice_tpu.training import finetune as ft
+
+TINY = first_stage_config(n_layer=3, n_head=2, dim=32, block_size=32, vocab_sizes=(60,))
+FT = ft.FinetuneConfig(gradient_accumulation_steps=1, warmup_iters=10, lr_decay_iters=100)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return tfm.init_params(jax.random.PRNGKey(0), TINY)
+
+
+def _batch(bsz=2, t=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "x": jnp.asarray(rng.integers(0, 60, (bsz, t))),
+        "y": jnp.asarray(rng.integers(0, 60, (bsz, t))),
+        "spk_emb": jnp.asarray(rng.normal(size=(bsz, 256)).astype(np.float32)),
+    }
+
+
+def test_ce_ignore_index():
+    logits = [jnp.zeros((1, 4, 10))]
+    targets = jnp.asarray([[[1, 2, -1, -1]]])
+    loss = ft.hierarchy_cross_entropy(logits, targets)
+    # uniform logits -> -log(1/10) per valid position
+    np.testing.assert_allclose(float(loss), np.log(10.0), rtol=1e-5)
+
+
+def test_ce_all_ignored_is_finite():
+    logits = [jnp.zeros((1, 4, 10))]
+    targets = jnp.full((1, 1, 4), -1)
+    loss = ft.hierarchy_cross_entropy(logits, targets)
+    assert np.isfinite(float(loss))
+
+
+def test_lr_schedule_shape():
+    sched = ft.lr_schedule(FT)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), FT.learning_rate, rtol=1e-5)
+    assert float(sched(99)) < FT.learning_rate
+    # decays towards min_lr
+    assert float(sched(200)) <= float(sched(50))
+
+
+def test_train_step_reduces_loss(params):
+    state, opt = ft.init_train_state(params, FT)
+    # no freezing: train everything
+    step = ft.make_train_step(TINY, FT, opt, grad_mask=None, compute_dtype=jnp.float32)
+    batch = _batch()
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
+def test_layer_freezing(params):
+    mask = ft.trainable_mask(params, TINY, last_n_blocks=1)
+    state, opt = ft.init_train_state(params, FT)
+    step = ft.make_train_step(TINY, FT, opt, grad_mask=mask, compute_dtype=jnp.float32)
+    # two steps: warmup LR is exactly 0 at step 0 (reference finetune.py:172)
+    new_state, _ = step(state, _batch())
+    new_state, _ = step(new_state, _batch())
+    # embeddings frozen
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["wtes"][0]), np.asarray(params["wtes"][0])
+    )
+    # first two layers frozen, last layer updated
+    old_w = np.asarray(params["layers"]["wqkv"])
+    new_w = np.asarray(new_state.params["layers"]["wqkv"])
+    np.testing.assert_array_equal(new_w[:2], old_w[:2])
+    assert not np.allclose(new_w[2], old_w[2])
+    # final norm updated (delta is ~lr, tiny relative to the ~1.0 weights)
+    ln_delta = np.abs(
+        np.asarray(new_state.params["ln_f_w"]) - np.asarray(params["ln_f_w"])
+    ).max()
+    assert ln_delta > 0
+
+
+def test_grad_accumulation_equivalence(params):
+    """k micro-steps of batch b == one step of batch k*b (same grads)."""
+    cfg_acc = ft.FinetuneConfig(gradient_accumulation_steps=2, warmup_iters=10)
+    state_a, opt_a = ft.init_train_state(params, cfg_acc)
+    step_acc = ft.make_train_step(TINY, cfg_acc, opt_a, compute_dtype=jnp.float32)
+
+    cfg_one = ft.FinetuneConfig(gradient_accumulation_steps=1, warmup_iters=10)
+    state_b, opt_b = ft.init_train_state(params, cfg_one)
+    step_one = ft.make_train_step(TINY, cfg_one, opt_b, compute_dtype=jnp.float32)
+
+    b1, b2 = _batch(seed=1), _batch(seed=2)
+    micro = jax.tree.map(lambda a, b: jnp.stack([a, b]), b1, b2)
+    merged = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), b1, b2)
+
+    sa, ma = step_acc(state_a, micro)
+    sb, mb = step_one(state_b, merged)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-5)
+    for pa, pb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+
+def test_weight_decay_mask(params):
+    mask = ft.weight_decay_mask(params)
+    assert mask["layers"]["wqkv"] is True or mask["layers"]["wqkv"] == True  # noqa: E712
+    assert mask["ln_f_w"] == False  # noqa: E712
