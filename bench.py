@@ -21,10 +21,18 @@ All progress goes to stderr; stdout carries exactly the one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compile cache: full-model prefill/decode compiles take minutes
+# on this backend; cache them across bench runs
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/mvtpu_jax"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 
@@ -74,8 +82,10 @@ def main():
             jnp.asarray(n_tokens, jnp.int32), cfg.block_size, never_eoa,
             jnp.bfloat16,
         )
-        jax.block_until_ready(buf)
-        return buf, lens
+        # NOTE: force a host transfer — on the experimental axon backend
+        # block_until_ready returns before execution completes.
+        lens_np = __import__("numpy").asarray(lens)
+        return buf, lens_np
 
     t0 = time.perf_counter()
     run()
@@ -88,7 +98,7 @@ def main():
         buf, lens = run()
         dt = time.perf_counter() - t0
         times.append(dt)
-        log(f"run {i}: {dt:.3f}s -> {n_tokens/dt:.1f} tok/s")
+        log(f"run {i}: {dt:.3f}s -> {n_tokens/dt:.1f} tok/s (decoded {lens})")
 
     best = min(times)
     tps = n_tokens / best

@@ -94,8 +94,7 @@ def prefill(
     positions = jnp.arange(t)
     x = tfm.embed_inputs(params, cfg, idx2, positions, spk2, mask2, compute_dtype)
     attn_mask = tfm.causal_mask_for(positions, kv_cache.max_seq_len)[None, None]
-    x, new_kv = apply = tfm.apply_blocks(params, cfg, x, attn_mask, kv_cache, jnp.asarray(0))
-    del apply
+    x, new_kv = tfm.apply_blocks(params, cfg, x, attn_mask, kv_cache, jnp.asarray(0))
     # hidden at the true last prompt position (padded tail unused)
     x_last = jax.lax.dynamic_slice_in_dim(x, prompt_len - 1, 1, axis=1)  # (2B, 1, D)
     logits = tfm.output_logits(params, cfg, x_last)[0][:, 0, :]  # (2B, V)

@@ -101,7 +101,9 @@ def forward(params: SpeakerEncoderParams, mels: jax.Array) -> jax.Array:
             x, params.w_ih[layer], params.w_hh[layer], params.b[layer]
         )
     raw = jax.nn.relu(h_last @ params.linear_w + params.linear_b)
-    return raw / jnp.linalg.norm(raw, axis=1, keepdims=True)
+    # epsilon guard: with untrained weights ReLU can zero a whole row and
+    # 0/0 would poison downstream losses; trained weights never hit this
+    return raw / jnp.maximum(jnp.linalg.norm(raw, axis=1, keepdims=True), 1e-8)
 
 
 def compute_partial_slices(
@@ -151,7 +153,7 @@ def embed_utterance(
     mels = np.stack([mel[s] for s in mel_slices])  # (N, 160, 40)
     partials = np.asarray(forward(params, jnp.asarray(mels)))
     raw = partials.mean(axis=0)
-    return raw / np.linalg.norm(raw, 2)
+    return raw / max(np.linalg.norm(raw, 2), 1e-8)
 
 
 def trim_silence(wav: np.ndarray, top_db: float = 20.0, frame_length: int = 2048, hop_length: int = 512) -> np.ndarray:

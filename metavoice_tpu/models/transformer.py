@@ -150,8 +150,45 @@ def _norm(x: jax.Array, w: jax.Array, b: jax.Array | None, norm_type: str, eps: 
     return out
 
 
-def _linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
-    y = jnp.einsum("...d,df->...f", x, w.astype(x.dtype), preferred_element_type=x.dtype)
+def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
+    """Dense or weight-only-quantized linear.
+
+    ``w`` is either a dense (in, out) array or a quantized dict from
+    ops/quantized: {"q", "scales"} (int8 per-channel) or
+    {"q", "scales", "zeros"} (int4 groupwise). On TPU the quantized path
+    runs the Pallas kernels that keep the weight HBM reads at 1/2 / 1/4 of
+    bf16 — the decode loop is weight-bandwidth-bound, so this is the main
+    --quantisation_mode speed lever (reference analogue:
+    fam/llm/fast_quantize.py + aten._weight_int4pack_mm).
+    """
+    if isinstance(w, dict):
+        from metavoice_tpu.ops import quantized as qz
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        on_tpu = jax.default_backend() == "tpu"
+        n = w["q"].shape[-1]
+        tile_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else n
+        if "zeros" in w:
+            groupsize = w["q"].shape[0] // w["scales"].shape[0]
+            if on_tpu:
+                y2 = qz.matmul_int4(
+                    x2, w["q"], w["scales"], w["zeros"], groupsize=groupsize, tile_n=tile_n
+                )
+            else:
+                y2 = qz.matmul_int4_reference(
+                    x2, w["q"], w["scales"], w["zeros"], groupsize=groupsize
+                )
+        else:
+            if on_tpu:
+                y2 = qz.matmul_int8(x2, w["q"], w["scales"], tile_n=tile_n)
+            else:
+                y2 = qz.matmul_int8_reference(x2, w["q"], w["scales"])
+        y = y2.reshape(*lead, n).astype(x.dtype)
+    else:
+        y = jnp.einsum(
+            "...d,df->...f", x, w.astype(x.dtype), preferred_element_type=x.dtype
+        )
     if b is not None:
         y = y + b.astype(x.dtype)
     return y
@@ -167,6 +204,44 @@ def _mlp(x: jax.Array, lp: Params, cfg: TransformerConfig) -> jax.Array:
     )
 
 
+def _qkv_proj(
+    x: jax.Array, lp: Params, cfg: TransformerConfig
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """x (B, T, D) -> q (B, H, T, Dh), k/v (B, H_kv, T, Dh)."""
+    b, t, _ = x.shape
+    h, h_kv, dh = cfg.n_head, cfg.n_local_heads, cfg.head_dim
+    qkv = _linear(x, lp["wqkv"], lp.get("wqkv_b"))
+    q, k, v = jnp.split(qkv, [h * dh, h * dh + h_kv * dh], axis=-1)
+    q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, h_kv, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, h_kv, dh).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cfg: TransformerConfig,
+    mask: jax.Array | None,
+    out_dtype,
+) -> jax.Array:
+    """Scaled-dot-product attention: q (B, H, T, Dh) x k/v (B, H_kv, S, Dh)
+    -> (B, T, D). f32 softmax."""
+    b, h, t, dh = q.shape
+    if cfg.n_local_heads != cfg.n_head:
+        rep = cfg.n_head // cfg.n_local_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / dh**0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
+    y = jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=out_dtype)
+    return y.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
 def _attention(
     x: jax.Array,
     lp: Params,
@@ -175,22 +250,9 @@ def _attention(
     layer_cache: tuple[jax.Array, jax.Array] | None,
     cache_pos: jax.Array | None,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
-    """Multi-head (optionally grouped-query) attention for one layer.
-
-    x: (B, T, D). With ``layer_cache`` = (k_cache, v_cache) of shape
-    (B, H_kv, S, Dh), writes this block's K/V at ``cache_pos`` and attends
-    over the full cache; ``mask`` then must be (..., T, S). Without a cache,
-    attends within the T window.
-    """
-    b, t, d = x.shape
-    h, h_kv, dh = cfg.n_head, cfg.n_local_heads, cfg.head_dim
-
-    qkv = _linear(x, lp["wqkv"], lp.get("wqkv_b"))
-    q, k, v = jnp.split(qkv, [h * dh, h * dh + h_kv * dh], axis=-1)
-    q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
-    k = k.reshape(b, t, h_kv, dh).transpose(0, 2, 1, 3)
-    v = v.reshape(b, t, h_kv, dh).transpose(0, 2, 1, 3)
-
+    """Full attention for one layer (non-carry cache path; kept for the
+    uncached forward and unit tests)."""
+    q, k, v = _qkv_proj(x, lp, cfg)
     new_cache = None
     if layer_cache is not None:
         k_cache, v_cache = layer_cache
@@ -198,19 +260,7 @@ def _attention(
         v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, 0, cache_pos, 0))
         new_cache = (k_cache, v_cache)
         k, v = k_cache, v_cache
-
-    if h_kv != h:
-        rep = h // h_kv
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-
-    scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
-    scores = scores * (1.0 / dh**0.5)
-    if mask is not None:
-        scores = jnp.where(mask, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    y = jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=x.dtype)
-    y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
+    y = _attend(q, k, v, cfg, mask, x.dtype)
     return _linear(y, lp["wo"], lp.get("wo_b")), new_cache
 
 
@@ -260,11 +310,17 @@ def apply_blocks(
     kv_cache: KVCache | None = None,
     cache_pos: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
-    """Run the L-layer block stack as one ``lax.scan``."""
+    """Run the L-layer block stack as one ``lax.scan``.
+
+    Hot-loop note: the KV cache rides in the scan *carry*, updated with
+    ``dynamic_update_slice`` at (layer, .., cache_pos) — XLA aliases loop
+    carries in place. Passing the caches as scan xs/ys instead would restack
+    the full (L, B, H, S, Dh) buffers (hundreds of MB for the 1.2B model)
+    into fresh output arrays on every decode step.
+    """
     lp_stack = params["layers"]
 
-    def body(x, scanned):
-        lp, layer_cache = scanned
+    def block_compute(x, lp, layer_cache):
         h_attn, new_cache = _attention(
             _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg.norm_type, cfg.norm_eps),
             lp,
@@ -278,10 +334,36 @@ def apply_blocks(
         return out, new_cache
 
     if kv_cache is not None:
-        x, caches = jax.lax.scan(body, x, (lp_stack, (kv_cache.k, kv_cache.v)))
-        new_kv = KVCache(k=caches[0], v=caches[1])
+
+        def body(carry, lp):
+            x, k_full, v_full, li = carry
+            xa = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg.norm_type, cfg.norm_eps)
+            q, k_new, v_new = _qkv_proj(xa, lp, cfg)
+            # write this block's K/V window straight into the carried cache
+            # (in-place: loop carries alias input/output buffers)
+            k_full = jax.lax.dynamic_update_slice(
+                k_full, k_new.astype(k_full.dtype)[None], (li, 0, 0, cache_pos, 0)
+            )
+            v_full = jax.lax.dynamic_update_slice(
+                v_full, v_new.astype(v_full.dtype)[None], (li, 0, 0, cache_pos, 0)
+            )
+            layer_k = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
+            layer_v = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
+            y = _attend(q, layer_k, layer_v, cfg, mask, x.dtype)
+            h = x + _linear(y, lp["wo"], lp.get("wo_b"))
+            out = h + _mlp(
+                _norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg.norm_type, cfg.norm_eps),
+                lp,
+                cfg,
+            )
+            return (out, k_full, v_full, li + 1), None
+
+        (x, k_new, v_new, _), _ = jax.lax.scan(
+            body, (x, kv_cache.k, kv_cache.v, jnp.asarray(0, jnp.int32)), lp_stack
+        )
+        new_kv = KVCache(k=k_new, v=v_new)
     else:
-        x, _ = jax.lax.scan(lambda c, lp: body(c, (lp, None)), x, lp_stack)
+        x, _ = jax.lax.scan(lambda c, lp: (block_compute(c, lp, None)[0], None), x, lp_stack)
         new_kv = None
 
     x = _norm(x, params["ln_f_w"], params.get("ln_f_b"), cfg.norm_type, cfg.norm_eps)

