@@ -49,11 +49,16 @@ def main():
     log(f"devices: {jax.devices()}")
     log(f"building metavoice-1B ({cfg.n_layer}L/{cfg.n_head}H/{cfg.dim}d) bf16 ...")
 
+    from metavoice_tpu.ops import quantized as qz
+
     key = jax.random.PRNGKey(0)
     params = tfm.init_params(key, cfg, dtype=jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree.leaves(params))
+    # int8 weight-only + fused flash-decoding attention is the fast serving
+    # configuration (reference --quantisation_mode int8/int4 analogue)
+    params = qz.quantize_params_int8(params)
     param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
-    log(f"params: {n_params/1e9:.3f}B ({param_bytes/1e9:.2f} GB)")
+    log(f"params: {n_params/1e9:.3f}B ({param_bytes/1e9:.2f} GB int8)")
 
     kv = tfm.KVCache.create(cfg, 2, cfg.block_size, dtype=jnp.bfloat16)
 
@@ -113,7 +118,7 @@ def main():
         "stage1_rtf": round(stage1_rtf, 3),
         "achieved_bandwidth_gb_s": round(bandwidth_gbs, 1),
         "params_b": round(n_params / 1e9, 3),
-        "config": "metavoice-1B 24L/16H/2048d bf16, CFG pair, block 2048",
+        "config": "metavoice-1B 24L/16H/2048d, int8 weight-only + fused flash-decoding attention, CFG pair, block 2048",
     }
     print(json.dumps(result), flush=True)
 

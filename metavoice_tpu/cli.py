@@ -1,0 +1,118 @@
+"""Command-line interfaces.
+
+``python -m metavoice_tpu.cli synth`` — batch synthesis, parity with the
+reference CLI (fam/llm/inference.py SamplingControllerConfig :590-652 and
+fam/llm/fast_inference.py's tyro entry): texts + one speaker ref -> wav
+files, with the reference's sampling defaults.
+
+``python -m metavoice_tpu.cli serve`` — start the HTTP server
+(runtime/server.py).
+
+``python -m metavoice_tpu.cli finetune`` — training/trainer.py's CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_model_args(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--first_stage_path", help="first-stage ckpt (.pt)")
+    ap.add_argument("--second_stage_path", help="second-stage ckpt (.pt)")
+    ap.add_argument("--speaker_encoder_path", help="speaker encoder ckpt (.pt)")
+    ap.add_argument("--random_weights", action="store_true", help="dev mode: random init")
+    ap.add_argument("--small", action="store_true", help="small dev models")
+    ap.add_argument(
+        "--quantisation_mode",
+        choices=["int4", "int8"],
+        help="weight-only quantisation of the first stage",
+    )
+    ap.add_argument("--seed", type=int, default=1337)
+    ap.add_argument("--output_dir", default="outputs")
+
+
+def _build_tts(args):
+    import jax
+
+    from metavoice_tpu.ops import quantized as qz
+    from metavoice_tpu.runtime.tts import TTS
+
+    if args.random_weights or not args.first_stage_path:
+        tts = TTS.from_random(
+            jax.random.PRNGKey(args.seed), small=args.small, output_dir=args.output_dir
+        )
+    else:
+        tts = TTS.from_checkpoints(
+            args.first_stage_path,
+            args.second_stage_path,
+            args.speaker_encoder_path,
+            output_dir=args.output_dir,
+        )
+    if args.quantisation_mode == "int8":
+        tts.c.first_stage_params = qz.quantize_params_int8(tts.c.first_stage_params)
+    elif args.quantisation_mode == "int4":
+        tts.c.first_stage_params = qz.quantize_params_int4(tts.c.first_stage_params)
+    return tts
+
+
+def cmd_synth(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="metavoice_tpu synth")
+    _add_model_args(ap)
+    ap.add_argument("--text", action="append", required=True, help="repeatable")
+    ap.add_argument("--spk_cond_path", required=True, help="speaker reference audio")
+    ap.add_argument("--top_p", type=float, default=0.95)
+    ap.add_argument("--guidance_scale", type=float, default=3.0)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    args = ap.parse_args(argv)
+
+    tts = _build_tts(args)
+    for text in args.text:
+        path = tts.synthesise(
+            text,
+            args.spk_cond_path,
+            top_p=args.top_p,
+            guidance_scale=args.guidance_scale,
+            temperature=args.temperature,
+        )
+        print(path)
+    return 0
+
+
+def cmd_serve(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="metavoice_tpu serve")
+    _add_model_args(ap)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=58003)
+    args = ap.parse_args(argv)
+
+    from http.server import ThreadingHTTPServer
+
+    from metavoice_tpu.runtime.server import ServingConfig, make_handler
+
+    tts = _build_tts(args)
+    cfg = ServingConfig(host=args.host, port=args.port)
+    httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(tts, cfg))
+    print(f"serving on {cfg.host}:{cfg.port}")
+    httpd.serve_forever()
+    return 0
+
+
+def cmd_finetune(argv: list[str]) -> int:
+    sys.argv = ["finetune"] + argv
+    from metavoice_tpu.training.trainer import main as ft_main
+
+    ft_main()
+    return 0
+
+
+def main() -> int:
+    commands = {"synth": cmd_synth, "serve": cmd_serve, "finetune": cmd_finetune}
+    if len(sys.argv) < 2 or sys.argv[1] not in commands:
+        print(f"usage: python -m metavoice_tpu.cli {{{'|'.join(commands)}}} [args]")
+        return 2
+    return commands[sys.argv[1]](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -281,3 +281,207 @@ def generate(
     n = int(np.asarray(out_len)[0])
     gen = np.asarray(out_buf)[0, :n]
     return np.concatenate([np.asarray(prompt_tokens, np.int32), first.astype(np.int32), gen])
+
+
+# --------------------------------------------------------------------------------------
+# Ragged batched generation (continuous-batching building block)
+# --------------------------------------------------------------------------------------
+#
+# The reference batches ragged prompts by sorting on length and
+# teacher-forcing the longer rows while shorter rows generate
+# (fam/llm/mixins/causal.py:140-176, 290-338). The TPU-static equivalent
+# here: LEFT-pad every prompt to one bucket length T, give each row a
+# per-row attention window [pad_len_row, pos] (enforced by the fused kernel's
+# ``starts`` operand) and per-row position ids (arange(T) - pad_len), so all
+# rows prefill and decode in lockstep with no recompilation per length mix.
+
+
+def left_pad_prompts(prompts: list, bucket: int, pad_id: int = 0):
+    """list of 1-D int sequences -> ((B, bucket) int32, pad_lens (B,))."""
+    import numpy as np
+
+    b = len(prompts)
+    out = np.full((b, bucket), pad_id, np.int32)
+    pad_lens = np.zeros((b,), np.int32)
+    for i, p in enumerate(prompts):
+        p = np.asarray(p, np.int32)[-bucket:]
+        out[i, bucket - len(p) :] = p
+        pad_lens[i] = bucket - len(p)
+    return out, pad_lens
+
+
+def _batch_masks(pad_lens2: jax.Array, t: jax.Array | int, s: int) -> jax.Array:
+    """(2B, 1, T, S) prefill mask: query at abs slot i sees slot j iff
+    j <= i (causal) and j >= pad_len_row (skip left padding)."""
+    q_pos = jnp.arange(t)
+    kv_pos = jnp.arange(s)
+    causal = q_pos[:, None] >= kv_pos[None, :]  # (T, S)
+    valid = kv_pos[None, :] >= pad_lens2[:, None]  # (2B, S)
+    return causal[None, None] & valid[:, None, None, :]
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def prefill_batch(
+    params: tfm.Params,
+    cfg: TransformerConfig,
+    prompts: jax.Array,  # (B, T) left-padded
+    pad_lens: jax.Array,  # (B,)
+    spk_emb: jax.Array,  # (B, spk_dim)
+    kv_cache: tfm.KVCache,  # (L, S, 2B, H, Dh)
+    key: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    guidance_scale: jax.Array,
+    compute_dtype=jnp.bfloat16,
+) -> tuple[jax.Array, tfm.KVCache]:
+    """Batched ragged prefill; samples each row's first new token."""
+    b, t = prompts.shape
+    idx2 = _cfg_rows(prompts)
+    spk2 = _cfg_rows(spk_emb)
+    pad2 = _cfg_rows(pad_lens)
+    mask2 = make_spk_cond_mask(b)
+
+    positions = jnp.maximum(jnp.arange(t)[None, :] - pad_lens[:, None], 0)
+    positions2 = _cfg_rows(positions)
+    x = tfm.embed_inputs(params, cfg, idx2, positions2, spk2, mask2, compute_dtype)
+    attn_mask = _batch_masks(pad2, t, kv_cache.max_seq_len)
+    x, new_kv = tfm.apply_blocks(params, cfg, x, attn_mask, kv_cache, jnp.asarray(0))
+    logits = tfm.output_logits(params, cfg, x[:, -1:, :])[0][:, 0, :]  # (2B, V)
+    next_token = S.sample_cfg(
+        key, logits, guidance_scale, temperature=temperature, top_p=top_p
+    )
+    return next_token, new_kv
+
+
+def _decode_batch_fn(
+    params: tfm.Params,
+    cfg: TransformerConfig,
+    first_token: jax.Array,  # (B,)
+    start_pos: jax.Array,  # () — bucket length T (uniform across rows)
+    pad_lens: jax.Array,  # (B,)
+    spk_emb: jax.Array,  # (B, spk_dim)
+    kv_cache: tfm.KVCache,
+    key: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    guidance_scale: jax.Array,
+    max_new_tokens: jax.Array,
+    max_steps: int,
+    end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
+    compute_dtype=jnp.bfloat16,
+):
+    """Ragged-batch decode loop with per-row EOA latches and per-row
+    attention windows."""
+    b = first_token.shape[0]
+    spk2 = _cfg_rows(spk_emb)
+    pad2 = _cfg_rows(pad_lens)
+    mask2 = make_spk_cond_mask(b)
+    block_size = kv_cache.max_seq_len
+
+    state = DecodeState(
+        cur_token=first_token.astype(jnp.int32),
+        pos=start_pos.astype(jnp.int32),
+        step=jnp.asarray(0, jnp.int32),
+        kv=kv_cache,
+        key=key,
+        done=first_token == end_of_audio_token,
+        out_buf=jnp.full((b, max_steps), end_of_audio_token, jnp.int32),
+        out_len=jnp.zeros((b,), jnp.int32),
+    )
+
+    def cond(s: DecodeState):
+        return (~jnp.all(s.done)) & (s.step < max_new_tokens) & (s.pos < block_size)
+
+    def body(s: DecodeState) -> DecodeState:
+        key, sub = jax.random.split(s.key)
+        idx2 = _cfg_rows(s.cur_token)[:, None]
+        positions2 = (s.pos - pad2)[:, None]  # per-row logical position
+        x = tfm.embed_inputs(params, cfg, idx2, positions2, spk2, mask2, compute_dtype)
+        kv_pos = jnp.arange(s.kv.max_seq_len)
+        attn_mask = (
+            (kv_pos[None, :] <= s.pos) & (kv_pos[None, :] >= pad2[:, None])
+        )[:, None, None, :]
+        x, new_kv = tfm.apply_blocks(
+            params, cfg, x, attn_mask, s.kv, s.pos, attn_starts=pad2
+        )
+        logits = tfm.output_logits(params, cfg, x)[0][:, 0, :]
+        sampled = S.sample_cfg(
+            sub, logits, guidance_scale, temperature=temperature, top_p=top_p
+        )
+        next_token = jnp.where(s.done, end_of_audio_token, sampled).astype(jnp.int32)
+        out_buf = jax.lax.dynamic_update_slice(s.out_buf, next_token[:, None], (0, s.step))
+        newly_active = ~s.done
+        return DecodeState(
+            cur_token=next_token,
+            pos=s.pos + 1,
+            step=s.step + 1,
+            kv=new_kv,
+            key=key,
+            done=s.done | (next_token == end_of_audio_token),
+            out_buf=out_buf,
+            out_len=s.out_len + newly_active.astype(jnp.int32),
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.out_buf, final.out_len, final.kv
+
+
+decode_batch = jax.jit(
+    _decode_batch_fn,
+    static_argnames=("cfg", "max_steps", "end_of_audio_token", "compute_dtype"),
+)
+
+
+def generate_batch(
+    params: tfm.Params,
+    cfg: TransformerConfig,
+    prompts: list,  # B ragged int sequences
+    spk_embs: jax.Array,  # (B, spk_dim)
+    *,
+    key: jax.Array,
+    temperature: float = 1.0,
+    top_p: float = 0.95,
+    guidance_scale: float = 3.0,
+    max_new_tokens: int | None = None,
+    end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
+    prompt_pad_multiple: int = 128,
+    compute_dtype=jnp.bfloat16,
+) -> list:
+    """Decode a ragged batch; returns a list of B generated-token arrays
+    (prompt not included, EOA included when emitted)."""
+    import numpy as np
+
+    b = len(prompts)
+    longest = max(len(p) for p in prompts)
+    bucket = min(-(-longest // prompt_pad_multiple) * prompt_pad_multiple, cfg.block_size)
+    padded, pad_lens = left_pad_prompts(prompts, bucket)
+
+    max_steps = cfg.block_size - bucket
+    if max_new_tokens is not None:
+        max_steps = min(max_steps, max_new_tokens)
+    if max_steps <= 0:
+        raise ValueError("Prompts too long to generate more tokens")
+
+    kv = tfm.KVCache.create(cfg, 2 * b, cfg.block_size, dtype=compute_dtype)
+    kp, kd = jax.random.split(key)
+    t1 = jnp.asarray(temperature, jnp.float32)
+    tp = jnp.asarray(top_p, jnp.float32)
+    g = jnp.asarray(guidance_scale, jnp.float32)
+
+    first, kv = prefill_batch(
+        params, cfg, jnp.asarray(padded), jnp.asarray(pad_lens),
+        spk_embs, kv, kp, t1, tp, g, compute_dtype=compute_dtype,
+    )
+    buf, lens, _ = decode_batch(
+        params, cfg, first, jnp.asarray(bucket, jnp.int32), jnp.asarray(pad_lens),
+        spk_embs, kv, kd, t1, tp, g,
+        jnp.asarray(max_steps - 1, jnp.int32), cfg.block_size,
+        end_of_audio_token, compute_dtype,
+    )
+    first_np = np.asarray(first)
+    buf_np = np.asarray(buf)
+    lens_np = np.asarray(lens)
+    return [
+        np.concatenate([[first_np[i]], buf_np[i, : lens_np[i]]]).astype(np.int32)
+        for i in range(b)
+    ]

@@ -1,0 +1,236 @@
+"""Fused decode attention (flash-decoding) Pallas TPU kernel.
+
+The XLA decode-attention path costs ~8 small ops per layer (two cache
+updates, two dynamic-index reads, two einsums, masked softmax, reshape) and
+always streams the FULL (S, B, H, Dh) cache from HBM. This kernel replaces
+all of it with ONE Pallas call per layer that:
+
+  * writes the step's new K/V row into the HBM cache in place
+    (input/output aliasing — no cache copy),
+  * streams only the *valid* prefix ``[0, pos]`` of the cache through VMEM
+    in double-buffered chunks (a dynamic trip-count ``fori_loop`` — XLA
+    can't do this, its masked reads still fetch all S slots),
+  * runs the online-softmax (flash) accumulation in f32 on the VPU,
+
+which both cuts per-step HBM traffic (the cache read scales with the
+current length, not the block size) and collapses the op-count overhead.
+
+Reference counterpart: F.scaled_dot_product_attention on a full static cache
+(fam/llm/fast_model.py:217-222), "KV-caching via Flash Decoding" claimed at
+reference README.md:170.
+
+Layout: cache is sequence-major (L, S, B, H, Dh) as in models/transformer.
+The kernel is called per layer with the full cache ref + a scalar layer
+index; DMA slices pick the layer without materializing it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 256  # cache slots per DMA chunk
+
+
+def _decode_attn_kernel(
+    # scalar prefetch
+    idx_ref,  # (2,) int32: [layer, pos]
+    # inputs
+    q_ref,  # (BH, Dh) VMEM
+    k_new_ref,  # (1, BH, Dh) VMEM
+    v_new_ref,  # (1, BH, Dh) VMEM
+    starts_ref,  # (BH, 1) int32 VMEM: per-row first valid cache slot
+    k_hbm,  # (L, S, BH, Dh) HBM   (aliased output)
+    v_hbm,  # (L, S, BH, Dh) HBM   (aliased output)
+    # outputs
+    y_ref,  # (BH, Dh) VMEM
+    k_out,  # aliased with k_hbm
+    v_out,  # aliased with v_hbm
+    # scratch
+    k_buf,  # (2, CHUNK, BH, Dh) VMEM
+    v_buf,  # (2, CHUNK, BH, Dh) VMEM
+    acc_ref,  # (BH, Dh) f32
+    m_ref,  # (BH, 128) f32 (lane-padded running max)
+    l_ref,  # (BH, 128) f32 (running denominator)
+    sems,  # DMA semaphores (2, 2)
+    w_sems,  # write-back semaphores (2,)
+):
+    li = idx_ref[0]
+    pos = idx_ref[1]
+    bh, dh = q_ref.shape
+
+    # 1) write the new K/V row into the cache at (li, pos)
+    kw = pltpu.make_async_copy(k_new_ref, k_out.at[li, pl.ds(pos, 1)], w_sems.at[0])
+    vw = pltpu.make_async_copy(v_new_ref, v_out.at[li, pl.ds(pos, 1)], w_sems.at[1])
+    kw.start()
+    vw.start()
+    kw.wait()
+    vw.wait()
+
+    # 2) flash accumulation over the valid prefix [0, pos]
+    n_chunks = (pos + CHUNK) // CHUNK  # ceil((pos+1)/CHUNK)
+    scale = 1.0 / np.sqrt(dh)
+    q = q_ref[:].astype(jnp.float32) * scale  # (BH, Dh)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, -1e30)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def get_dma(slot, c):
+        return (
+            pltpu.make_async_copy(
+                k_out.at[li, pl.ds(c * CHUNK, CHUNK)], k_buf.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                v_out.at[li, pl.ds(c * CHUNK, CHUNK)], v_buf.at[slot], sems.at[slot, 1]
+            ),
+        )
+
+    dk, dv = get_dma(0, 0)
+    dk.start()
+    dv.start()
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+        nxt = jax.lax.rem(c + 1, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            nk, nv = get_dma(nxt, c + 1)
+            nk.start()
+            nv.start()
+
+        ck, cv = get_dma(slot, c)
+        ck.wait()
+        cv.wait()
+
+        k = k_buf[slot].astype(jnp.float32)  # (C, BH, Dh)
+        v = v_buf[slot].astype(jnp.float32)
+        # scores: (BH, C) = sum_d q[n,d] * k[c,n,d]
+        s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (BH, C)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, CHUNK), 1) + c * CHUNK
+        # per-row window [start_row, pos]: left-padded ragged batches set
+        # start_row to the row's pad length so pad slots are never attended
+        s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
+
+        m_prev = m_ref[:, :1]  # (BH, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)  # (BH, 1)
+        p = jnp.exp(s - m_new)  # (BH, C)
+        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # acc: (BH, Dh) += p @ v  per head: sum_c p[n,c] * v[c,n,d]
+        pv = jnp.sum(p.T[:, :, None] * v, axis=0)  # (BH, Dh)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        return _
+
+    jax.lax.fori_loop(0, n_chunks, body, None)
+    y_ref[:] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(y_ref.dtype)
+
+
+def decode_attention(
+    q: jax.Array,  # (B, H, Dh)
+    k_new: jax.Array,  # (B, H, Dh)
+    v_new: jax.Array,  # (B, H, Dh)
+    k_cache: jax.Array,  # (L, S, B, H, Dh)
+    v_cache: jax.Array,  # (L, S, B, H, Dh)
+    layer: jax.Array,  # () int32
+    pos: jax.Array,  # () int32
+    starts: jax.Array | None = None,  # (B,) int32 per-row window start
+    interpret: bool = False,
+):
+    """One fused decode-attention step for one layer.
+
+    Returns (y (B, H, Dh), k_cache, v_cache) with the caches updated in
+    place at (layer, pos).
+    """
+    b, h, dh = q.shape
+    l, s, _, _, _ = k_cache.shape
+    bh = b * h
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    starts_bh = jnp.repeat(starts.astype(jnp.int32), h).reshape(bh, 1)
+    q2 = q.reshape(bh, dh)
+    k2 = k_new.reshape(1, bh, dh)
+    v2 = v_new.reshape(1, bh, dh)
+    # keep the cache 4-D (L, S, BH, Dh): TPU memref tiling covers only the
+    # last two dims, so slicing single S rows stays legal
+    k_flat = k_cache.reshape(l, s, bh, dh)
+    v_flat = v_cache.reshape(l, s, bh, dh)
+    idx = jnp.stack([layer.astype(jnp.int32), pos.astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # starts
+            # caches must stay in HBM: untiled memrefs allow the single-row
+            # DMA writes, and the full cache would blow VMEM anyway
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k_hbm
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v_hbm
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, bh, dh), k_cache.dtype),
+            pltpu.VMEM((2, CHUNK, bh, dh), v_cache.dtype),
+            pltpu.VMEM((bh, dh), jnp.float32),
+            pltpu.VMEM((bh, 128), jnp.float32),
+            pltpu.VMEM((bh, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    y, k_out, v_out = pl.pallas_call(
+        _decode_attn_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, dh), q.dtype),
+            jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
+            jax.ShapeDtypeStruct(v_flat.shape, v_flat.dtype),
+        ),
+        grid_spec=grid_spec,
+        # caches update in place (indices include the scalar-prefetch arg 0)
+        input_output_aliases={5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx, q2, k2, v2, starts_bh, k_flat, v_flat)
+    return (
+        y.reshape(b, h, dh),
+        k_out.reshape(l, s, b, h, dh),
+        v_out.reshape(l, s, b, h, dh),
+    )
+
+
+def decode_attention_reference(q, k_new, v_new, k_cache, v_cache, layer, pos, starts=None):
+    """jnp semantics oracle (and CPU path) for decode_attention."""
+    b, h, dh = q.shape
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k_new[None, None].astype(k_cache.dtype), (layer, pos, 0, 0, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v_new[None, None].astype(v_cache.dtype), (layer, pos, 0, 0, 0)
+    )
+    lk = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+    lv = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+    s = jnp.einsum("bhd,sbhd->bhs", q.astype(jnp.float32), lk.astype(jnp.float32))
+    s = s / np.sqrt(dh)
+    slot = jnp.arange(lk.shape[0])
+    valid = slot[None, None, :] <= pos
+    if starts is not None:
+        valid = valid & (slot[None, None, :] >= starts[:, None, None])
+    s = jnp.where(valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    y = jnp.einsum("bhs,sbhd->bhd", p, lv.astype(jnp.float32))
+    return y.astype(q.dtype), k_cache, v_cache

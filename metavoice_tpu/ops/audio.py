@@ -63,6 +63,37 @@ def stft(
     return jnp.fft.rfft(frames, n=n_fft, axis=-1)
 
 
+def stft_np(y: np.ndarray, n_fft: int, hop_length: int, center: bool = True) -> np.ndarray:
+    """Pure-numpy STFT for host-side DSP stages (enhancer, checks); same
+    semantics as :func:`stft`."""
+    y = np.asarray(y, np.float32)
+    if center:
+        y = np.pad(y, (n_fft // 2, n_fft // 2), mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop_length
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    frames = y[idx] * hann_window(n_fft)
+    return np.fft.rfft(frames, n=n_fft, axis=-1)
+
+
+def istft_np(spec: np.ndarray, n_fft: int, hop_length: int, length: int | None = None) -> np.ndarray:
+    """Pure-numpy inverse STFT with Hann synthesis + COLA normalization."""
+    window = hann_window(n_fft)
+    frames = np.fft.irfft(spec, n=n_fft, axis=-1).astype(np.float64) * window
+    n_frames = spec.shape[-2]
+    t_total = n_fft + hop_length * (n_frames - 1)
+    out = np.zeros(t_total, np.float64)
+    norm = np.zeros(t_total, np.float64)
+    for i in range(n_frames):
+        sl = slice(i * hop_length, i * hop_length + n_fft)
+        out[sl] += frames[i]
+        norm[sl] += window.astype(np.float64) ** 2
+    out = out / np.maximum(norm, 1e-8)
+    out = out[n_fft // 2 :]
+    if length is not None:
+        out = out[:length]
+    return out.astype(np.float32)
+
+
 def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
     f = np.asarray(f, dtype=np.float64)
     f_sp = 200.0 / 3
@@ -108,7 +139,23 @@ def mel_filterbank(
     return weights.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length", "n_mels"))
+def _mel_impl(y, sr, n_fft, hop_length, n_mels):
+    spec = stft(y, n_fft, hop_length)
+    power = jnp.abs(spec) ** 2  # (..., frames, bins)
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    return jnp.einsum("mf,...tf->...mt", fb, power.astype(jnp.float32))
+
+
+@lru_cache(maxsize=1)
+def _mel_cpu_jit():
+    # FFT is unimplemented on some TPU runtimes (and this is host-side
+    # preprocessing: once per utterance); pin the mel frontend to CPU.
+    cpu = jax.devices("cpu")[0]
+    return jax.jit(
+        _mel_impl, static_argnames=("sr", "n_fft", "hop_length", "n_mels"), device=cpu
+    )
+
+
 def mel_spectrogram(
     y: jax.Array,
     sr: int = 16000,
@@ -121,11 +168,11 @@ def mel_spectrogram(
     Defaults are the speaker-encoder frontend: 25 ms / 10 ms windows, 40
     channels at 16 kHz (fam/quantiser/audio/speaker_encoder/audio.py:4-22).
     Not log-scaled, matching the reference (its docstring notes the same).
+    Always executes on the CPU backend (TPU runtimes may lack FFT).
     """
-    spec = stft(y, n_fft, hop_length)
-    power = jnp.abs(spec) ** 2  # (..., frames, bins)
-    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
-    return jnp.einsum("mf,...tf->...mt", fb, power.astype(jnp.float32))
+    cpu = jax.devices("cpu")[0]
+    y = jax.device_put(jnp.asarray(y), cpu)
+    return _mel_cpu_jit()(y, sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels)
 
 
 # --------------------------------------------------------------------------------------

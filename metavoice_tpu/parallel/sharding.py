@@ -84,5 +84,5 @@ def batch_spec(rank: int) -> P:
 
 
 def kv_cache_spec() -> P:
-    """KV cache (L, B, H, S, Dh): batch over data, heads over tensor."""
-    return P(None, DATA_AXIS, TENSOR_AXIS, None, None)
+    """KV cache (L, S, B, H, Dh): batch over data, heads over tensor."""
+    return P(None, None, DATA_AXIS, TENSOR_AXIS, None)

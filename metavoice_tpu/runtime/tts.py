@@ -114,6 +114,8 @@ class TTS:
         ecfg = ec.EncodecConfig() if not small else ec.EncodecConfig(
             n_filters=8, dimension=32, codebook_size=1024
         )
+        from metavoice_tpu.models.enhancer import get_enhancer
+
         comps = TTSComponents(
             first_stage_params=tfm.init_params(k1, cfg1, dtype=jnp.bfloat16),
             first_stage_cfg=cfg1,
@@ -123,6 +125,7 @@ class TTS:
             encodec_params=ec.init_params(k4, ecfg),
             encodec_cfg=ecfg,
             tokenizer=TrainedBPETokeniser(),
+            enhancer=get_enhancer("spectral_gate"),
         )
         kwargs.setdefault("enforce_min_ref_duration", False)
         return cls(comps, **kwargs)
@@ -145,6 +148,8 @@ class TTS:
         tok_info = tok_info or tok_info2
         tokenizer = TrainedBPETokeniser(**tok_info) if tok_info else TrainedBPETokeniser()
         ecfg = ec.EncodecConfig()
+        from metavoice_tpu.models.enhancer import get_enhancer
+
         if encodec_path:
             eparams, _meta = ck.load_npz(encodec_path)
         else:
@@ -158,6 +163,7 @@ class TTS:
             encodec_params=eparams,
             encodec_cfg=ecfg,
             tokenizer=tokenizer,
+            enhancer=get_enhancer("spectral_gate"),
         )
         return cls(comps, **kwargs)
 

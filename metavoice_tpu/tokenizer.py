@@ -42,14 +42,32 @@ def _compile_pattern(pat_str: str) -> "re.Pattern":
 
 
 class BPEEngine:
-    """Greedy lowest-rank-first byte-pair merging over a rank table."""
+    """Greedy lowest-rank-first byte-pair merging over a rank table.
 
-    def __init__(self, mergeable_ranks: dict[bytes, int], pat_str: str):
+    The merge hot loop runs in the native C++ engine (native/bpe.cpp, the
+    counterpart of tiktoken's Rust core the reference uses) when g++ is
+    available; pure Python otherwise. Both implement identical semantics
+    (cross-checked in tests/test_tokenizer.py).
+    """
+
+    def __init__(self, mergeable_ranks: dict[bytes, int], pat_str: str, use_native: bool = True):
         self.ranks = dict(mergeable_ranks)
         self.pattern = _compile_pattern(pat_str)
         self.decoder = {rank: token for token, rank in self.ranks.items()}
+        self.native = None
+        if use_native:
+            try:
+                from metavoice_tpu.native import NativeBPE
+
+                self.native = NativeBPE(self.ranks)
+            except Exception:
+                self.native = None
 
     def _encode_piece(self, piece: bytes) -> list[int]:
+        if self.native is not None:
+            ids = self.native.encode_piece(piece)
+            if ids is not None:
+                return ids
         if piece in self.ranks:
             return [self.ranks[piece]]
         parts = [piece[i : i + 1] for i in range(len(piece))]

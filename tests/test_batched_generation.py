@@ -1,0 +1,83 @@
+"""Ragged-batch generation: left-padding isolation + batch==single parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metavoice_tpu.core.config import first_stage_config
+from metavoice_tpu.models import first_stage as fs
+from metavoice_tpu.models import transformer as tfm
+
+TINY = first_stage_config(n_layer=2, n_head=4, dim=64, block_size=128, vocab_sizes=(97,))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return tfm.init_params(jax.random.PRNGKey(0), TINY)
+
+
+def test_left_pad_prompts():
+    padded, pad_lens = fs.left_pad_prompts([[1, 2, 3], [4]], bucket=8)
+    np.testing.assert_array_equal(padded[0], [0, 0, 0, 0, 0, 1, 2, 3])
+    np.testing.assert_array_equal(padded[1], [0, 0, 0, 0, 0, 0, 0, 4])
+    np.testing.assert_array_equal(pad_lens, [5, 7])
+
+
+def test_generate_batch_shapes(params):
+    prompts = [list(range(50, 60)), list(range(60, 64))]
+    spk = jnp.ones((2, 256))
+    outs = fs.generate_batch(
+        params, TINY, prompts, spk, key=jax.random.PRNGKey(1),
+        max_new_tokens=12, end_of_audio_token=96, prompt_pad_multiple=16,
+        compute_dtype=jnp.float32,
+    )
+    assert len(outs) == 2
+    for o in outs:
+        assert 1 <= len(o) <= 13
+        assert (o >= 0).all() and (o < 97).all()
+
+
+def test_padding_isolation(params):
+    """A row's output must not depend on other rows in the batch.
+
+    Teacher-forcing check via prefill logits: the same prompt left-padded to
+    two different bucket lengths must produce identical first-token logits
+    distribution (greedy argmax with temperature ~0).
+    """
+    prompt = list(range(40, 52))
+    spk = jnp.ones((1, 256))
+
+    def greedy_first(bucket):
+        padded, pad_lens = fs.left_pad_prompts([prompt], bucket=bucket)
+        kv = tfm.KVCache.create(TINY, 2, TINY.block_size, dtype=jnp.float32)
+        tok, _ = fs.prefill_batch(
+            params, TINY, jnp.asarray(padded), jnp.asarray(pad_lens), spk, kv,
+            jax.random.PRNGKey(0), jnp.asarray(1e-6, jnp.float32),
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(1.0, jnp.float32),
+            compute_dtype=jnp.float32,
+        )
+        return int(tok[0])
+
+    assert greedy_first(16) == greedy_first(32)
+
+
+def test_batch_matches_single_greedy(params):
+    """Greedy batched decode == greedy single decode for the same prompt."""
+    prompt = list(range(30, 42))
+    spk_b = jnp.ones((2, 256))
+
+    outs = fs.generate_batch(
+        params, TINY, [prompt, list(range(50, 55))], spk_b,
+        key=jax.random.PRNGKey(3), temperature=1e-6, top_p=1.0,
+        guidance_scale=1.0, max_new_tokens=8, end_of_audio_token=96,
+        prompt_pad_multiple=16, compute_dtype=jnp.float32,
+    )
+    outs_single = fs.generate_batch(
+        params, TINY, [prompt], jnp.ones((1, 256)),
+        key=jax.random.PRNGKey(99), temperature=1e-6, top_p=1.0,
+        guidance_scale=1.0, max_new_tokens=8, end_of_audio_token=96,
+        prompt_pad_multiple=16, compute_dtype=jnp.float32,
+    )
+    # greedy => RNG-independent; row 0 identical regardless of batch mates
+    np.testing.assert_array_equal(outs[0], outs_single[0])

@@ -72,3 +72,30 @@ def test_byte_fallback_vocab():
     ids = tok.encode("AB")
     assert ids[:2] == [65, 66]
     assert tok.decode(ids) == "AB"
+
+
+def test_native_engine_matches_python():
+    """C++ merge engine == pure-Python engine on every piece."""
+    from metavoice_tpu.native import NativeBPE
+
+    try:
+        native = NativeBPE(_vocab())
+    except RuntimeError:
+        pytest.skip("native BPE unavailable (no g++)")
+    py = BPEEngine(_vocab(), PAT, use_native=False)
+    for text in [
+        "the thin thinker in the ring",
+        "Hello, world! 123",
+        "er. ing the",
+        "",
+    ]:
+        for piece in py.pattern.findall(text):
+            pb = piece.encode("utf-8")
+            assert native.encode_piece(pb) == py._encode_piece(pb), piece
+
+
+def test_engine_uses_native_when_available():
+    eng = BPEEngine(_vocab(), PAT)
+    ids = eng.encode("the thing")
+    py = BPEEngine(_vocab(), PAT, use_native=False)
+    assert ids == py.encode("the thing")
