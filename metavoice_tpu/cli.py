@@ -84,6 +84,13 @@ def cmd_serve(argv: list[str]) -> int:
     _add_model_args(ap)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=58003)
+    ap.add_argument(
+        "--batching",
+        type=int,
+        default=0,
+        metavar="MAX_BATCH",
+        help="enable continuous batching with this max batch size",
+    )
     args = ap.parse_args(argv)
 
     from http.server import ThreadingHTTPServer
@@ -91,8 +98,13 @@ def cmd_serve(argv: list[str]) -> int:
     from metavoice_tpu.runtime.server import ServingConfig, make_handler
 
     tts = _build_tts(args)
+    engine = None
+    if args.batching > 0:
+        from metavoice_tpu.runtime.engine import BatchingEngine
+
+        engine = BatchingEngine(tts, max_batch=args.batching)
     cfg = ServingConfig(host=args.host, port=args.port)
-    httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(tts, cfg))
+    httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(tts, cfg, engine))
     print(f"serving on {cfg.host}:{cfg.port}")
     httpd.serve_forever()
     return 0

@@ -1,0 +1,149 @@
+"""Continuous-batching synthesis engine for concurrent serving.
+
+The reference serves one request at a time through a global lock
+(serving.py:46-51 — a single TTS object, requests serialized). This engine
+is the TPU-native upgrade targeted at BASELINE config 5 (8-16 concurrent
+zero-shot-cloning requests): a background worker drains a request queue,
+groups up to ``max_batch`` requests inside a small batching window, and runs
+them through one ragged-batch first-stage decode
+(models/first_stage.generate_batch — left-padded prompts, per-row attention
+windows and EOA latches), then fans out to the second stage + vocoder per
+utterance. Callers block on futures; throughput scales with batch size while
+the per-step weight read is amortized across rows.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metavoice_tpu.core import tokens as T
+from metavoice_tpu.models import first_stage as fs
+
+
+@dataclass
+class SynthesisRequest:
+    text: str
+    prompt_tokens: list
+    spk_emb: np.ndarray
+    top_p: float = 0.95
+    guidance_scale: float = 3.0
+    temperature: float = 1.0
+    future: Future = field(default_factory=Future)
+
+
+class BatchingEngine:
+    """Queue + batch collector around a TTS instance.
+
+    ``submit`` returns a Future resolving to the output wav path. Requests
+    arriving within ``batch_window_s`` of each other (up to ``max_batch``)
+    share one first-stage decode.
+    """
+
+    def __init__(
+        self,
+        tts,
+        max_batch: int = 8,
+        batch_window_s: float = 0.03,
+    ):
+        self.tts = tts
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self._queue: queue.Queue[SynthesisRequest | None] = queue.Queue()
+        self._key = jax.random.PRNGKey(tts.runtime.seed + 1)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._running = True
+        self._thread.start()
+
+    def submit(self, text: str, spk_ref_path: str, **sampling) -> Future:
+        from metavoice_tpu.core.text import normalize_text
+
+        text = normalize_text(text)
+        spk_emb = self.tts._get_speaker_embedding(spk_ref_path)
+        req = SynthesisRequest(
+            text=text,
+            prompt_tokens=self.tts.c.tokenizer.encode(text),
+            spk_emb=spk_emb,
+            **sampling,
+        )
+        self._queue.put(req)
+        return req.future
+
+    def shutdown(self):
+        self._running = False
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------ internals
+    def _collect_batch(self) -> list[SynthesisRequest]:
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.time() + self.batch_window_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.time()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)
+                break
+            batch.append(nxt)
+        return batch
+
+    def _worker(self):
+        while self._running:
+            batch = self._collect_batch()
+            if not batch:
+                if not self._running or self._queue.empty():
+                    if not self._running:
+                        return
+                continue
+            try:
+                self._process(batch)
+            except Exception as e:  # resolve all futures with the error
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _process(self, batch: list[SynthesisRequest]):
+        c = self.tts.c
+        self._key, sub = jax.random.split(self._key)
+
+        # Sampling params are uniform per compiled program; serve groups with
+        # the first request's settings (requests rarely differ in practice —
+        # the reference exposes the same three knobs with fixed defaults).
+        lead = batch[0]
+        spk = jnp.asarray(np.stack([r.spk_emb for r in batch]))
+        outs = fs.generate_batch(
+            c.first_stage_params,
+            c.first_stage_cfg,
+            [r.prompt_tokens for r in batch],
+            spk,
+            key=sub,
+            temperature=lead.temperature,
+            top_p=lead.top_p,
+            guidance_scale=lead.guidance_scale,
+            prompt_pad_multiple=self.tts.runtime.prompt_pad_multiple,
+            compute_dtype=self.tts._compute_dtype,
+        )
+
+        for req, seq in zip(batch, outs):
+            try:
+                wav_path = self.tts.render_tokens(
+                    req.text, req.prompt_tokens, seq, req.spk_emb
+                )
+                req.future.set_result(wav_path)
+            except Exception as e:
+                req.future.set_exception(e)

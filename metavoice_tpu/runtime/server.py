@@ -78,8 +78,28 @@ def _parse_request_fields(handler: BaseHTTPRequestHandler) -> dict:
     raise ValueError(f"unsupported content type: {ctype}")
 
 
-def make_handler(tts, config: ServingConfig):
-    """Build the request handler bound to one TTS engine instance."""
+_INDEX_HTML = """<!doctype html>
+<html><head><title>metavoice-tpu</title></head>
+<body style="font-family:sans-serif;max-width:640px;margin:2em auto">
+<h2>metavoice-tpu — text to speech</h2>
+<p>Zero-shot voice cloning; speaker reference must be &ge; 30 s of audio.
+(Equivalent of the reference's Gradio app, app.py.)</p>
+<form method="post" action="/tts" enctype="multipart/form-data">
+  <p><textarea name="text" rows="4" cols="60" maxlength="220"
+      placeholder="Up to 220 characters per request..."></textarea></p>
+  <p>Speaker reference (wav): <input type="file" name="audiodata"></p>
+  <p>top_p <input name="top_p" value="0.95" size="5">
+     guidance <input name="guidance" value="3.0" size="5"></p>
+  <p><button type="submit">Synthesise</button></p>
+</form></body></html>"""
+
+
+def make_handler(tts, config: ServingConfig, batching_engine=None):
+    """Build the request handler bound to one TTS engine instance.
+
+    With ``batching_engine`` (runtime/engine.BatchingEngine), concurrent
+    requests share batched first-stage decodes instead of serializing.
+    """
     lock = threading.Lock()  # serialize synthesis on the single engine
 
     class Handler(BaseHTTPRequestHandler):
@@ -102,6 +122,8 @@ def make_handler(tts, config: ServingConfig):
         def do_GET(self):
             if self.path == "/health":
                 self._json(200, {"status": "ok"})
+            elif self.path in ("/", "/index.html"):
+                self._send(200, _INDEX_HTML.encode(), "text/html")
             else:
                 self._json(404, {"detail": "not found"})
 
@@ -135,14 +157,23 @@ def make_handler(tts, config: ServingConfig):
                 top_p = min(max(float(fields.get("top_p", 0.95)), 0.0), 1.0)
                 temperature = float(fields.get("temperature", 1.0))
 
-                with lock:
-                    wav_path = tts.synthesise(
+                if batching_engine is not None:
+                    wav_path = batching_engine.submit(
                         str(text),
                         str(ref_path),
                         top_p=top_p,
                         guidance_scale=guidance,
                         temperature=temperature,
-                    )
+                    ).result()
+                else:
+                    with lock:
+                        wav_path = tts.synthesise(
+                            str(text),
+                            str(ref_path),
+                            top_p=top_p,
+                            guidance_scale=guidance,
+                            temperature=temperature,
+                        )
                 with open(wav_path, "rb") as f:
                     self._send(200, f.read(), "audio/wav")
             except ValueError as e:

@@ -181,6 +181,53 @@ class TTS:
         return emb
 
     # ------------------------------------------------------------------ synthesis
+    def _tokens_to_wav(
+        self,
+        text: str,
+        prompt_tokens: list,
+        token_stream,
+        spk_emb: np.ndarray,
+        key: jax.Array,
+    ) -> np.ndarray:
+        """First-stage token stream -> waveform (stages 3-5: split, second
+        stage, vocoder, enhancer)."""
+        _text_ids, coarse = T.split_flattened_interleaved(
+            token_stream, self.END_OF_AUDIO_TOKEN
+        )
+        if len(coarse[0]) == 0:
+            raise RuntimeError(f"first stage produced no audio tokens for: {text!r}")
+
+        full_codes = ss.complete_hierarchies(
+            self.c.second_stage_params,
+            self.c.second_stage_cfg,
+            prompt_tokens,
+            coarse,
+            jnp.asarray(spk_emb),
+            key=key,
+            temperature=1.0,
+            top_k=200,
+            compute_dtype=self._compute_dtype,
+        )  # (8, T_audio)
+
+        wav = np.asarray(
+            ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, full_codes)
+        )[0]
+        if self.c.enhancer is not None:
+            wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
+        return wav.astype(np.float32)
+
+    def render_tokens(
+        self, text: str, prompt_tokens: list, generated, spk_emb: np.ndarray
+    ) -> str:
+        """Render a generated first-stage stream to a wav file on disk
+        (used by the continuous-batching engine, runtime/engine.py)."""
+        self._key, sub = jax.random.split(self._key)
+        wav = self._tokens_to_wav(text, prompt_tokens, generated, spk_emb, sub)
+        digest = hashlib.md5(f"{text}{time.time()}".encode()).hexdigest()[:12]
+        out_path = os.path.join(self.output_dir, f"synth_{digest}.wav")
+        aio.write_wav_loudness_normalized(out_path, wav, self.c.encodec_cfg.sample_rate)
+        return out_path
+
     def _synthesise_chunk(
         self,
         text: str,
@@ -207,28 +254,7 @@ class TTS:
             kv_cache=self._kv_cache,
             compute_dtype=self._compute_dtype,
         )
-        _text_ids, coarse = T.split_flattened_interleaved(seq, self.END_OF_AUDIO_TOKEN)
-        if len(coarse[0]) == 0:
-            raise RuntimeError(f"first stage produced no audio tokens for: {text!r}")
-
-        full_codes = ss.complete_hierarchies(
-            self.c.second_stage_params,
-            self.c.second_stage_cfg,
-            prompt,
-            coarse,
-            jnp.asarray(spk_emb),
-            key=k2,
-            temperature=1.0,
-            top_k=200,
-            compute_dtype=self._compute_dtype,
-        )  # (8, T_audio)
-
-        wav = np.asarray(
-            ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, full_codes)
-        )[0]
-        if self.c.enhancer is not None:
-            wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
-        return wav.astype(np.float32)
+        return self._tokens_to_wav(text, prompt, seq, spk_emb, k2)
 
     def synthesise(
         self,
