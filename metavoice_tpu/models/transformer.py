@@ -172,6 +172,22 @@ def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         on_tpu = jax.default_backend() == "tpu"
+        if "p" in w:  # nibble-packed int4: 4-bit HBM weight reads
+            n = w["p"].shape[-1]
+            tile_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else n
+            groupsize = (2 * w["p"].shape[0]) // w["scales"].shape[0]
+            if on_tpu:
+                y2 = qz.matmul_int4_packed(
+                    x2, w["p"], w["scales"], w["zeros"], groupsize=groupsize, tile_n=tile_n
+                )
+            else:
+                y2 = qz.matmul_int4_reference(
+                    x2, qz.unpack_int4(w["p"]), w["scales"], w["zeros"], groupsize=groupsize
+                )
+            y = y2.reshape(*lead, n).astype(x.dtype)
+            if b is not None:
+                y = y + b.astype(x.dtype)
+            return y
         n = w["q"].shape[-1]
         tile_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else n
         if "zeros" in w:

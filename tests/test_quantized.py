@@ -76,3 +76,40 @@ def test_quantize_params_int8_structure():
     # non-matmul leaves untouched
     assert qp["layers"]["attn_norm_w"] is params["layers"]["attn_norm_w"]
     assert qp["wtes"][0] is params["wtes"][0]
+
+
+def test_int4_pack_roundtrip():
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.integers(-8, 8, size=(256, 64)).astype(np.int8))
+    p = qz.pack_int4(q)
+    assert p.shape == (128, 64) and p.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(qz.unpack_int4(p)), np.asarray(q))
+
+
+def test_int4_packed_kernel_interpret():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32))
+    q, s, z = qz.quantize_int4_grouped(w, groupsize=128)
+    p = qz.pack_int4(q)
+    ref = np.asarray(qz.matmul_int4_reference(x, q, s, z, groupsize=128))
+    out = np.asarray(
+        qz.matmul_int4_packed(x, p, s, z, groupsize=128, tile_n=256, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=0.2, rtol=0.05)
+
+
+def test_quantize_params_int4_packed_structure():
+    from metavoice_tpu.core.config import first_stage_config
+    from metavoice_tpu.models import transformer as tfm
+
+    cfg = first_stage_config(n_layer=2, n_head=2, dim=256, block_size=16, vocab_sizes=(40,))
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    qp = qz.quantize_params_int4_packed(params, groupsize=128)
+    assert set(qp["layers"]["wqkv"].keys()) == {"p", "scales", "zeros"}
+    l, k, n = params["layers"]["wqkv"].shape
+    assert qp["layers"]["wqkv"]["p"].shape == (l, k // 2, n)
+    # forward runs via the reference path on CPU
+    idx = jnp.zeros((1, 4), jnp.int32)
+    logits, _ = tfm.forward(qp, cfg, idx, spk_emb=jnp.ones((1, 256)), compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits[0])).all()
