@@ -110,12 +110,57 @@ def main():
     stage1_rtf = 150.0 / tps
     bandwidth_gbs = param_bytes * tps / 1e9
 
+    # ---- full-pipeline RTF: stage 2 + EnCodec decode at real scale -------------
+    from metavoice_tpu.core.config import second_stage_config
+    from metavoice_tpu.models import encodec as ecm
+    from metavoice_tpu.models import second_stage as ss2
+
+    n_frames = n_tokens // 2  # 2 interleaved tokens per EnCodec frame
+    audio_s = n_frames / 75.0
+    cfg2 = second_stage_config()
+    params2 = tfm.init_params(jax.random.PRNGKey(2), cfg2, dtype=jnp.bfloat16)
+    ecfg = ecm.EncodecConfig()
+    eparams = ecm.init_params(jax.random.PRNGKey(3), ecfg)
+    idx2 = jax.random.randint(key, (1, 2, cfg2.block_size), 0, 1024)
+    spk2 = jax.random.normal(key, (1, cfg2.speaker_emb_dim))
+    codes = jax.random.randint(key, (8, n_frames), 0, 1024)
+
+    def stage2():
+        out = ss2.non_causal_sample(
+            params2, cfg2, idx2, spk2, jax.random.PRNGKey(4),
+            jnp.asarray(1.0, jnp.float32), top_k=200,
+        )
+        import numpy as _np
+        return _np.asarray(out)
+
+    def vocode():
+        import numpy as _np
+        return _np.asarray(ecm.decode_codes(eparams, ecfg, codes))
+
+    stage2()  # compile
+    vocode()
+    t0 = time.perf_counter(); stage2(); t_stage2 = time.perf_counter() - t0
+    t0 = time.perf_counter(); vocode(); t_vocoder = time.perf_counter() - t0
+    t_stage1 = n_tokens / tps
+    full_time = t_stage1 + t_stage2 + t_vocoder
+    full_rtf = full_time / audio_s
+    # time-to-first-audio: the non-causal stage 2 needs the full first-stage
+    # stream, so TTFA for one chunk == its full synthesis latency
+    ttfa_s = full_time
+    log(
+        f"full pipeline for {audio_s:.2f}s audio: stage1 {t_stage1:.3f}s + "
+        f"stage2 {t_stage2:.3f}s + vocoder {t_vocoder:.3f}s = {full_time:.3f}s "
+        f"(RTF {full_rtf:.3f})"
+    )
+
     result = {
         "metric": "first_stage_decode_tokens_per_sec",
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / 300.0, 3),
         "stage1_rtf": round(stage1_rtf, 3),
+        "full_pipeline_rtf": round(full_rtf, 3),
+        "ttfa_s": round(ttfa_s, 3),
         "achieved_bandwidth_gb_s": round(bandwidth_gbs, 1),
         "params_b": round(n_params / 1e9, 3),
         "config": "metavoice-1B 24L/16H/2048d, int8 weight-only + fused flash-decoding attention, CFG pair, block 2048",

@@ -213,3 +213,33 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# --------------------------------------------------------------------------------------
+# Orbax train-state checkpointing (resume with optimizer state)
+# --------------------------------------------------------------------------------------
+#
+# The reference resumes from torch pickles carrying model + optimizer +
+# iter_num (fam/llm/finetune.py:91-113,133-144,298-315). The .npz files above
+# are the portable weights; full training state (params + Adam moments +
+# step) goes through orbax so a killed run restarts exactly.
+
+
+def save_train_state(ckpt_dir: str, state: ft.TrainState, step: int | None = None) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"state_{step if step is not None else int(state.step)}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_train_state(path: str, template: ft.TrainState) -> ft.TrainState:
+    """Restore a TrainState saved by save_train_state; ``template`` supplies
+    the pytree structure/shapes (build it from the same configs)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), template)
+    return ft.TrainState(*restored) if not isinstance(restored, ft.TrainState) else restored

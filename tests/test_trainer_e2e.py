@@ -87,3 +87,29 @@ def test_train_loop_and_checkpoints(dataset, tmp_path):
     assert meta["model_args"]["n_layer"] == 2
     # frozen embedding identical, trained last block differs
     np.testing.assert_array_equal(loaded["wtes"][0], np.asarray(params["wtes"][0]))
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    from metavoice_tpu.training.trainer import restore_train_state, save_train_state
+
+    params = tfm.init_params(jax.random.PRNGKey(1), TINY)
+    cfg = ft.FinetuneConfig(warmup_iters=2)
+    state, opt = ft.init_train_state(params, cfg)
+    # take one step so optimizer moments are non-trivial
+    step = ft.make_train_step(TINY, cfg, opt, compute_dtype=np.float32)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.integers(0, 2562, (2, 16))),
+        "y": jnp.asarray(rng.integers(0, 2562, (2, 16))),
+        "spk_emb": jnp.asarray(rng.normal(size=(2, 256)).astype(np.float32)),
+    }
+    state, _ = step(state, batch)
+
+    path = save_train_state(str(tmp_path / "ckpt"), state)
+    template, _ = ft.init_train_state(params, cfg)
+    restored = restore_train_state(path, template)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
