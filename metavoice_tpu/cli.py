@@ -35,25 +35,22 @@ def _add_model_args(ap: argparse.ArgumentParser) -> None:
 def _build_tts(args):
     import jax
 
-    from metavoice_tpu.ops import quantized as qz
     from metavoice_tpu.runtime.tts import TTS
 
     if args.random_weights or not args.first_stage_path:
-        tts = TTS.from_random(
-            jax.random.PRNGKey(args.seed), small=args.small, output_dir=args.output_dir
-        )
-    else:
-        tts = TTS.from_checkpoints(
-            args.first_stage_path,
-            args.second_stage_path,
-            args.speaker_encoder_path,
+        return TTS.from_random(
+            jax.random.PRNGKey(args.seed),
+            small=args.small,
             output_dir=args.output_dir,
+            quantisation_mode=args.quantisation_mode,
         )
-    if args.quantisation_mode == "int8":
-        tts.c.first_stage_params = qz.quantize_params_int8(tts.c.first_stage_params)
-    elif args.quantisation_mode == "int4":
-        tts.c.first_stage_params = qz.quantize_params_int4(tts.c.first_stage_params)
-    return tts
+    return TTS.from_checkpoints(
+        args.first_stage_path,
+        args.second_stage_path,
+        args.speaker_encoder_path,
+        output_dir=args.output_dir,
+        quantisation_mode=args.quantisation_mode,
+    )
 
 
 def cmd_synth(argv: list[str]) -> int:

@@ -217,7 +217,22 @@ def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
 
 def _mlp(x: jax.Array, lp: Params, cfg: TransformerConfig) -> jax.Array:
     if cfg.nonlinearity_type == "swiglu":
-        return _linear(jax.nn.silu(_linear(x, lp["w1"])) * _linear(x, lp["w3"]), lp["w2"])
+        w1, w3, w2 = lp["w1"], lp["w3"], lp["w2"]
+        all_int8 = all(
+            isinstance(w, dict) and "q" in w and "zeros" not in w for w in (w1, w3, w2)
+        )
+        if all_int8 and jax.default_backend() == "tpu" and x.shape[-2] == 1:
+            # fused single-kernel SwiGLU FFN: one Pallas launch instead of
+            # three, hidden activation never leaves VMEM
+            from metavoice_tpu.ops import quantized as qz
+
+            lead = x.shape[:-1]
+            y = qz.ffn_int8(
+                x.reshape(-1, x.shape[-1]),
+                w1["q"], w1["scales"], w3["q"], w3["scales"], w2["q"], w2["scales"],
+            )
+            return y.reshape(*lead, w2["q"].shape[-1]).astype(x.dtype)
+        return _linear(jax.nn.silu(_linear(x, w1)) * _linear(x, w3), w2)
     return _linear(
         jax.nn.gelu(_linear(x, lp["w_fc"], lp.get("w_fc_b")), approximate=False),
         lp["w_proj"],

@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # imported lazily in kernels elsewhere; top-level for the fused FFN
+    from jax.experimental import pallas as pl
+except ImportError:  # pragma: no cover
+    pl = None
+
 
 # --------------------------------------------------------------------------------------
 # Quantization math (parity with fam/llm/fast_quantize.py)
@@ -342,3 +347,75 @@ def quantize_params_int4_packed(params: dict, groupsize: int = 128) -> dict:
             layers[key] = {"p": p, "scales": s, "zeros": z}
     out["layers"] = layers
     return out
+
+
+# --------------------------------------------------------------------------------------
+# Fused int8 SwiGLU FFN: silu(x@w1) * (x@w3) @ w2 in one kernel
+# --------------------------------------------------------------------------------------
+#
+# The decode step is dominated by per-op overhead once weights are int8;
+# fusing the three FFN matmuls into one Pallas call (grid over intermediate
+# tiles, sequential accumulation into the output block) removes two kernel
+# launches per layer and keeps the hidden activation entirely in VMEM.
+
+
+def _ffn_int8_kernel(x_ref, w1_ref, s1_ref, w3_ref, s3_ref, w2_ref, s2_ref, o_ref):
+    j = pl.program_id(0)
+    x = x_ref[:].astype(jnp.bfloat16)
+    h1 = jnp.dot(x, w1_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    h1 = h1 * s1_ref[0, :].astype(jnp.float32)
+    h3 = jnp.dot(x, w3_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    h3 = h3 * s3_ref[0, :].astype(jnp.float32)
+    h = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)  # (M, TILE_I)
+    acc = jnp.dot(h, w2_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += acc * s2_ref[0, :].astype(jnp.float32)
+
+
+def ffn_int8(
+    x: jax.Array,  # (M, D)
+    w1: jax.Array,  # (D, I) int8
+    s1: jax.Array,  # (I,)
+    w3: jax.Array,
+    s3: jax.Array,
+    w2: jax.Array,  # (I, D) int8
+    s2: jax.Array,  # (D,)
+    *,
+    tile_i: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, d = x.shape
+    d2, i_sz = w1.shape
+    assert d == d2 and i_sz % tile_i == 0
+
+    return pl.pallas_call(
+        _ffn_int8_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(i_sz // tile_i,),
+            in_specs=[
+                pl.BlockSpec((m, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, tile_i), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_i), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, tile_i), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_i), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x, w1, s1.reshape(1, -1), w3, s3.reshape(1, -1), w2, s2.reshape(1, -1))
+
+
+def ffn_int8_reference(x, w1, s1, w3, s3, w2, s2):
+    h1 = matmul_int8_reference(x.astype(jnp.float32), w1, s1)
+    h3 = matmul_int8_reference(x.astype(jnp.float32), w3, s3)
+    h = jax.nn.silu(h1.astype(jnp.float32)) * h3.astype(jnp.float32)
+    return matmul_int8_reference(h, w2, s2)

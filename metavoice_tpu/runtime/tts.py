@@ -82,9 +82,30 @@ class TTS:
         output_dir: str = "outputs",
         runtime: RuntimeConfig | None = None,
         enforce_min_ref_duration: bool = True,
+        quantisation_mode: str | None = None,
     ):
         self.c = components
-        self.runtime = runtime or RuntimeConfig(seed=seed, output_dir=output_dir)
+        self.runtime = runtime or RuntimeConfig(
+            seed=seed, output_dir=output_dir, quantisation_mode=quantisation_mode
+        )
+        # weight-only quantisation of the first stage (reference
+        # fam/llm/fast_inference.py:41 `quantisation_mode`); int8 is FASTER
+        # than bf16 here (Pallas weight-streaming kernels)
+        mode = quantisation_mode or self.runtime.quantisation_mode
+        if mode == "int8":
+            from metavoice_tpu.ops import quantized as qz
+
+            self.c.first_stage_params = qz.quantize_params_int8(self.c.first_stage_params)
+        elif mode == "int4":
+            from metavoice_tpu.ops import quantized as qz
+
+            self.c.first_stage_params = qz.quantize_params_int4_packed(
+                self.c.first_stage_params
+            )
+        elif mode is not None:
+            raise ValueError(
+                f"Invalid quantisation mode {mode}! Must be either 'int4' or 'int8'!"
+            )
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self._key = jax.random.PRNGKey(seed)

@@ -113,3 +113,21 @@ def test_quantize_params_int4_packed_structure():
     idx = jnp.zeros((1, 4), jnp.int32)
     logits, _ = tfm.forward(qp, cfg, idx, spk_emb=jnp.ones((1, 256)), compute_dtype=jnp.float32)
     assert np.isfinite(np.asarray(logits[0])).all()
+
+
+def test_ffn_int8_fused_kernel_interpret():
+    rng = np.random.default_rng(7)
+    d, i = 128, 512
+    x = jnp.asarray(rng.normal(size=(8, d)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(d, i)).astype(np.float32))
+    w3 = jnp.asarray(rng.normal(size=(d, i)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(i, d)).astype(np.float32))
+    q1, s1 = qz.quantize_int8(w1)
+    q3, s3 = qz.quantize_int8(w3)
+    q2, s2 = qz.quantize_int8(w2)
+    ref = np.asarray(qz.ffn_int8_reference(x, q1, s1, q3, s3, q2, s2))
+    out = np.asarray(
+        qz.ffn_int8(x, q1, s1, q3, s3, q2, s2, tile_i=256, interpret=True)
+    )
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=0.02 * scale, rtol=0.05)

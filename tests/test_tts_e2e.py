@@ -60,3 +60,26 @@ def test_min_ref_duration_enforced(ref_wav, tmp_path):
     )
     with pytest.raises(ValueError, match="too short"):
         strict.synthesise("Hi.", short)
+
+
+def test_quantised_tts_int8(tmp_path, ref_wav):
+    """--quantisation_mode int8 parity: full pipeline with quantized stage 1."""
+    import jax as _jax
+
+    t = TTS.from_random(
+        _jax.random.PRNGKey(2), small=True, output_dir=str(tmp_path),
+        quantisation_mode="int8",
+    )
+    assert isinstance(t.c.first_stage_params["layers"]["wqkv"], dict)
+    out = t.synthesise("Quantised hello.", ref_wav)
+    assert os.path.exists(out)
+
+
+def test_invalid_quantisation_mode(tmp_path):
+    import jax as _jax
+
+    with pytest.raises(ValueError, match="Invalid quantisation mode"):
+        TTS.from_random(
+            _jax.random.PRNGKey(3), small=True, output_dir=str(tmp_path),
+            quantisation_mode="int2",
+        )
