@@ -485,3 +485,88 @@ def generate_batch(
         np.concatenate([[first_np[i]], buf_np[i, : lens_np[i]]]).astype(np.int32)
         for i in range(b)
     ]
+
+
+# --------------------------------------------------------------------------------------
+# Streaming segment generation (time-to-first-audio)
+# --------------------------------------------------------------------------------------
+
+
+def generate_segments(
+    params: tfm.Params,
+    cfg: TransformerConfig,
+    prompt_tokens,
+    spk_emb: jax.Array,
+    *,
+    key: jax.Array,
+    segment_tokens: int = 150,  # 75 frames = 1 s of audio per segment
+    temperature: float = 1.0,
+    top_p: float = 0.95,
+    guidance_scale: float = 3.0,
+    max_new_tokens: int | None = None,
+    end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
+    prompt_pad_multiple: int = 128,
+    compute_dtype=jnp.bfloat16,
+):
+    """Yield generated tokens in ~1 s segments instead of one final array.
+
+    The decode while_loop supports resuming from (cur_token, pos, cache), so
+    each segment is one bounded device program; downstream stages (second
+    stage + vocoder) can render segment N while the user already hears
+    segment N-1 — this is what turns time-to-first-audio from full-utterance
+    latency into ~one-segment latency. Segment boundaries stay even so the
+    h0/h1 interleaving splits into whole EnCodec frames.
+    """
+    import numpy as np
+
+    if segment_tokens % 2 != 0:
+        raise ValueError("segment_tokens must be even (whole interleaved frames)")
+    padded, t_true = pad_to_bucket(prompt_tokens, prompt_pad_multiple, max_len=cfg.block_size)
+    budget = cfg.block_size - t_true
+    if max_new_tokens is not None:
+        budget = min(budget, max_new_tokens)
+    if budget <= 0:
+        raise ValueError("Prompt is too long to generate more tokens")
+
+    kv = tfm.KVCache.create(cfg, 2, cfg.block_size, dtype=compute_dtype)
+    spk_emb = jnp.asarray(spk_emb).reshape(1, -1)
+    key, kp = jax.random.split(key)
+    t1 = jnp.asarray(temperature, jnp.float32)
+    tp = jnp.asarray(top_p, jnp.float32)
+    g = jnp.asarray(guidance_scale, jnp.float32)
+
+    cur, kv = prefill(
+        params, cfg, jnp.asarray(padded)[None, :], jnp.asarray(t_true, jnp.int32),
+        spk_emb, kv, kp, t1, tp, g, compute_dtype=compute_dtype,
+    )
+    pos = t_true
+    pending = [int(np.asarray(cur)[0])]
+    emitted = 1
+    if pending[0] == end_of_audio_token:
+        yield np.asarray(pending, np.int32)
+        return
+
+    while emitted < budget and pos < cfg.block_size:
+        key, kd = jax.random.split(key)
+        step_budget = min(segment_tokens - len(pending), budget - emitted, cfg.block_size - pos)
+        if step_budget <= 0:
+            break
+        buf, lens, kv = decode(
+            params, cfg, cur, jnp.asarray(pos, jnp.int32), spk_emb, kv, kd,
+            t1, tp, g, jnp.asarray(step_budget, jnp.int32), cfg.block_size,
+            end_of_audio_token, compute_dtype,
+        )
+        n = int(np.asarray(lens)[0])
+        toks = np.asarray(buf)[0, :n]
+        pending.extend(int(t) for t in toks)
+        emitted += n
+        pos += n
+        done = n > 0 and toks[-1] == end_of_audio_token
+        if len(pending) >= segment_tokens or done or emitted >= budget:
+            yield np.asarray(pending, np.int32)
+            pending = []
+        if done or n == 0:
+            return
+        cur = jnp.asarray([int(toks[-1])], jnp.int32)
+    if pending:
+        yield np.asarray(pending, np.int32)

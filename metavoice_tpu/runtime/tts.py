@@ -277,6 +277,51 @@ class TTS:
         )
         return self._tokens_to_wav(text, prompt, seq, spk_emb, k2)
 
+    def synthesise_streaming(
+        self,
+        text: str,
+        spk_ref_path: str,
+        top_p: float = 0.95,
+        guidance_scale: float = 3.0,
+        temperature: float = 1.0,
+        segment_tokens: int = 150,
+    ):
+        """Yield 24 kHz waveform chunks as they are synthesised.
+
+        Time-to-first-audio becomes one ~1 s segment's latency instead of the
+        full utterance's: the first stage pauses at even segment boundaries
+        (models/first_stage.generate_segments) and each segment runs through
+        the second stage + vocoder + enhancer immediately. The reference has
+        no streaming path (its non-streaming TTFA is the full synthesis).
+        """
+        text = normalize_text(text)
+        if self._enforce_min_ref:
+            aio.check_audio_file(spk_ref_path)
+        spk_emb = self._get_speaker_embedding(spk_ref_path)
+
+        for chunk in chunk_text(text, MAX_CHARS_PER_CHUNK) or [""]:
+            self._key, k1 = jax.random.split(self._key)
+            prompt = self.c.tokenizer.encode(chunk)
+            for segment in fs.generate_segments(
+                self.c.first_stage_params,
+                self.c.first_stage_cfg,
+                prompt,
+                jnp.asarray(spk_emb),
+                key=k1,
+                segment_tokens=segment_tokens,
+                temperature=temperature,
+                top_p=top_p,
+                guidance_scale=guidance_scale,
+                prompt_pad_multiple=self.runtime.prompt_pad_multiple,
+                compute_dtype=self._compute_dtype,
+            ):
+                self._key, k2 = jax.random.split(self._key)
+                try:
+                    wav = self._tokens_to_wav(chunk, prompt, segment, spk_emb, k2)
+                except RuntimeError:
+                    continue  # segment held only the end-of-audio token
+                yield wav
+
     def synthesise(
         self,
         text: str,

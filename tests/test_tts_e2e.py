@@ -83,3 +83,17 @@ def test_invalid_quantisation_mode(tmp_path):
             _jax.random.PRNGKey(3), small=True, output_dir=str(tmp_path),
             quantisation_mode="int2",
         )
+
+
+def test_streaming_synthesis(tts, ref_wav):
+    """Streaming yields >=1 chunks of finite 24 kHz audio."""
+    chunks = list(
+        tts.synthesise_streaming("Streaming hello world.", ref_wav, segment_tokens=20)
+    )
+    assert len(chunks) >= 1
+    for c in chunks:
+        assert c.ndim == 1 and len(c) > 0
+        assert np.isfinite(c).all()
+    # each segment of n pairs renders n//2 frames * hop samples
+    hop = tts.c.encodec_cfg.hop_length
+    assert all(len(c) % hop == 0 for c in chunks)
