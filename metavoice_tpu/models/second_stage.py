@@ -98,3 +98,48 @@ def complete_hierarchies(
     # Fine hierarchies may sample the pad id (1024) — clamp into codebook range.
     out = np.clip(out, 0, T.CODEBOOK_SIZE - 1)
     return out.astype(np.int32)
+
+
+def complete_hierarchies_batch(
+    params: tfm.Params,
+    cfg: TransformerConfig,
+    items: list,  # [(text_tokens, coarse_hierarchies), ...]
+    spk_embs: jax.Array,  # (B, spk_dim)
+    *,
+    key: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 200,
+    compute_dtype=jnp.bfloat16,
+) -> list[np.ndarray]:
+    """Batched hierarchy completion: one non-causal forward for B utterances.
+
+    The per-item logic matches :func:`complete_hierarchies`; batching
+    amortizes the forward pass across concurrent requests (used by
+    runtime/engine.py). Returns B arrays of shape (8, T_audio_i).
+    """
+    ctx = cfg.block_size
+    xs = [T.build_second_stage_input(t, c, ctx) for t, c in items]
+    idx = jnp.asarray(np.stack(xs), jnp.int32)  # (B, 2, ctx)
+    sampled = non_causal_sample(
+        params,
+        cfg,
+        idx,
+        jnp.asarray(spk_embs),
+        key,
+        jnp.asarray(temperature, jnp.float32),
+        top_k=top_k,
+        compute_dtype=compute_dtype,
+    )  # (B, 6, ctx)
+    sampled_np = np.asarray(sampled)
+
+    outs = []
+    for i, (text_tokens, coarse) in enumerate(items):
+        full = np.concatenate([xs[i], sampled_np[i]], axis=0)  # (8, ctx)
+        n_text = len(text_tokens)
+        n_audio = min(len(coarse[0]), ctx - n_text)
+        region = slice(n_text, n_text + n_audio)
+        out = np.stack([row[region] for row in full], axis=0)
+        out[0] = np.asarray(coarse[0])[:n_audio]
+        out[1] = np.asarray(coarse[1])[:n_audio]
+        outs.append(np.clip(out, 0, T.CODEBOOK_SIZE - 1).astype(np.int32))
+    return outs

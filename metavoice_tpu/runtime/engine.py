@@ -64,8 +64,10 @@ class BatchingEngine:
 
     def submit(self, text: str, spk_ref_path: str, **sampling) -> Future:
         from metavoice_tpu.core.text import normalize_text
+        from metavoice_tpu.utils.audio_io import get_cached_file
 
         text = normalize_text(text)
+        spk_ref_path = get_cached_file(spk_ref_path)
         spk_emb = self.tts._get_speaker_embedding(spk_ref_path)
         req = SynthesisRequest(
             text=text,
@@ -139,11 +141,47 @@ class BatchingEngine:
             compute_dtype=self.tts._compute_dtype,
         )
 
+        # stages 3-4 batched: one second-stage forward + one vocoder call
+        # for the whole group, then per-request enhancement + file write
+        from metavoice_tpu.models import encodec as ec
+        from metavoice_tpu.models import second_stage as ss
+
+        items, live = [], []
         for req, seq in zip(batch, outs):
-            try:
-                wav_path = self.tts.render_tokens(
-                    req.text, req.prompt_tokens, seq, req.spk_emb
+            _t, coarse = T.split_flattened_interleaved(seq, T.HIERARCHY_EOA)
+            if len(coarse[0]) == 0:
+                req.future.set_exception(
+                    RuntimeError(f"first stage produced no audio tokens for: {req.text!r}")
                 )
-                req.future.set_result(wav_path)
+                continue
+            items.append((req.prompt_tokens, coarse))
+            live.append(req)
+        if not live:
+            return
+
+        self._key, k2 = jax.random.split(self._key)
+        codes_list = ss.complete_hierarchies_batch(
+            c.second_stage_params,
+            c.second_stage_cfg,
+            items,
+            jnp.asarray(np.stack([r.spk_emb for r in live])),
+            key=k2,
+            compute_dtype=self.tts._compute_dtype,
+        )
+        t_max = max(cd.shape[1] for cd in codes_list)
+        padded = np.stack(
+            [np.pad(cd, ((0, 0), (0, t_max - cd.shape[1]))) for cd in codes_list]
+        )
+        wavs = np.asarray(
+            ec.decode_codes(c.encodec_params, c.encodec_cfg, jnp.asarray(padded))
+        )
+        hop = c.encodec_cfg.hop_length
+
+        for req, cd, wav in zip(live, codes_list, wavs):
+            try:
+                w = wav[: cd.shape[1] * hop].astype(np.float32)
+                if c.enhancer is not None:
+                    w = c.enhancer(w, c.encodec_cfg.sample_rate)
+                req.future.set_result(self.tts.write_wav_output(req.text, w))
             except Exception as e:
                 req.future.set_exception(e)

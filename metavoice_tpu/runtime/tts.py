@@ -240,10 +240,13 @@ class TTS:
     def render_tokens(
         self, text: str, prompt_tokens: list, generated, spk_emb: np.ndarray
     ) -> str:
-        """Render a generated first-stage stream to a wav file on disk
-        (used by the continuous-batching engine, runtime/engine.py)."""
+        """Render a generated first-stage stream to a wav file on disk."""
         self._key, sub = jax.random.split(self._key)
         wav = self._tokens_to_wav(text, prompt_tokens, generated, spk_emb, sub)
+        return self.write_wav_output(text, wav)
+
+    def write_wav_output(self, text: str, wav: np.ndarray) -> str:
+        """Loudness-normalized write to a unique path in output_dir."""
         digest = hashlib.md5(f"{text}{time.time()}".encode()).hexdigest()[:12]
         out_path = os.path.join(self.output_dir, f"synth_{digest}.wav")
         aio.write_wav_loudness_normalized(out_path, wav, self.c.encodec_cfg.sample_rate)
@@ -337,6 +340,7 @@ class TTS:
         """
         start = time.time()
         text = normalize_text(text)
+        spk_ref_path = aio.get_cached_file(spk_ref_path)
         if self._enforce_min_ref:
             aio.check_audio_file(spk_ref_path)
         spk_emb = self._get_speaker_embedding(spk_ref_path)

@@ -100,6 +100,31 @@ def load_audio(path: str, target_sr: int | None = None) -> tuple[np.ndarray, int
     return wav, sr
 
 
+def get_cached_file(file_or_uri: str, cache_dir: str | None = None) -> str:
+    """Resolve a local path or download+cache an http(s) URI.
+
+    Parity with reference get_cached_file (fam/llm/inference.py:392-416):
+    URIs cache under ~/.cache/metavoice_tpu keyed by the md5 of the URI.
+    Uses urllib instead of a curl subprocess.
+    """
+    import hashlib
+    import urllib.request
+
+    if not file_or_uri.startswith("http"):
+        if os.path.exists(file_or_uri):
+            return file_or_uri
+        raise FileNotFoundError(f"File {file_or_uri} not found!")
+
+    ext = os.path.splitext(file_or_uri.split("?")[0])[1] or ".wav"
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/metavoice_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    name = "audio_" + hashlib.md5(file_or_uri.encode("utf-8")).hexdigest() + ext
+    cache_path = os.path.join(cache_dir, name)
+    if not os.path.exists(cache_path):
+        urllib.request.urlretrieve(file_or_uri, cache_path)
+    return cache_path
+
+
 def duration_s(path: str) -> float:
     wav, sr = load_audio(path)
     return len(wav) / sr

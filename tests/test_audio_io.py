@@ -65,3 +65,28 @@ def test_mono_downmix(tmp_path):
         f.writeframes(inter.tobytes())
     out, _ = aio.read_wav(path)
     np.testing.assert_allclose(out, 0.0, atol=1e-4)
+
+
+def test_get_cached_file_local(tmp_path):
+    p = str(tmp_path / "a.wav")
+    aio.write_wav(p, np.zeros(100, np.float32), 8000)
+    assert aio.get_cached_file(p) == p
+    with pytest.raises(FileNotFoundError):
+        aio.get_cached_file(str(tmp_path / "missing.wav"))
+
+
+def test_get_cached_file_uri_cache_key(tmp_path, monkeypatch):
+    """URI downloads go to an md5-keyed cache path; cache hits skip download."""
+    calls = []
+
+    def fake_retrieve(uri, dest):
+        calls.append(uri)
+        aio.write_wav(dest, np.zeros(100, np.float32), 8000)
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    uri = "http://example.test/voice.mp3"
+    p1 = aio.get_cached_file(uri, cache_dir=str(tmp_path))
+    p2 = aio.get_cached_file(uri, cache_dir=str(tmp_path))
+    assert p1 == p2 and p1.endswith(".mp3") and len(calls) == 1
