@@ -64,6 +64,11 @@ class TTSComponents:
     encodec_cfg: ec.EncodecConfig
     tokenizer: TrainedBPETokeniser
     enhancer: object | None = None
+    # vocoder selection: "encodec" (SEANet decoder) or "mbd" (multi-band
+    # diffusion, the reference's quality choice, fam/llm/decoders.py:13)
+    vocoder: str = "encodec"
+    mbd_params: dict | None = None
+    mbd_cfg: object | None = None
 
 
 class TTS:
@@ -85,6 +90,12 @@ class TTS:
         quantisation_mode: str | None = None,
     ):
         self.c = components
+        if components.vocoder not in ("encodec", "mbd"):
+            raise ValueError(
+                f"Unknown vocoder {components.vocoder!r}; expected 'encodec' or 'mbd'"
+            )
+        if components.vocoder == "mbd" and components.mbd_params is None:
+            raise ValueError("vocoder='mbd' requires mbd_params/mbd_cfg")
         self.runtime = runtime or RuntimeConfig(
             seed=seed, output_dir=output_dir, quantisation_mode=quantisation_mode
         )
@@ -122,10 +133,17 @@ class TTS:
 
     # ------------------------------------------------------------------ constructors
     @classmethod
-    def from_random(cls, key: jax.Array | None = None, *, small: bool = False, **kwargs) -> "TTS":
+    def from_random(
+        cls,
+        key: jax.Array | None = None,
+        *,
+        small: bool = False,
+        vocoder: str = "encodec",
+        **kwargs,
+    ) -> "TTS":
         """Random-weight instance for development and benchmarking."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         cfg1 = first_stage_config() if not small else first_stage_config(
             n_layer=2, n_head=4, dim=128, block_size=512
         )
@@ -137,6 +155,14 @@ class TTS:
         )
         from metavoice_tpu.models.enhancer import get_enhancer
 
+        mbd_params = mbd_cfg = None
+        if vocoder == "mbd":
+            from metavoice_tpu.models import mbd as mbd_mod
+
+            mbd_cfg = mbd_mod.MBDConfig() if not small else mbd_mod.MBDConfig(
+                hidden=8, depth=2, num_sample_steps=2, cond_dim=ecfg.dimension
+            )
+            mbd_params = mbd_mod.init_params(k5, mbd_cfg)
         comps = TTSComponents(
             first_stage_params=tfm.init_params(k1, cfg1, dtype=jnp.bfloat16),
             first_stage_cfg=cfg1,
@@ -147,6 +173,9 @@ class TTS:
             encodec_cfg=ecfg,
             tokenizer=TrainedBPETokeniser(),
             enhancer=get_enhancer("spectral_gate"),
+            vocoder=vocoder,
+            mbd_params=mbd_params,
+            mbd_cfg=mbd_cfg,
         )
         kwargs.setdefault("enforce_min_ref_duration", False)
         return cls(comps, **kwargs)
@@ -230,9 +259,20 @@ class TTS:
             compute_dtype=self._compute_dtype,
         )  # (8, T_audio)
 
-        wav = np.asarray(
-            ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, full_codes)
-        )[0]
+        if self.c.vocoder == "mbd" and self.c.mbd_params is not None:
+            from metavoice_tpu.models import mbd as mbd_mod
+
+            self._key, kv_key = jax.random.split(self._key)
+            wav = np.asarray(
+                mbd_mod.tokens_to_wav(
+                    self.c.mbd_params, self.c.mbd_cfg, self.c.encodec_params,
+                    jnp.asarray(full_codes), kv_key,
+                )
+            )[0]
+        else:
+            wav = np.asarray(
+                ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, full_codes)
+            )[0]
         if self.c.enhancer is not None:
             wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
         return wav.astype(np.float32)

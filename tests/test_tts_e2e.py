@@ -97,3 +97,17 @@ def test_streaming_synthesis(tts, ref_wav):
     # each segment of n pairs renders n//2 frames * hop samples
     hop = tts.c.encodec_cfg.hop_length
     assert all(len(c) % hop == 0 for c in chunks)
+
+
+def test_mbd_vocoder_path(tmp_path, ref_wav):
+    """vocoder='mbd' routes synthesis through the diffusion vocoder."""
+    import jax as _jax
+
+    t = TTS.from_random(
+        _jax.random.PRNGKey(4), small=True, vocoder="mbd", output_dir=str(tmp_path)
+    )
+    assert t.c.vocoder == "mbd" and t.c.mbd_params is not None
+    out = t.synthesise("Diffusion vocoder hello.", ref_wav)
+    assert os.path.exists(out)
+    wav, sr = aio.read_wav(out)
+    assert len(wav) > 0 and np.isfinite(wav).all()
