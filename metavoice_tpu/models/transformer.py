@@ -402,9 +402,43 @@ def apply_blocks(
             and jax.default_backend() == "tpu"
         )
 
+        def _is_int8(w):
+            return isinstance(w, dict) and "q" in w and "zeros" not in w
+
         def body(carry, lp):
             x, k_full, v_full, li = carry
             xa = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg.norm_type, cfg.norm_eps)
+            if (
+                use_fused
+                and _is_int8(lp["wqkv"])
+                and _is_int8(lp["wo"])
+                and "wqkv_b" not in lp
+                and cfg.dim % 512 == 0
+            ):
+                # int8 megakernel: qkv projection + cache write + flash
+                # attention + output projection in ONE Pallas call
+                from metavoice_tpu.ops.attention import decode_attention_block_int8
+
+                y2, k_full, v_full = decode_attention_block_int8(
+                    xa[:, 0, :],
+                    lp["wqkv"]["q"],
+                    lp["wqkv"]["scales"],
+                    lp["wo"]["q"],
+                    lp["wo"]["scales"],
+                    k_full,
+                    v_full,
+                    li,
+                    jnp.asarray(cache_pos, jnp.int32),
+                    cfg.n_head,
+                    starts=attn_starts,
+                )
+                h = x + y2[:, None, :].astype(x.dtype)
+                out = h + _mlp(
+                    _norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg.norm_type, cfg.norm_eps),
+                    lp,
+                    cfg,
+                )
+                return (out, k_full, v_full, li + 1), None
             q, k_new, v_new = _qkv_proj(xa, lp, cfg)
             if use_fused:
                 from metavoice_tpu.ops.attention import decode_attention

@@ -234,3 +234,255 @@ def decode_attention_reference(q, k_new, v_new, k_cache, v_cache, layer, pos, st
     p = jax.nn.softmax(s, axis=-1)
     y = jnp.einsum("bhs,sbhd->bhd", p, lv.astype(jnp.float32))
     return y.astype(q.dtype), k_cache, v_cache
+
+
+# --------------------------------------------------------------------------------------
+# Fused decode block: int8 QKV projection + cache write + flash attention
+# + int8 output projection, one kernel per layer
+# --------------------------------------------------------------------------------------
+#
+# After the flash-decoding kernel the decode step still spends ~40% of its
+# time in per-op overhead around the attention path (QKV matmul kernel,
+# slicing/reshaping, the attention kernel, the wo matmul kernel, plus XLA
+# glue). This kernel collapses the whole attention block into ONE Pallas
+# call: weight tiles stream HBM->VMEM with double buffering, the Q/K/V
+# activations never leave VMEM, the new K/V row is written into the HBM
+# cache in place, and the flash loop reads only the valid prefix.
+
+W_TILE = 512  # weight tile width (1024 measured slightly slower)
+
+
+def _decode_block_kernel(
+    dh: int,
+    # scalar prefetch
+    idx_ref,  # (2,) int32: [layer, pos]
+    # inputs
+    x_ref,  # (Bpad, D) bf16 VMEM (normed input, rows >= B zero-padded)
+    sqkv_ref,  # (1, 3D) f32 VMEM qkv scales
+    so_ref,  # (1, D) f32 VMEM wo scales
+    starts_ref,  # (BH, 1) int32 VMEM
+    wqkv_hbm,  # (D, 3D) int8 HBM
+    wo_hbm,  # (D, D) int8 HBM
+    k_hbm,  # (L, S, BH, Dh) HBM (aliased out)
+    v_hbm,  # (L, S, BH, Dh) HBM (aliased out)
+    # outputs
+    y_ref,  # (Bpad, D) bf16 VMEM
+    k_out,
+    v_out,
+    # scratch
+    w_buf,  # (2, D, W_TILE) int8
+    qkv_scr,  # (Bpad, 3D) f32
+    k_buf,  # (2, CHUNK, BH, Dh)
+    v_buf,  # (2, CHUNK, BH, Dh)
+    acc_ref,  # (BH, Dh) f32
+    m_ref,  # (BH, 128) f32
+    l_ref,  # (BH, 128) f32
+    w_sems,  # DMA (2,)
+    kv_w_sems,  # DMA (2,)
+    c_sems,  # DMA (2, 2)
+):
+    li = idx_ref[0]
+    pos = idx_ref[1]
+    bpad, d = x_ref.shape
+    bh = acc_ref.shape[0]
+    b = bh * dh // d
+    x = x_ref[:]
+
+    # ---- phase 1: qkv = x @ Wqkv (int8), streaming weight tiles ----------------
+    n_qkv_tiles = (3 * d) // W_TILE
+
+    def qkv_dma(slot, j):
+        return pltpu.make_async_copy(
+            wqkv_hbm.at[:, pl.ds(j * W_TILE, W_TILE)], w_buf.at[slot], w_sems.at[slot]
+        )
+
+    qkv_dma(0, 0).start()
+
+    def qkv_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_qkv_tiles)
+        def _():
+            qkv_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        qkv_dma(slot, j).wait()
+        w = w_buf[slot].astype(jnp.bfloat16)
+        acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        qkv_scr[:, pl.ds(j * W_TILE, W_TILE)] = acc * sqkv_ref[0, pl.ds(j * W_TILE, W_TILE)]
+        return _
+
+    jax.lax.fori_loop(0, n_qkv_tiles, qkv_body, None)
+
+    # ---- phase 2: write new K/V row into the cache ----------------------------
+    # qkv_scr rows [0, b) are real; layout (b, 3D) -> (BH, Dh) per tensor.
+    # DMA sources must be VMEM refs of the cache dtype: stage the new row in
+    # the (otherwise unused yet) chunk buffers.
+    q = qkv_scr[:b, :d].reshape(bh, dh) * (1.0 / np.sqrt(dh))
+    k_buf[0, 0] = qkv_scr[:b, d : 2 * d].reshape(bh, dh).astype(k_out.dtype)
+    v_buf[0, 0] = qkv_scr[:b, 2 * d :].reshape(bh, dh).astype(v_out.dtype)
+    kw = pltpu.make_async_copy(k_buf.at[0, pl.ds(0, 1)], k_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[0])
+    vw = pltpu.make_async_copy(v_buf.at[0, pl.ds(0, 1)], v_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[1])
+    kw.start()
+    vw.start()
+    kw.wait()
+    vw.wait()
+
+    # ---- phase 3: flash attention over the valid prefix -----------------------
+    n_chunks = (pos + CHUNK) // CHUNK
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, -1e30)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def get_dma(slot, c):
+        return (
+            pltpu.make_async_copy(
+                k_out.at[li, pl.ds(c * CHUNK, CHUNK)], k_buf.at[slot], c_sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                v_out.at[li, pl.ds(c * CHUNK, CHUNK)], v_buf.at[slot], c_sems.at[slot, 1]
+            ),
+        )
+
+    dk, dv = get_dma(0, 0)
+    dk.start()
+    dv.start()
+
+    def attn_body(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            nk, nv = get_dma(jax.lax.rem(c + 1, 2), c + 1)
+            nk.start()
+            nv.start()
+
+        ck, cv = get_dma(slot, c)
+        ck.wait()
+        cv.wait()
+        k = k_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)
+        s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (BH, C)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, CHUNK), 1) + c * CHUNK
+        s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = jnp.broadcast_to(l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.sum(p.T[:, :, None] * v, axis=0)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        return _
+
+    jax.lax.fori_loop(0, n_chunks, attn_body, None)
+    y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
+    # pad rows back to Bpad for the MXU (concatenate: scatter doesn't lower)
+    y_pad = jnp.concatenate([y_attn, jnp.zeros((bpad - b, d), jnp.bfloat16)], axis=0)
+
+    # ---- phase 4: y = attn @ Wo (int8), streaming weight tiles -----------------
+    n_o_tiles = d // W_TILE
+
+    def o_dma(slot, j):
+        return pltpu.make_async_copy(
+            wo_hbm.at[:, pl.ds(j * W_TILE, W_TILE)], w_buf.at[slot], w_sems.at[slot]
+        )
+
+    o_dma(0, 0).start()
+
+    def o_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_o_tiles)
+        def _():
+            o_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        o_dma(slot, j).wait()
+        w = w_buf[slot].astype(jnp.bfloat16)
+        acc = jnp.dot(y_pad, w, preferred_element_type=jnp.float32)
+        y_ref[:, pl.ds(j * W_TILE, W_TILE)] = (
+            acc * so_ref[0, pl.ds(j * W_TILE, W_TILE)]
+        ).astype(y_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, n_o_tiles, o_body, None)
+
+
+def decode_attention_block_int8(
+    xa: jax.Array,  # (B, D) normed input, bf16
+    wqkv_q: jax.Array,  # (D, 3D) int8
+    wqkv_s: jax.Array,  # (3D,)
+    wo_q: jax.Array,  # (D, D) int8
+    wo_s: jax.Array,  # (D,)
+    k_cache: jax.Array,  # (L, S, B, H, Dh)
+    v_cache: jax.Array,
+    layer: jax.Array,
+    pos: jax.Array,
+    n_head: int,
+    starts: jax.Array | None = None,
+    interpret: bool = False,
+):
+    """Fused int8 attention block for one decode layer.
+
+    Returns (y (B, D), k_cache, v_cache). Requires MHA (q/k/v same head
+    count), Dh a multiple of 128, B*H a multiple of 8, D % W_TILE == 0.
+    """
+    b, d = xa.shape
+    dh = d // n_head
+    bh = b * n_head
+    l, s = k_cache.shape[0], k_cache.shape[1]
+    bpad = max(8, b)
+    x_pad = jnp.zeros((bpad, d), jnp.bfloat16).at[:b].set(xa.astype(jnp.bfloat16))
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    starts_bh = jnp.repeat(starts.astype(jnp.int32), n_head).reshape(bh, 1)
+    k_flat = k_cache.reshape(l, s, bh, dh)
+    v_flat = v_cache.reshape(l, s, bh, dh)
+    idx = jnp.stack([layer.astype(jnp.int32), pos.astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv scales
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wo scales
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # starts
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wqkv
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wo
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k cache
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v cache
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d, W_TILE), jnp.int8),
+            pltpu.VMEM((bpad, 3 * d), jnp.float32),
+            pltpu.VMEM((2, CHUNK, bh, dh), k_cache.dtype),
+            pltpu.VMEM((2, CHUNK, bh, dh), v_cache.dtype),
+            pltpu.VMEM((bh, dh), jnp.float32),
+            pltpu.VMEM((bh, 128), jnp.float32),
+            pltpu.VMEM((bh, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    y, k_out, v_out = pl.pallas_call(
+        partial(_decode_block_kernel, dh),
+        out_shape=(
+            jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
+            jax.ShapeDtypeStruct(v_flat.shape, v_flat.dtype),
+        ),
+        grid_spec=grid_spec,
+        input_output_aliases={7: 1, 8: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx, x_pad, wqkv_s.reshape(1, -1).astype(jnp.float32), wo_s.reshape(1, -1).astype(jnp.float32), starts_bh, wqkv_q, wo_q, k_flat, v_flat)
+    return (
+        y[:b],
+        k_out.reshape(k_cache.shape),
+        v_out.reshape(v_cache.shape),
+    )
