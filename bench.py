@@ -41,6 +41,8 @@ def log(*args):
 
 
 def main():
+    import numpy as np
+
     from metavoice_tpu.core.config import first_stage_config
     from metavoice_tpu.models import first_stage as fs
     from metavoice_tpu.models import transformer as tfm
@@ -89,8 +91,7 @@ def main():
         )
         # NOTE: force a host transfer — on the experimental axon backend
         # block_until_ready returns before execution completes.
-        lens_np = __import__("numpy").asarray(lens)
-        return buf, lens_np
+        return buf, np.asarray(lens)
 
     t0 = time.perf_counter()
     run()
@@ -130,12 +131,10 @@ def main():
             params2, cfg2, idx2, spk2, jax.random.PRNGKey(4),
             jnp.asarray(1.0, jnp.float32), top_k=200,
         )
-        import numpy as _np
-        return _np.asarray(out)
+        return np.asarray(out)
 
     def vocode():
-        import numpy as _np
-        return _np.asarray(ecm.decode_codes(eparams, ecfg, codes))
+        return np.asarray(ecm.decode_codes(eparams, ecfg, codes))
 
     stage2()  # compile
     vocode()
@@ -153,6 +152,48 @@ def main():
         f"(RTF {full_rtf:.3f})"
     )
 
+    # ---- batched serving throughput (BASELINE config 5) ------------------------
+    batch_tps = None
+    try:
+        import gc
+
+        b = 8
+        prompts_b = [
+            list(np.random.default_rng(i).integers(2049, cfg.vocab_size, size=40 + 7 * i))
+            for i in range(b)
+        ]
+        spk_b = jax.random.normal(key, (b, cfg.speaker_emb_dim), jnp.bfloat16)
+        padded_b, pad_lens = fs.left_pad_prompts(prompts_b, bucket=128)
+        kv_b = tfm.KVCache.create(cfg, 2 * b, cfg.block_size, dtype=jnp.bfloat16)
+        first_b, kv_b = fs.prefill_batch(
+            params, cfg, jnp.asarray(padded_b), jnp.asarray(pad_lens), spk_b, kv_b,
+            key, temperature, top_p, guidance,
+        )
+        pos0 = 128
+
+        def run_b(n, pos, kvb):
+            buf, lens, kvb = fs.decode_batch(
+                params, cfg, first_b, jnp.asarray(pos, jnp.int32), jnp.asarray(pad_lens),
+                spk_b, kvb, jax.random.PRNGKey(9), temperature, top_p, guidance,
+                jnp.asarray(n, jnp.int32), cfg.block_size, never_eoa, jnp.bfloat16,
+            )
+            np.asarray(lens)
+            return kvb
+
+        kv_b = run_b(4, pos0, kv_b)  # compile
+        t0 = time.perf_counter()
+        kv_b = run_b(8, pos0 + 4, kv_b)
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        kv_b = run_b(104, pos0 + 12, kv_b)
+        tb = time.perf_counter() - t0
+        batch_tps = b * 96 / (tb - ta)
+        log(f"batch-{b} continuous decode: {batch_tps:.0f} aggregate tok/s")
+        del kv_b, first_b
+        gc.collect()
+    except Exception as e:  # batched path must not break the headline metric
+        log(f"batched measurement skipped: {e}")
+
     result = {
         "metric": "first_stage_decode_tokens_per_sec",
         "value": round(tps, 2),
@@ -161,6 +202,7 @@ def main():
         "stage1_rtf": round(stage1_rtf, 3),
         "full_pipeline_rtf": round(full_rtf, 3),
         "ttfa_s": round(ttfa_s, 3),
+        "batch8_aggregate_tokens_per_sec": round(batch_tps, 1) if batch_tps else None,
         "achieved_bandwidth_gb_s": round(bandwidth_gbs, 1),
         "params_b": round(n_params / 1e9, 3),
         "config": "metavoice-1B 24L/16H/2048d, int8 weight-only + fused flash-decoding attention, CFG pair, block 2048",

@@ -320,7 +320,7 @@ def _batch_masks(pad_lens2: jax.Array, t: jax.Array | int, s: int) -> jax.Array:
     return causal[None, None] & valid[:, None, None, :]
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"), donate_argnames=("kv_cache",))
 def prefill_batch(
     params: tfm.Params,
     cfg: TransformerConfig,
@@ -429,6 +429,8 @@ def _decode_batch_fn(
 decode_batch = jax.jit(
     _decode_batch_fn,
     static_argnames=("cfg", "max_steps", "end_of_audio_token", "compute_dtype"),
+    # the multi-GB cache buffers alias in-place across the call
+    donate_argnames=("kv_cache",),
 )
 
 

@@ -172,6 +172,12 @@ def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         on_tpu = jax.default_backend() == "tpu"
+        # matmul_int8 tiles over M; the int4 kernels hold the whole (M, K)
+        # activation block in VMEM, so large M (prefill) falls back to XLA
+        # dense dequant for those
+        int4_large_m = "zeros" in w and x2.shape[0] > 256
+        if int4_large_m:
+            on_tpu = False
         if "p" in w:  # nibble-packed int4: 4-bit HBM weight reads
             n = w["p"].shape[-1]
             tile_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else n

@@ -34,10 +34,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 256  # cache slots per DMA chunk
+CHUNK = 256  # default cache slots per DMA chunk (batch 1-2)
+
+
+def _chunk_for(bh: int, dh: int) -> int:
+    """Cache-chunk length that keeps the double-buffered K+V chunk buffers
+    around 8 MB of VMEM regardless of batch size (power of two, >= 32)."""
+    budget_elems = 8 * 1024 * 1024 // (2 * 2 * 2)  # bytes/(bf16 * 2 bufs * k+v)
+    c = budget_elems // max(bh * dh, 1)
+    c = 1 << max(5, min(8, c.bit_length() - 1))
+    return c
 
 
 def _decode_attn_kernel(
+    chunk,
     # scalar prefetch
     idx_ref,  # (2,) int32: [layer, pos]
     # inputs
@@ -73,7 +83,7 @@ def _decode_attn_kernel(
     vw.wait()
 
     # 2) flash accumulation over the valid prefix [0, pos]
-    n_chunks = (pos + CHUNK) // CHUNK  # ceil((pos+1)/CHUNK)
+    n_chunks = (pos + chunk) // chunk  # ceil((pos+1)/chunk)
     scale = 1.0 / np.sqrt(dh)
     q = q_ref[:].astype(jnp.float32) * scale  # (BH, Dh)
 
@@ -84,10 +94,10 @@ def _decode_attn_kernel(
     def get_dma(slot, c):
         return (
             pltpu.make_async_copy(
-                k_out.at[li, pl.ds(c * CHUNK, CHUNK)], k_buf.at[slot], sems.at[slot, 0]
+                k_out.at[li, pl.ds(c * chunk, chunk)], k_buf.at[slot], sems.at[slot, 0]
             ),
             pltpu.make_async_copy(
-                v_out.at[li, pl.ds(c * CHUNK, CHUNK)], v_buf.at[slot], sems.at[slot, 1]
+                v_out.at[li, pl.ds(c * chunk, chunk)], v_buf.at[slot], sems.at[slot, 1]
             ),
         )
 
@@ -113,7 +123,7 @@ def _decode_attn_kernel(
         v = v_buf[slot].astype(jnp.float32)
         # scores: (BH, C) = sum_d q[n,d] * k[c,n,d]
         s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (BH, C)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, CHUNK), 1) + c * CHUNK
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
         # per-row window [start_row, pos]: left-padded ragged batches set
         # start_row to the row's pad length so pad slots are never attended
         s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
@@ -153,6 +163,7 @@ def decode_attention(
     b, h, dh = q.shape
     l, s, _, _, _ = k_cache.shape
     bh = b * h
+    chunk = _chunk_for(bh, dh)
     if starts is None:
         starts = jnp.zeros((b,), jnp.int32)
     starts_bh = jnp.repeat(starts.astype(jnp.int32), h).reshape(bh, 1)
@@ -184,8 +195,8 @@ def decode_attention(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, bh, dh), k_cache.dtype),
-            pltpu.VMEM((2, CHUNK, bh, dh), v_cache.dtype),
+            pltpu.VMEM((2, chunk, bh, dh), k_cache.dtype),
+            pltpu.VMEM((2, chunk, bh, dh), v_cache.dtype),
             pltpu.VMEM((bh, dh), jnp.float32),
             pltpu.VMEM((bh, 128), jnp.float32),
             pltpu.VMEM((bh, 128), jnp.float32),
@@ -194,7 +205,7 @@ def decode_attention(
         ],
     )
     y, k_out, v_out = pl.pallas_call(
-        _decode_attn_kernel,
+        partial(_decode_attn_kernel, chunk),
         out_shape=(
             jax.ShapeDtypeStruct((bh, dh), q.dtype),
             jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
@@ -254,6 +265,7 @@ W_TILE = 512  # weight tile width (1024 measured slightly slower)
 
 def _decode_block_kernel(
     dh: int,
+    chunk: int,
     # scalar prefetch
     idx_ref,  # (2,) int32: [layer, pos]
     # inputs
@@ -328,7 +340,7 @@ def _decode_block_kernel(
     vw.wait()
 
     # ---- phase 3: flash attention over the valid prefix -----------------------
-    n_chunks = (pos + CHUNK) // CHUNK
+    n_chunks = (pos + chunk) // chunk
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, -1e30)
     l_ref[:] = jnp.zeros_like(l_ref)
@@ -336,10 +348,10 @@ def _decode_block_kernel(
     def get_dma(slot, c):
         return (
             pltpu.make_async_copy(
-                k_out.at[li, pl.ds(c * CHUNK, CHUNK)], k_buf.at[slot], c_sems.at[slot, 0]
+                k_out.at[li, pl.ds(c * chunk, chunk)], k_buf.at[slot], c_sems.at[slot, 0]
             ),
             pltpu.make_async_copy(
-                v_out.at[li, pl.ds(c * CHUNK, CHUNK)], v_buf.at[slot], c_sems.at[slot, 1]
+                v_out.at[li, pl.ds(c * chunk, chunk)], v_buf.at[slot], c_sems.at[slot, 1]
             ),
         )
 
@@ -362,7 +374,7 @@ def _decode_block_kernel(
         k = k_buf[slot].astype(jnp.float32)
         v = v_buf[slot].astype(jnp.float32)
         s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (BH, C)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, CHUNK), 1) + c * CHUNK
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
         s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -376,7 +388,10 @@ def _decode_block_kernel(
     jax.lax.fori_loop(0, n_chunks, attn_body, None)
     y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
     # pad rows back to Bpad for the MXU (concatenate: scatter doesn't lower)
-    y_pad = jnp.concatenate([y_attn, jnp.zeros((bpad - b, d), jnp.bfloat16)], axis=0)
+    if bpad > b:
+        y_pad = jnp.concatenate([y_attn, jnp.zeros((bpad - b, d), jnp.bfloat16)], axis=0)
+    else:
+        y_pad = y_attn
 
     # ---- phase 4: y = attn @ Wo (int8), streaming weight tiles -----------------
     n_o_tiles = d // W_TILE
@@ -430,6 +445,7 @@ def decode_attention_block_int8(
     bh = b * n_head
     l, s = k_cache.shape[0], k_cache.shape[1]
     bpad = max(8, b)
+    chunk = _chunk_for(bh, dh)
     x_pad = jnp.zeros((bpad, d), jnp.bfloat16).at[:b].set(xa.astype(jnp.bfloat16))
     if starts is None:
         starts = jnp.zeros((b,), jnp.int32)
@@ -459,8 +475,8 @@ def decode_attention_block_int8(
         scratch_shapes=[
             pltpu.VMEM((2, d, W_TILE), jnp.int8),
             pltpu.VMEM((bpad, 3 * d), jnp.float32),
-            pltpu.VMEM((2, CHUNK, bh, dh), k_cache.dtype),
-            pltpu.VMEM((2, CHUNK, bh, dh), v_cache.dtype),
+            pltpu.VMEM((2, chunk, bh, dh), k_cache.dtype),
+            pltpu.VMEM((2, chunk, bh, dh), v_cache.dtype),
             pltpu.VMEM((bh, dh), jnp.float32),
             pltpu.VMEM((bh, 128), jnp.float32),
             pltpu.VMEM((bh, 128), jnp.float32),
@@ -470,7 +486,7 @@ def decode_attention_block_int8(
         ],
     )
     y, k_out, v_out = pl.pallas_call(
-        partial(_decode_block_kernel, dh),
+        partial(_decode_block_kernel, dh, chunk),
         out_shape=(
             jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),
             jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),

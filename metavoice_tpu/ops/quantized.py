@@ -128,12 +128,14 @@ def matmul_int8(
     scales: jax.Array,
     *,
     tile_n: int = 512,
+    tile_m: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Pallas int8 weight-only matmul. x: (M, K) with small M (decode),
-    q: (K, N) int8, scales: (N,). Streams weight tiles through VMEM; the
-    weight read is the bandwidth bottleneck at decode time, and int8 halves
-    it vs bf16."""
+    """Pallas int8 weight-only matmul. x: (M, K), q: (K, N) int8,
+    scales: (N,). Streams weight tiles through VMEM (the decode bottleneck;
+    int8 halves the read vs bf16). Large M (prefill) tiles over rows with the
+    weight block held constant across consecutive row tiles, so weights are
+    not re-fetched per row tile."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -141,23 +143,29 @@ def matmul_int8(
     k2, n = q.shape
     assert k == k2 and n % tile_n == 0, (x.shape, q.shape, tile_n)
 
-    grid = (n // tile_n,)
-    return pl.pallas_call(
+    m_pad = -(-m // tile_m) * tile_m if m > tile_m else m
+    tm = min(m_pad, tile_m)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    grid = (n // tile_n, m_pad // tm)
+    out = pl.pallas_call(
         _int8_matmul_kernel,
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((m, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                # weight block depends only on j: consecutive i steps reuse it
+                pl.BlockSpec((k, tile_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
                 # scales as (1, N): 1-D blocked operands trip XLA/Mosaic
                 # layout mismatches on TPU
-                pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((m, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((tm, tile_n), lambda j, i: (i, j), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(x, q, scales.reshape(1, -1))
+    return out[:m]
 
 
 def _int4_matmul_kernel(groupsize, x_ref, q_ref, s_ref, z_ref, o_ref):
