@@ -88,6 +88,7 @@ def cmd_serve(argv: list[str]) -> int:
         metavar="MAX_BATCH",
         help="enable continuous batching with this max batch size",
     )
+    ap.add_argument("--no_warmup", action="store_true", help="skip precompilation")
     args = ap.parse_args(argv)
 
     from http.server import ThreadingHTTPServer
@@ -95,6 +96,9 @@ def cmd_serve(argv: list[str]) -> int:
     from metavoice_tpu.runtime.server import ServingConfig, make_handler
 
     tts = _build_tts(args)
+    if not args.no_warmup:
+        print("warming up (precompiling hot programs)...")
+        tts.warmup()
     engine = None
     if args.batching > 0:
         from metavoice_tpu.runtime.engine import BatchingEngine

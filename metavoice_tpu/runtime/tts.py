@@ -217,6 +217,49 @@ class TTS:
         )
         return cls(comps, **kwargs)
 
+    # ------------------------------------------------------------------ warmup
+    def warmup(self, prompt_buckets: tuple[int, ...] = (128, 256)) -> None:
+        """Precompile the hot programs so the first user request is fast.
+
+        The reference pays a lazy 30-90 s torch.compile warmup inside
+        build_model (fam/llm/fast_inference_utils.py:354-390). Here warmup is
+        explicit and, combined with the persistent XLA compile cache, a warm
+        process start compiles nothing: one prefill per prompt bucket, the
+        decode loop, the second stage, and the vocoder.
+        """
+        key = jax.random.PRNGKey(0)
+        spk = jnp.zeros((1, self.c.first_stage_cfg.speaker_emb_dim))
+        for bucket in prompt_buckets:
+            bucket = min(bucket, self.c.first_stage_cfg.block_size // 2)
+            prompt = list(range(T.TEXT_OFFSET, T.TEXT_OFFSET + min(bucket, 16)))
+            padded = prompt + [0] * (bucket - len(prompt))
+            # default end_of_audio_token: static args must match serving or
+            # the decode program recompiles on the first real request
+            seq = fs.generate(
+                self.c.first_stage_params,
+                self.c.first_stage_cfg,
+                padded,
+                spk,
+                key=key,
+                max_new_tokens=4,
+                prompt_pad_multiple=bucket,
+                kv_cache=self._kv_cache,
+                compute_dtype=self._compute_dtype,
+            )
+            del seq
+        # second stage + vocoder
+        coarse = [[1, 2, 3, 4], [5, 6, 7, 8]]
+        codes = ss.complete_hierarchies(
+            self.c.second_stage_params,
+            self.c.second_stage_cfg,
+            prompt,
+            coarse,
+            spk[0],
+            key=key,
+            compute_dtype=self._compute_dtype,
+        )
+        np.asarray(ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, codes))
+
     # ------------------------------------------------------------------ speaker embedding
     def _get_speaker_embedding(self, spk_ref_path: str) -> np.ndarray:
         """md5-cached speaker embedding (reference fam/llm/inference.py:419-435)."""
@@ -259,6 +302,12 @@ class TTS:
             compute_dtype=self._compute_dtype,
         )  # (8, T_audio)
 
+        # bucket the code length so the vocoder compiles once per bucket,
+        # not once per utterance length (75 frames = 1 s granularity)
+        t_audio = full_codes.shape[1]
+        bucket = max(75, -(-t_audio // 75) * 75)
+        if bucket != t_audio:
+            full_codes = np.pad(full_codes, ((0, 0), (0, bucket - t_audio)))
         if self.c.vocoder == "mbd" and self.c.mbd_params is not None:
             from metavoice_tpu.models import mbd as mbd_mod
 
@@ -273,6 +322,7 @@ class TTS:
             wav = np.asarray(
                 ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, full_codes)
             )[0]
+        wav = wav[: t_audio * self.c.encodec_cfg.hop_length]
         if self.c.enhancer is not None:
             wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
         return wav.astype(np.float32)

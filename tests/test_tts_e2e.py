@@ -111,3 +111,8 @@ def test_mbd_vocoder_path(tmp_path, ref_wav):
     assert os.path.exists(out)
     wav, sr = aio.read_wav(out)
     assert len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_warmup_runs(tts):
+    """warmup precompiles the hot programs without error."""
+    tts.warmup(prompt_buckets=(32,))
