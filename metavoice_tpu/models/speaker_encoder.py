@@ -149,9 +149,19 @@ def embed_utterance(
     if max_wave_length >= len(wav):
         wav = np.pad(wav, (0, max_wave_length - len(wav)), "constant")
 
-    mel = np.asarray(mel_spectrogram(jnp.asarray(wav, jnp.float32))).T  # (T, 40)
+    # bucket the mel input to whole seconds: the (cpu-jitted) mel program
+    # then compiles once per duration bucket, not per reference file length
+    bucket = -(-len(wav) // SAMPLING_RATE) * SAMPLING_RATE
+    wav_b = np.pad(wav, (0, bucket - len(wav)), "constant") if bucket != len(wav) else wav
+    mel = np.asarray(mel_spectrogram(jnp.asarray(wav_b, jnp.float32))).T  # (T, 40)
     mels = np.stack([mel[s] for s in mel_slices])  # (N, 160, 40)
-    partials = np.asarray(forward(params, jnp.asarray(mels)))
+    # bucket the window count so the LSTM forward compiles once per bucket
+    # of 8 windows, not once per reference duration
+    n = mels.shape[0]
+    n_pad = -(-n // 8) * 8
+    if n_pad != n:
+        mels = np.concatenate([mels, np.zeros((n_pad - n,) + mels.shape[1:], mels.dtype)])
+    partials = np.asarray(forward(params, jnp.asarray(mels)))[:n]
     raw = partials.mean(axis=0)
     return raw / max(np.linalg.norm(raw, 2), 1e-8)
 
