@@ -146,3 +146,119 @@ def test_npz_roundtrip(tmp_path):
     assert meta == {"stage": 1}
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), b)
+
+
+SECOND = None  # built in the test to keep module import light
+
+
+def test_second_stage_parity(tmp_path):
+    """Second-stage converter + forward vs a torch oracle with the
+    reference GPT semantics (layernorm + gelu + bias, multi-hierarchy
+    embeddings summed, per-hierarchy heads; fam/llm/model.py)."""
+    import torch.nn.functional as F
+
+    from metavoice_tpu.core.config import TransformerConfig
+    from metavoice_tpu.utils.checkpoint import load_second_stage_pt
+
+    d, nh, nl, t = 32, 4, 2, 12
+    vocab_in = (50, 17)
+    vocab_out = (17, 17, 17)
+    g = torch.Generator().manual_seed(0)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    sd = {
+        "transformer.wtes.0.weight": r(vocab_in[0], d),
+        "transformer.wtes.1.weight": r(vocab_in[1], d),
+        "transformer.wpe.weight": r(64, d),
+        "speaker_cond_pos.weight": r(d, 256),
+        "transformer.ln_f.weight": torch.ones(d) + 0.1 * r(d),
+        "transformer.ln_f.bias": 0.1 * r(d),
+    }
+    for i in range(nl):
+        sd[f"transformer.h.{i}.ln_1.weight"] = torch.ones(d) + 0.1 * r(d)
+        sd[f"transformer.h.{i}.ln_1.bias"] = 0.1 * r(d)
+        sd[f"transformer.h.{i}.attn.c_attn.weight"] = r(3 * d, d)
+        sd[f"transformer.h.{i}.attn.c_attn.bias"] = 0.1 * r(3 * d)
+        sd[f"transformer.h.{i}.attn.c_proj.weight"] = r(d, d)
+        sd[f"transformer.h.{i}.attn.c_proj.bias"] = 0.1 * r(d)
+        sd[f"transformer.h.{i}.ln_2.weight"] = torch.ones(d) + 0.1 * r(d)
+        sd[f"transformer.h.{i}.ln_2.bias"] = 0.1 * r(d)
+        sd[f"transformer.h.{i}.mlp.c_fc.weight"] = r(4 * d, d)
+        sd[f"transformer.h.{i}.mlp.c_fc.bias"] = 0.1 * r(4 * d)
+        sd[f"transformer.h.{i}.mlp.c_proj.weight"] = r(d, 4 * d)
+        sd[f"transformer.h.{i}.mlp.c_proj.bias"] = 0.1 * r(d)
+    for i in range(len(vocab_out)):
+        sd[f"lm_heads.{i}.weight"] = r(vocab_out[i], d)
+
+    path = tmp_path / "second_stage.pt"
+    torch.save(
+        {
+            "model": sd,
+            "model_args": {
+                "block_size": t,
+                "n_layer": nl,
+                "n_head": nh,
+                "n_embd": d,
+                "vocab_sizes": list(vocab_in),
+                "target_vocab_sizes": list(vocab_out),
+                "norm_type": "layernorm",
+                "nonlinearity_type": "gelu",
+                "bias": True,
+            },
+            "config": {"causal": False},
+            "meta": {"speaker_cond": True, "speaker_emb_size": 256, "tokenizer": {}},
+        },
+        path,
+    )
+
+    params, cfg, _ = ckpt_util.load_second_stage_pt(str(path))
+    assert cfg.causal is False and cfg.num_hierarchies == 2
+
+    # torch oracle forward (non-causal, all-timestep heads)
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 17, size=(1, 2, t))
+    idx[:, 0, :] = rng.integers(0, 50, size=(1, t))
+    spk = rng.normal(size=(1, 256)).astype(np.float32)
+
+    with torch.no_grad():
+        x = sd["transformer.wtes.0.weight"][torch.tensor(idx[:, 0])] + sd[
+            "transformer.wtes.1.weight"
+        ][torch.tensor(idx[:, 1])]
+        x = x + sd["transformer.wpe.weight"][:t]
+        x = x + (torch.tensor(spk) @ sd["speaker_cond_pos.weight"].T)[:, None, :]
+        for i in range(nl):
+            ln1 = F.layer_norm(
+                x, (d,), sd[f"transformer.h.{i}.ln_1.weight"], sd[f"transformer.h.{i}.ln_1.bias"]
+            )
+            qkv = ln1 @ sd[f"transformer.h.{i}.attn.c_attn.weight"].T + sd[
+                f"transformer.h.{i}.attn.c_attn.bias"
+            ]
+            q, k, v = qkv.split(d, dim=-1)
+            q = q.view(1, t, nh, d // nh).transpose(1, 2)
+            k = k.view(1, t, nh, d // nh).transpose(1, 2)
+            v = v.view(1, t, nh, d // nh).transpose(1, 2)
+            y = F.scaled_dot_product_attention(q, k, v)  # non-causal
+            y = y.transpose(1, 2).reshape(1, t, d)
+            x = x + y @ sd[f"transformer.h.{i}.attn.c_proj.weight"].T + sd[
+                f"transformer.h.{i}.attn.c_proj.bias"
+            ]
+            ln2 = F.layer_norm(
+                x, (d,), sd[f"transformer.h.{i}.ln_2.weight"], sd[f"transformer.h.{i}.ln_2.bias"]
+            )
+            h = F.gelu(
+                ln2 @ sd[f"transformer.h.{i}.mlp.c_fc.weight"].T
+                + sd[f"transformer.h.{i}.mlp.c_fc.bias"]
+            )
+            x = x + h @ sd[f"transformer.h.{i}.mlp.c_proj.weight"].T + sd[
+                f"transformer.h.{i}.mlp.c_proj.bias"
+            ]
+        x = F.layer_norm(x, (d,), sd["transformer.ln_f.weight"], sd["transformer.ln_f.bias"])
+        refs = [(x @ sd[f"lm_heads.{i}.weight"].T).numpy() for i in range(3)]
+
+    logits, _ = tfm.forward(
+        params, cfg, jnp.asarray(idx), spk_emb=jnp.asarray(spk), compute_dtype=jnp.float32
+    )
+    for ours, ref in zip(logits, refs):
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4, rtol=1e-3)
