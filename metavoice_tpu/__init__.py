@@ -30,3 +30,21 @@ TPU-first design decisions (not a port):
 __version__ = "0.1.0"
 
 from metavoice_tpu.core import tokens  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences: `from metavoice_tpu import TTS` without
+    # paying the full model-stack import cost for token-math-only users
+    if name == "TTS":
+        from metavoice_tpu.runtime.tts import TTS
+
+        return TTS
+    if name == "BatchingEngine":
+        from metavoice_tpu.runtime.engine import BatchingEngine
+
+        return BatchingEngine
+    if name == "TrainedBPETokeniser":
+        from metavoice_tpu.tokenizer import TrainedBPETokeniser
+
+        return TrainedBPETokeniser
+    raise AttributeError(f"module 'metavoice_tpu' has no attribute {name!r}")

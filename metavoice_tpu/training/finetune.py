@@ -231,3 +231,69 @@ def make_eval_step(model_cfg: TransformerConfig, compute_dtype=jnp.bfloat16):
         return loss_fn(params, model_cfg, batch, compute_dtype)
 
     return eval_step
+
+
+# --------------------------------------------------------------------------------------
+# Memory-efficient last-N-block finetuning (split trainable tail)
+# --------------------------------------------------------------------------------------
+#
+# The grad-mask path computes gradients and Adam moments for EVERY parameter
+# (3x the 1.2B model in f32 — OOM on one 16 GB chip). The reference avoids
+# this with requires_grad (torch only materializes trainable grads,
+# fam/llm/finetune.py:236-244). Equivalent here: split the stacked layer
+# parameters into a frozen head and a trainable tail, differentiate only the
+# tail, and concatenate the stacks inside the loss. Optimizer state then
+# scales with the trainable fraction.
+
+
+def split_trainable(params: Any, last_n_blocks: int) -> tuple[Any, Any]:
+    """params -> (frozen_tree, trainable_tree).
+
+    Trainable: the last ``last_n_blocks`` of every stacked layer leaf plus
+    the final norm (reference freezing policy, finetune.py:236-244).
+    """
+    frozen = {k: v for k, v in params.items() if k != "layers" and not k.startswith("ln_f")}
+    frozen["layers_head"] = {k: v[:-last_n_blocks] for k, v in params["layers"].items()}
+    train = {"layers_tail": {k: v[-last_n_blocks:] for k, v in params["layers"].items()}}
+    for k in list(params.keys()):
+        if k.startswith("ln_f"):
+            train[k] = params[k]
+    return frozen, train
+
+
+def merge_trainable(frozen: Any, train: Any) -> Any:
+    params = {k: v for k, v in frozen.items() if k != "layers_head"}
+    params["layers"] = {
+        k: jnp.concatenate([frozen["layers_head"][k], train["layers_tail"][k]], axis=0)
+        for k in frozen["layers_head"]
+    }
+    for k, v in train.items():
+        if k != "layers_tail":
+            params[k] = v
+    return params
+
+
+def make_finetune_step(
+    model_cfg: TransformerConfig,
+    cfg: FinetuneConfig,
+    opt: optax.GradientTransformation,
+    frozen: Any,
+    compute_dtype=jnp.bfloat16,
+):
+    """Jitted step over the trainable tail only; frozen params are donated
+    constants of the compiled program."""
+
+    @jax.jit
+    def step(state: TrainState, batch: dict[str, jax.Array]):
+        def loss_of(train):
+            return loss_fn(merge_trainable(frozen, train), model_cfg, batch, compute_dtype)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt_state, state.step + 1),
+            {"loss": loss, "grad_norm": optax.global_norm(grads)},
+        )
+
+    return step

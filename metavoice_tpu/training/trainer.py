@@ -88,13 +88,24 @@ def train(
 ) -> ft.TrainState:
     """Run the finetuning loop; returns the final train state."""
     os.makedirs(out_dir, exist_ok=True)
-    grad_mask = (
-        ft.trainable_mask(params, model_cfg, ft_cfg.last_n_blocks_to_finetune)
-        if ft_cfg.last_n_blocks_to_finetune > 0
-        else None
-    )
-    state, opt = ft.init_train_state(params, ft_cfg)
-    step_fn = ft.make_train_step(model_cfg, ft_cfg, opt, grad_mask=grad_mask)
+    n_tail = ft_cfg.last_n_blocks_to_finetune
+    use_split = 0 < n_tail < model_cfg.n_layer
+    if use_split:
+        # memory-efficient path: grads + Adam moments only for the trainable
+        # tail (reference trains last-N blocks on a 12 GB GPU; the full-tree
+        # grad-mask path would triple the 1.2B model's footprint)
+        frozen, train_params = ft.split_trainable(params, n_tail)
+        state, opt = ft.init_train_state(train_params, ft_cfg)
+        step_fn = ft.make_finetune_step(model_cfg, ft_cfg, opt, frozen)
+
+        def full_params(st):
+            return ft.merge_trainable(frozen, st.params)
+    else:
+        state, opt = ft.init_train_state(params, ft_cfg)
+        step_fn = ft.make_train_step(model_cfg, ft_cfg, opt, grad_mask=None)
+
+        def full_params(st):
+            return st.params
     eval_fn = ft.make_eval_step(model_cfg)
 
     best_val = float("inf")
@@ -115,17 +126,19 @@ def train(
                 on_metrics({"iter": it, "loss": loss, "ms_per_iter": dt * 1000})
 
         if val_batches and it > 0 and it % ft_cfg.eval_interval == 0:
-            val_loss = estimate_loss(eval_fn, state.params, val_batches)
+            val_loss = estimate_loss(eval_fn, full_params(state), val_batches)
             print(f"iter {it}: val loss {val_loss:.4f}", flush=True)
-            save_checkpoint(out_dir, "ckpt", state, model_cfg, ft_cfg, best_val, tokenizer_info)
+            ckpt_state = ft.TrainState(full_params(state), state.opt_state, state.step)
+            save_checkpoint(out_dir, "ckpt", ckpt_state, model_cfg, ft_cfg, best_val, tokenizer_info)
             if val_loss < best_val:
                 best_val = val_loss
                 save_checkpoint(
-                    out_dir, "best", state, model_cfg, ft_cfg, best_val, tokenizer_info
+                    out_dir, "best", ckpt_state, model_cfg, ft_cfg, best_val, tokenizer_info
                 )
 
-    save_checkpoint(out_dir, "final", state, model_cfg, ft_cfg, best_val, tokenizer_info)
-    return state
+    final_state = ft.TrainState(full_params(state), state.opt_state, state.step)
+    save_checkpoint(out_dir, "final", final_state, model_cfg, ft_cfg, best_val, tokenizer_info)
+    return final_state
 
 
 def main():
@@ -152,6 +165,14 @@ def main():
     ap.add_argument("--learning_rate", type=float, default=3e-5)
     ap.add_argument("--last_n_blocks", type=int, default=1)
     ap.add_argument("--seed", type=int, default=1337)
+    ap.add_argument("--small", action="store_true", help="small dev model (no ckpt)")
+    ap.add_argument(
+        "--param_dtype",
+        choices=["bfloat16", "float32"],
+        default="bfloat16",
+        help="bf16 params halve the training footprint (the reference "
+        "finetunes in fp16 with a GradScaler; bf16 needs no scaler)",
+    )
     args = ap.parse_args()
 
     tokenizer_info: dict = {}
@@ -168,9 +189,17 @@ def main():
         params = jax.tree.map(jnp.asarray, params)
     else:
         print("no checkpoint given; random init (dev mode)")
-        model_cfg = first_stage_config()
+        model_cfg = (
+            first_stage_config(n_layer=2, n_head=4, dim=128, block_size=256)
+            if args.small
+            else first_stage_config()
+        )
         params = tfm.init_params(jax.random.PRNGKey(args.seed), model_cfg)
 
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.bfloat16 if args.param_dtype == "bfloat16" else jnp.float32),
+        params,
+    )
     tokenizer = TrainedBPETokeniser(**tokenizer_info) if tokenizer_info else TrainedBPETokeniser()
     spk_params = (
         ck.load_speaker_encoder_pt(args.spk_emb_ckpt)

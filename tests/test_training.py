@@ -112,3 +112,35 @@ def test_weight_decay_mask(params):
     mask = ft.weight_decay_mask(params)
     assert mask["layers"]["wqkv"] is True or mask["layers"]["wqkv"] == True  # noqa: E712
     assert mask["ln_f_w"] == False  # noqa: E712
+
+
+def test_split_trainable_roundtrip(params):
+    frozen, train = ft.split_trainable(params, 1)
+    merged = ft.merge_trainable(frozen, train)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert train["layers_tail"]["wqkv"].shape[0] == 1
+    assert frozen["layers_head"]["wqkv"].shape[0] == TINY.n_layer - 1
+
+
+def test_finetune_split_step(params):
+    """Split-tail step trains only the tail + ln_f and reduces loss."""
+    frozen, train = ft.split_trainable(params, 1)
+    cfg = ft.FinetuneConfig(warmup_iters=2)
+    state, opt = ft.init_train_state(train, cfg)
+    step = ft.make_finetune_step(TINY, cfg, opt, frozen, compute_dtype=jnp.float32)
+    batch = _batch()
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    merged = ft.merge_trainable(frozen, state.params)
+    # frozen head identical; tail changed
+    np.testing.assert_array_equal(
+        np.asarray(merged["layers"]["wqkv"][:-1]), np.asarray(params["layers"]["wqkv"][:-1])
+    )
+    assert not np.allclose(
+        np.asarray(merged["layers"]["wqkv"][-1]), np.asarray(params["layers"]["wqkv"][-1])
+    )
+    np.testing.assert_array_equal(np.asarray(merged["wtes"][0]), np.asarray(params["wtes"][0]))
