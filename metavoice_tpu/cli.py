@@ -59,9 +59,26 @@ def cmd_synth(argv: list[str]) -> int:
     ap.add_argument("--text", action="append", required=True, help="repeatable")
     ap.add_argument("--spk_cond_path", required=True, help="speaker reference audio")
     ap.add_argument("--top_p", type=float, default=0.95)
-    ap.add_argument("--guidance_scale", type=float, default=3.0)
+    ap.add_argument(
+        "--guidance_scale",
+        type=float,
+        nargs="+",
+        default=[3.0],
+        metavar="SCALE",
+        help="one value: speaker CFG. Two values: (speaker, prompt) double "
+        "guidance — the reference's tuple default (3.0, 1.0) "
+        "(fam/llm/inference.py:646); prompt > 1 triples the CFG batch",
+    )
     ap.add_argument("--temperature", type=float, default=1.0)
     args = ap.parse_args(argv)
+
+    if len(args.guidance_scale) > 2:
+        ap.error("--guidance_scale takes one or two values")
+    guidance = (
+        args.guidance_scale[0]
+        if len(args.guidance_scale) == 1
+        else tuple(args.guidance_scale)
+    )
 
     tts = _build_tts(args)
     for text in args.text:
@@ -69,7 +86,7 @@ def cmd_synth(argv: list[str]) -> int:
             text,
             args.spk_cond_path,
             top_p=args.top_p,
-            guidance_scale=args.guidance_scale,
+            guidance_scale=guidance,
             temperature=args.temperature,
         )
         print(path)

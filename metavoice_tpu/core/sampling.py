@@ -80,6 +80,31 @@ def cfg_merge(logits: jax.Array, guidance_scale: jax.Array | float) -> jax.Array
     return g * cond + (1.0 - g) * uncond
 
 
+def cfg_merge3(
+    logits: jax.Array,
+    spkemb_guidance_scale: jax.Array | float,
+    prompt_guidance_scale: jax.Array | float,
+) -> jax.Array:
+    """Double classifier-free guidance over a leading row triple.
+
+    ``logits``: (3B, V) where rows [0, B) are fully conditioned, rows
+    [B, 2B) drop the speaker conditioning, and rows [2B, 3B) keep the
+    speaker but had their text tokens replaced by end-of-text (prompt
+    unconditioning). Returns (B, V):
+
+        base * cond + (1 - g_spk) * uncond_spk + (1 - g_prompt) * uncond_prompt
+        with base = g_spk + g_prompt - 1.
+
+    Reference fam/llm/mixins/causal.py:89-105 (guidance tuple default
+    (3.0, 1.0), fam/llm/inference.py:646).
+    """
+    cond, uncond_spk, uncond_prompt = jnp.split(logits, 3, axis=0)
+    g_s = jnp.asarray(spkemb_guidance_scale, dtype=logits.dtype)
+    g_p = jnp.asarray(prompt_guidance_scale, dtype=logits.dtype)
+    base = g_s + g_p - 1.0
+    return base * cond + (1.0 - g_s) * uncond_spk + (1.0 - g_p) * uncond_prompt
+
+
 def logits_to_probs(
     logits: jax.Array,
     temperature: jax.Array | float = 1.0,
@@ -127,4 +152,18 @@ def sample_cfg(
 ) -> jax.Array:
     """CFG merge then sample. ``logits``: (2B, V) -> (B,) int32 tokens."""
     merged = cfg_merge(logits, guidance_scale)
+    return sample_from_logits(key, merged, temperature=temperature, top_p=top_p, top_k=top_k)
+
+
+def sample_cfg3(
+    key: jax.Array,
+    logits: jax.Array,
+    spkemb_guidance_scale: jax.Array | float,
+    prompt_guidance_scale: jax.Array | float,
+    temperature: jax.Array | float = 1.0,
+    top_p: jax.Array | float | None = None,
+    top_k: int | None = None,
+) -> jax.Array:
+    """Double-CFG merge then sample. ``logits``: (3B, V) -> (B,) int32."""
+    merged = cfg_merge3(logits, spkemb_guidance_scale, prompt_guidance_scale)
     return sample_from_logits(key, merged, temperature=temperature, top_p=top_p, top_k=top_k)

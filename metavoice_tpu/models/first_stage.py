@@ -47,24 +47,66 @@ class DecodeState(NamedTuple):
     out_len: jax.Array  # (B,) int32 — tokens emitted per row (incl. EOA)
 
 
-def _cfg_rows(x: jax.Array) -> jax.Array:
-    """(B, ...) -> (2B, ...): duplicate rows for the CFG cond/uncond pair.
+def _cfg_rows(x: jax.Array, n: int = 2) -> jax.Array:
+    """(B, ...) -> (nB, ...): duplicate rows for the CFG guidance groups.
 
-    Both rows consume the same token stream (reference
+    All groups consume the same token stream (reference
     fam/llm/fast_inference_utils.py:172 repeats the sampled token onto both
-    guidance rows); only the speaker conditioning differs via the mask.
+    guidance rows); only the speaker conditioning differs via the mask. With
+    n=3 the third group is the prompt-unconditioned one (reference
+    fam/llm/mixins/causal.py:229-262): the caller replaces its *text* tokens
+    with end-of-text via :func:`_uncond_prompt_rows`.
     """
-    return jnp.concatenate([x, x], axis=0)
+    return jnp.concatenate([x] * n, axis=0)
 
 
-def make_spk_cond_mask(batch_size: int) -> jax.Array:
-    """(2B, 1, 1) mask: 1 for conditioned rows, 0 for unconditioned."""
-    return jnp.concatenate(
-        [jnp.ones((batch_size, 1, 1)), jnp.zeros((batch_size, 1, 1))], axis=0
+def _uncond_prompt_rows(
+    tokens: jax.Array, end_of_text_token: jax.Array | int,
+    end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
+) -> jax.Array:
+    """Replace text tokens (> EOA) with end-of-text for prompt unconditioning
+    (reference fam/llm/mixins/causal.py:259-262)."""
+    return jnp.where(
+        tokens > end_of_audio_token,
+        jnp.asarray(end_of_text_token, tokens.dtype),
+        tokens,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def _normalize_guidance(
+    guidance_scale: float | tuple[float, float] | None,
+) -> tuple[float, float, int]:
+    """float | (spk, prompt) tuple -> (spk_scale, prompt_scale, cfg_rows).
+
+    The reference slow path takes a (spkemb_guidance, prompt_guidance) tuple
+    defaulting to (3.0, 1.0) (fam/llm/inference.py:646) and only triples the
+    batch when prompt_guidance > 1 (mixins/causal.py:254-256).
+    """
+    if guidance_scale is None:
+        return 1.0, 1.0, 2
+    if isinstance(guidance_scale, (tuple, list)):
+        spk_g, prompt_g = float(guidance_scale[0]), float(guidance_scale[1])
+    else:
+        spk_g, prompt_g = float(guidance_scale), 1.0
+    if spk_g < 1.0 or prompt_g < 1.0:
+        raise ValueError("guidance scales must be >= 1 (reference causal.py:90-92)")
+    return spk_g, prompt_g, 3 if prompt_g > 1.0 else 2
+
+
+def make_spk_cond_mask(batch_size: int, cfg_rows: int = 2) -> jax.Array:
+    """(cfg_rows*B, 1, 1) mask: 1 for speaker-conditioned row groups.
+
+    2-row: [cond, spk-uncond]. 3-row adds the prompt-uncond group, which
+    KEEPS speaker conditioning (reference causal.py:229-235 re-appends
+    speaker_embs for the third group).
+    """
+    ones = jnp.ones((batch_size, 1, 1))
+    zeros = jnp.zeros((batch_size, 1, 1))
+    groups = [ones, zeros] + ([ones] if cfg_rows == 3 else [])
+    return jnp.concatenate(groups, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "cfg_rows"))
 def prefill(
     params: tfm.Params,
     cfg: TransformerConfig,
@@ -77,6 +119,10 @@ def prefill(
     top_p: jax.Array,
     guidance_scale: jax.Array,
     compute_dtype=jnp.bfloat16,
+    *,
+    cfg_rows: int = 2,
+    prompt_guidance_scale: jax.Array | float = 1.0,
+    end_of_text_token: jax.Array | int = 0,
 ) -> tuple[jax.Array, tfm.KVCache]:
     """Process the prompt, fill the KV cache, sample the first new token.
 
@@ -84,11 +130,18 @@ def prefill(
     but pads to a static bucket and extracts the hidden state at the true
     last position before the lm head (single-row head matmul instead of a
     (T, V) one). Returns ((B,) next token, updated cache).
+
+    ``cfg_rows=3`` enables double guidance (speaker + prompt, reference
+    mixins/causal.py:89-105,229-262): the third row group sees the prompt
+    with text tokens replaced by ``end_of_text_token``.
     """
     b = prompt.shape[0]
-    idx2 = _cfg_rows(prompt)
-    spk2 = _cfg_rows(spk_emb)
-    mask2 = make_spk_cond_mask(b)
+    idx2 = _cfg_rows(prompt, cfg_rows)
+    if cfg_rows == 3:
+        uncond = _uncond_prompt_rows(prompt, end_of_text_token)
+        idx2 = jnp.concatenate([prompt, prompt, uncond], axis=0)
+    spk2 = _cfg_rows(spk_emb, cfg_rows)
+    mask2 = make_spk_cond_mask(b, cfg_rows)
 
     t = prompt.shape[1]
     positions = jnp.arange(t)
@@ -98,9 +151,15 @@ def prefill(
     # hidden at the true last prompt position (padded tail unused)
     x_last = jax.lax.dynamic_slice_in_dim(x, prompt_len - 1, 1, axis=1)  # (2B, 1, D)
     logits = tfm.output_logits(params, cfg, x_last)[0][:, 0, :]  # (2B, V)
-    next_token = S.sample_cfg(
-        key, logits, guidance_scale, temperature=temperature, top_p=top_p
-    )
+    if cfg_rows == 3:
+        next_token = S.sample_cfg3(
+            key, logits, guidance_scale, prompt_guidance_scale,
+            temperature=temperature, top_p=top_p,
+        )
+    else:
+        next_token = S.sample_cfg(
+            key, logits, guidance_scale, temperature=temperature, top_p=top_p
+        )
     return next_token, new_kv
 
 
@@ -119,13 +178,16 @@ def _decode_fn(
     max_steps: int,  # static buffer size
     end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
     compute_dtype=jnp.bfloat16,
+    cfg_rows: int = 2,
+    prompt_guidance_scale: jax.Array | float = 1.0,
+    end_of_text_token: jax.Array | int = 0,
 ) -> tuple[jax.Array, jax.Array, tfm.KVCache]:
     """Run the full decode loop on device. Returns (tokens (B, max_steps),
     lengths (B,), cache). ``tokens[b, :lengths[b]]`` are valid and include
     the end-of-audio token if one was emitted."""
     b = first_token.shape[0]
-    spk2 = _cfg_rows(spk_emb)
-    mask2 = make_spk_cond_mask(b)
+    spk2 = _cfg_rows(spk_emb, cfg_rows)
+    mask2 = make_spk_cond_mask(b, cfg_rows)
     block_size = cfg.block_size
 
     init_done = first_token == end_of_audio_token
@@ -151,15 +213,29 @@ def _decode_fn(
 
     def body(s: DecodeState) -> DecodeState:
         key, sub = jax.random.split(s.key)
-        idx2 = _cfg_rows(s.cur_token)[:, None]  # (2B, 1)
+        idx2 = _cfg_rows(s.cur_token, cfg_rows)[:, None]  # (cfg_rows*B, 1)
+        if cfg_rows == 3:
+            # sampled tokens are audio ids (<= EOA) so this is usually a
+            # no-op, but it pins the reference's per-step replacement
+            # semantics (causal.py:259-262)
+            idx2 = jnp.concatenate(
+                [idx2[: 2 * b], _uncond_prompt_rows(idx2[2 * b :], end_of_text_token)],
+                axis=0,
+            )
         positions = s.pos[None]  # (1,)
         x = tfm.embed_inputs(params, cfg, idx2, positions, spk2, mask2, compute_dtype)
         attn_mask = tfm.causal_mask_for(positions, s.kv.max_seq_len)[None, None]
         x, new_kv = tfm.apply_blocks(params, cfg, x, attn_mask, s.kv, s.pos)
-        logits = tfm.output_logits(params, cfg, x)[0][:, 0, :]  # (2B, V)
-        sampled = S.sample_cfg(
-            sub, logits, guidance_scale, temperature=temperature, top_p=top_p
-        )  # (B,)
+        logits = tfm.output_logits(params, cfg, x)[0][:, 0, :]  # (cfg_rows*B, V)
+        if cfg_rows == 3:
+            sampled = S.sample_cfg3(
+                sub, logits, guidance_scale, prompt_guidance_scale,
+                temperature=temperature, top_p=top_p,
+            )
+        else:
+            sampled = S.sample_cfg(
+                sub, logits, guidance_scale, temperature=temperature, top_p=top_p
+            )  # (B,)
         # Rows already done keep emitting EOA (frozen).
         next_token = jnp.where(s.done, end_of_audio_token, sampled).astype(jnp.int32)
         out_buf = jax.lax.dynamic_update_slice(s.out_buf, next_token[:, None], (0, s.step))
@@ -183,7 +259,9 @@ def _decode_fn(
 
 decode = jax.jit(
     _decode_fn,
-    static_argnames=("cfg", "max_steps", "end_of_audio_token", "compute_dtype"),
+    static_argnames=(
+        "cfg", "max_steps", "end_of_audio_token", "compute_dtype", "cfg_rows"
+    ),
 )
 
 
@@ -210,22 +288,34 @@ def generate(
     key: jax.Array,
     temperature: float = 1.0,
     top_p: float = 0.95,
-    guidance_scale: float = 3.0,
+    guidance_scale: float | tuple[float, float] = 3.0,
     max_new_tokens: int | None = None,
     end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
+    end_of_text_token: int = 0,
     prompt_pad_multiple: int = 128,
     kv_cache: tfm.KVCache | None = None,
     compute_dtype=jnp.bfloat16,
 ):
-    """Host-facing single-utterance generation (batch 1, CFG rows = 2).
+    """Host-facing single-utterance generation (batch 1).
 
     Equivalent of reference ``generate`` (fam/llm/fast_inference_utils.py:
     182-228): prefill on the prompt, then decode until end-of-audio /
     max_new_tokens / block_size. Returns the full sequence
     [prompt ++ generated] as a 1-D numpy array (EOA included if emitted).
+
+    ``guidance_scale`` is either a float (speaker CFG, 2 rows) or the
+    reference's (spkemb_guidance, prompt_guidance) tuple
+    (fam/llm/inference.py:646); prompt_guidance > 1 switches to the 3-row
+    double-CFG batch (mixins/causal.py:229-262) and needs
+    ``end_of_text_token`` (tokenizer.eot_token).
     """
     import numpy as np
 
+    spk_g, prompt_g, cfg_rows = _normalize_guidance(guidance_scale)
+    if cfg_rows == 3 and end_of_text_token <= end_of_audio_token:
+        raise ValueError(
+            "prompt guidance > 1 requires end_of_text_token (tokenizer.eot_token)"
+        )
     padded, t_true = pad_to_bucket(
         prompt_tokens, prompt_pad_multiple, max_len=cfg.block_size
     )
@@ -235,14 +325,16 @@ def generate(
     if max_steps <= 0:
         raise ValueError("Prompt is too long to generate more tokens")
 
-    if kv_cache is None:
-        kv_cache = tfm.KVCache.create(cfg, 2, cfg.block_size, dtype=compute_dtype)
+    if kv_cache is None or kv_cache.batch_size != cfg_rows:
+        kv_cache = tfm.KVCache.create(cfg, cfg_rows, cfg.block_size, dtype=compute_dtype)
     spk_emb = jnp.asarray(spk_emb).reshape(1, -1)
 
     key_prefill, key_decode = jax.random.split(key)
     temperature = jnp.asarray(temperature, jnp.float32)
     top_p_a = jnp.asarray(top_p, jnp.float32)
-    guidance = jnp.asarray(guidance_scale, jnp.float32)
+    guidance = jnp.asarray(spk_g, jnp.float32)
+    prompt_guidance = jnp.asarray(prompt_g, jnp.float32)
+    eot = jnp.asarray(end_of_text_token, jnp.int32)
 
     first_token, kv_cache = prefill(
         params,
@@ -256,6 +348,9 @@ def generate(
         top_p_a,
         guidance,
         compute_dtype=compute_dtype,
+        cfg_rows=cfg_rows,
+        prompt_guidance_scale=prompt_guidance,
+        end_of_text_token=eot,
     )
 
     # decode buffer is statically sized by the block; dynamic caps bound the loop
@@ -275,6 +370,9 @@ def generate(
         buf_steps,
         end_of_audio_token,
         compute_dtype,
+        cfg_rows,
+        prompt_guidance,
+        eot,
     )
 
     first = np.asarray(first_token)
@@ -504,9 +602,10 @@ def generate_segments(
     segment_tokens: int = 150,  # 75 frames = 1 s of audio per segment
     temperature: float = 1.0,
     top_p: float = 0.95,
-    guidance_scale: float = 3.0,
+    guidance_scale: float | tuple[float, float] = 3.0,
     max_new_tokens: int | None = None,
     end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
+    end_of_text_token: int = 0,
     prompt_pad_multiple: int = 128,
     compute_dtype=jnp.bfloat16,
 ):
@@ -523,6 +622,11 @@ def generate_segments(
 
     if segment_tokens % 2 != 0:
         raise ValueError("segment_tokens must be even (whole interleaved frames)")
+    spk_g, prompt_g, cfg_rows = _normalize_guidance(guidance_scale)
+    if cfg_rows == 3 and end_of_text_token <= end_of_audio_token:
+        raise ValueError(
+            "prompt guidance > 1 requires end_of_text_token (tokenizer.eot_token)"
+        )
     padded, t_true = pad_to_bucket(prompt_tokens, prompt_pad_multiple, max_len=cfg.block_size)
     budget = cfg.block_size - t_true
     if max_new_tokens is not None:
@@ -530,16 +634,19 @@ def generate_segments(
     if budget <= 0:
         raise ValueError("Prompt is too long to generate more tokens")
 
-    kv = tfm.KVCache.create(cfg, 2, cfg.block_size, dtype=compute_dtype)
+    kv = tfm.KVCache.create(cfg, cfg_rows, cfg.block_size, dtype=compute_dtype)
     spk_emb = jnp.asarray(spk_emb).reshape(1, -1)
     key, kp = jax.random.split(key)
     t1 = jnp.asarray(temperature, jnp.float32)
     tp = jnp.asarray(top_p, jnp.float32)
-    g = jnp.asarray(guidance_scale, jnp.float32)
+    g = jnp.asarray(spk_g, jnp.float32)
+    pg = jnp.asarray(prompt_g, jnp.float32)
+    eot = jnp.asarray(end_of_text_token, jnp.int32)
 
     cur, kv = prefill(
         params, cfg, jnp.asarray(padded)[None, :], jnp.asarray(t_true, jnp.int32),
         spk_emb, kv, kp, t1, tp, g, compute_dtype=compute_dtype,
+        cfg_rows=cfg_rows, prompt_guidance_scale=pg, end_of_text_token=eot,
     )
     pos = t_true
     pending = [int(np.asarray(cur)[0])]
@@ -556,7 +663,7 @@ def generate_segments(
         buf, lens, kv = decode(
             params, cfg, cur, jnp.asarray(pos, jnp.int32), spk_emb, kv, kd,
             t1, tp, g, jnp.asarray(step_budget, jnp.int32), cfg.block_size,
-            end_of_audio_token, compute_dtype,
+            end_of_audio_token, compute_dtype, cfg_rows, pg, eot,
         )
         n = int(np.asarray(lens)[0])
         toks = np.asarray(buf)[0, :n]

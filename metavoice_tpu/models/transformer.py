@@ -61,6 +61,10 @@ class KVCache(NamedTuple):
     def max_seq_len(self) -> int:
         return self.k.shape[1]
 
+    @property
+    def batch_size(self) -> int:
+        return self.k.shape[2]
+
 
 # --------------------------------------------------------------------------------------
 # Initialization

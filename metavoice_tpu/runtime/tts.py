@@ -364,6 +364,7 @@ class TTS:
             temperature=temperature,
             top_p=top_p,
             guidance_scale=guidance_scale,
+            end_of_text_token=self.c.tokenizer.eot_token,
             prompt_pad_multiple=self.runtime.prompt_pad_multiple,
             kv_cache=self._kv_cache,
             compute_dtype=self._compute_dtype,
@@ -375,7 +376,7 @@ class TTS:
         text: str,
         spk_ref_path: str,
         top_p: float = 0.95,
-        guidance_scale: float = 3.0,
+        guidance_scale: float | tuple[float, float] = 3.0,
         temperature: float = 1.0,
         segment_tokens: int = 150,
     ):
@@ -405,6 +406,7 @@ class TTS:
                 temperature=temperature,
                 top_p=top_p,
                 guidance_scale=guidance_scale,
+                end_of_text_token=self.c.tokenizer.eot_token,
                 prompt_pad_multiple=self.runtime.prompt_pad_multiple,
                 compute_dtype=self._compute_dtype,
             ):
@@ -420,7 +422,7 @@ class TTS:
         text: str,
         spk_ref_path: str,
         top_p: float = 0.95,
-        guidance_scale: float = 3.0,
+        guidance_scale: float | tuple[float, float] = 3.0,
         temperature: float = 1.0,
     ) -> str:
         """Synthesise ``text`` in the voice of ``spk_ref_path``.

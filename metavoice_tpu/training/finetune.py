@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from metavoice_tpu.core.config import TransformerConfig
+from metavoice_tpu.core.tokens import END_OF_TEXT_TOKEN
 from metavoice_tpu.models import transformer as tfm
 
 
@@ -142,17 +143,58 @@ def hierarchy_cross_entropy(
     return total / jnp.maximum(count, 1.0)
 
 
+def mask_spk_emb_on_text(
+    idx: jax.Array, end_of_text_token: int = END_OF_TEXT_TOKEN
+) -> jax.Array:
+    """(B, [C,] T) tokens -> (B, T, 1) keep-mask for speaker conditioning.
+
+    Zeroes the speaker embedding on every position strictly before the
+    end-of-text token; the EOT position itself KEEPS conditioning so the
+    first predicted audio token has speaker information. Reference
+    fam/llm/model.py:178-193 (_mask_spk_emb_on_text; cumsum > 0 rule).
+    """
+    first = idx if idx.ndim == 2 else idx[:, 0, :]
+    is_eot = first == end_of_text_token
+    keep = jnp.cumsum(is_eot, axis=-1) > 0
+    return keep.astype(jnp.float32)[:, :, None]
+
+
+def spkemb_dropout_mask(
+    key: jax.Array, batch_size: int, spkemb_dropout: float
+) -> jax.Array:
+    """(B, 1, 1) per-row keep-mask: drop whole rows' speaker conditioning
+    with probability ``spkemb_dropout`` — this is what trains the
+    classifier-free-guidance uncond branch. No 1/(1-p) rescale, matching
+    reference fam/llm/model.py:269-274."""
+    keep = jax.random.uniform(key, (batch_size, 1, 1)) >= spkemb_dropout
+    return keep.astype(jnp.float32)
+
+
 def loss_fn(
     params: Any,
     model_cfg: TransformerConfig,
     batch: dict[str, jax.Array],
     compute_dtype=jnp.bfloat16,
+    dropout_key: jax.Array | None = None,
 ) -> jax.Array:
+    spk_emb = batch.get("spk_emb")
+    spk_cond_mask = None
+    if spk_emb is not None:
+        if not model_cfg.spk_emb_on_text:
+            spk_cond_mask = mask_spk_emb_on_text(batch["x"])
+        if model_cfg.spkemb_dropout > 0.0 and dropout_key is not None:
+            row_mask = spkemb_dropout_mask(
+                dropout_key, spk_emb.shape[0], model_cfg.spkemb_dropout
+            )
+            spk_cond_mask = (
+                row_mask if spk_cond_mask is None else spk_cond_mask * row_mask
+            )
     logits, _ = tfm.forward(
         params,
         model_cfg,
         batch["x"],
-        spk_emb=batch.get("spk_emb"),
+        spk_emb=spk_emb,
+        spk_cond_mask=spk_cond_mask,
         compute_dtype=compute_dtype,
     )
     return hierarchy_cross_entropy(logits, batch["y"])
@@ -180,32 +222,38 @@ def make_train_step(
     (finetune.py:320-340) without host round-trips.
     """
 
-    def single_grads(params, micro_batch):
+    def single_grads(params, micro_batch, dropout_key):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, model_cfg, micro_batch, compute_dtype
+            params, model_cfg, micro_batch, compute_dtype, dropout_key
         )
         return loss, grads
 
     @jax.jit
     def train_step(state: TrainState, batch: dict[str, jax.Array]):
+        # per-step deterministic key for spkemb dropout (reference relies on
+        # torch's global RNG; here the step index seeds it reproducibly)
+        step_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
         if cfg.gradient_accumulation_steps > 1:
             def scan_body(carry, micro_batch):
-                loss_acc, grads_acc = carry
-                loss, grads = single_grads(state.params, micro_batch)
+                loss_acc, grads_acc, i = carry
+                loss, grads = single_grads(
+                    state.params, micro_batch, jax.random.fold_in(step_key, i)
+                )
                 return (
                     loss_acc + loss,
                     jax.tree.map(jnp.add, grads_acc, grads),
+                    i + 1,
                 ), None
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
-            (loss_sum, grads_sum), _ = jax.lax.scan(
-                scan_body, (jnp.zeros(()), zeros), batch
+            (loss_sum, grads_sum, _), _ = jax.lax.scan(
+                scan_body, (jnp.zeros(()), zeros, jnp.zeros((), jnp.int32)), batch
             )
             k = cfg.gradient_accumulation_steps
             loss = loss_sum / k
             grads = jax.tree.map(lambda g: g / k, grads_sum)
         else:
-            loss, grads = single_grads(state.params, batch)
+            loss, grads = single_grads(state.params, batch, step_key)
 
         if grad_mask is not None:
             grads = apply_grad_mask(grads, grad_mask)
@@ -285,8 +333,13 @@ def make_finetune_step(
 
     @jax.jit
     def step(state: TrainState, batch: dict[str, jax.Array]):
+        step_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
+
         def loss_of(train):
-            return loss_fn(merge_trainable(frozen, train), model_cfg, batch, compute_dtype)
+            return loss_fn(
+                merge_trainable(frozen, train), model_cfg, batch, compute_dtype,
+                step_key,
+            )
 
         loss, grads = jax.value_and_grad(loss_of)(state.params)
         updates, new_opt_state = opt.update(grads, state.opt_state, state.params)

@@ -56,6 +56,8 @@ def save_checkpoint(
             "norm_type": model_cfg.norm_type,
             "nonlinearity_type": model_cfg.nonlinearity_type,
             "bias": model_cfg.bias,
+            "spkemb_dropout": model_cfg.spkemb_dropout,
+            "spk_emb_on_text": model_cfg.spk_emb_on_text,
         },
         "iter_num": int(state.step),
         "best_val_loss": float(best_val_loss),
@@ -167,6 +169,17 @@ def main():
     ap.add_argument("--seed", type=int, default=1337)
     ap.add_argument("--small", action="store_true", help="small dev model (no ckpt)")
     ap.add_argument(
+        "--spkemb_dropout", type=float, default=None,
+        help="drop whole rows' speaker conditioning with this probability "
+        "(trains the CFG uncond branch; reference fam/llm/model.py:269-274). "
+        "Default: keep the checkpoint's value.",
+    )
+    ap.add_argument(
+        "--no_spk_emb_on_text", action="store_true",
+        help="mask speaker conditioning on text positions "
+        "(reference _mask_spk_emb_on_text, fam/llm/model.py:178-193)",
+    )
+    ap.add_argument(
         "--param_dtype",
         choices=["bfloat16", "float32"],
         default="bfloat16",
@@ -181,10 +194,17 @@ def main():
         params = jax.tree.map(jnp.asarray, params)
     elif args.ckpt:
         params, meta = ck.load_npz(args.ckpt)
-        margs = meta.get("model_args", {})
-        model_cfg = first_stage_config(
-            **{k: v for k, v in margs.items() if k in ("n_layer", "n_head", "block_size")}
+        margs = dict(meta.get("model_args", {}))
+        if "n_embd" in margs:
+            margs["dim"] = margs.pop("n_embd")
+        keep = (
+            "n_layer", "n_head", "dim", "block_size", "causal", "norm_type",
+            "nonlinearity_type", "bias", "spkemb_dropout", "spk_emb_on_text",
         )
+        overrides = {k: v for k, v in margs.items() if k in keep}
+        if margs.get("vocab_sizes"):
+            overrides["vocab_sizes"] = tuple(margs["vocab_sizes"])
+        model_cfg = first_stage_config(**overrides)
         tokenizer_info = meta.get("meta", {}).get("tokenizer", {})
         params = jax.tree.map(jnp.asarray, params)
     else:
@@ -195,6 +215,14 @@ def main():
             else first_stage_config()
         )
         params = tfm.init_params(jax.random.PRNGKey(args.seed), model_cfg)
+
+    cfg_overrides = {}
+    if args.spkemb_dropout is not None:
+        cfg_overrides["spkemb_dropout"] = args.spkemb_dropout
+    if args.no_spk_emb_on_text:
+        cfg_overrides["spk_emb_on_text"] = False
+    if cfg_overrides:
+        model_cfg = dataclasses.replace(model_cfg, **cfg_overrides)
 
     params = jax.tree.map(
         lambda a: jnp.asarray(a, jnp.bfloat16 if args.param_dtype == "bfloat16" else jnp.float32),

@@ -59,67 +59,51 @@ def load_first_stage_pt(path: str, cfg: TransformerConfig | None = None, dtype=n
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = _strip_compile_prefix(ckpt["model"])
-    cfg = cfg or first_stage_config()
+    if cfg is None:
+        # Honor checkpoint-embedded model_args (a finetuned checkpoint may
+        # have non-default architecture), mirroring load_second_stage_pt and
+        # the reference loader (fam/llm/inference.py:124-131); fall back to
+        # the stock 1B shape for args the checkpoint doesn't carry.
+        args = ckpt.get("model_args", {}) or {}
+        meta = ckpt.get("meta", {}) or {}
+        overrides = {}
+        for src, dst in (
+            ("block_size", "block_size"),
+            ("n_layer", "n_layer"),
+            ("n_head", "n_head"),
+            ("n_embd", "dim"),
+            ("causal", "causal"),
+            ("norm_type", "norm_type"),
+            ("nonlinearity_type", "nonlinearity_type"),
+            ("bias", "bias"),
+            ("spkemb_dropout", "spkemb_dropout"),
+            ("spk_emb_on_text", "spk_emb_on_text"),
+        ):
+            if src in args:
+                overrides[dst] = args[src]
+        if args.get("vocab_sizes"):
+            overrides["vocab_sizes"] = tuple(args["vocab_sizes"])
+        if args.get("rmsnorm_eps"):
+            overrides["norm_eps"] = args["rmsnorm_eps"]
+        if meta.get("speaker_emb_size"):
+            overrides["speaker_emb_dim"] = meta["speaker_emb_size"]
+        cfg = first_stage_config(**overrides)
     l = cfg.n_layer
 
-    def g(name):
-        return _to_np(sd[name]).astype(dtype)
-
-    def stack(fmt, transpose=False):
-        mats = [_to_np(sd[fmt.format(i=i)]).astype(dtype) for i in range(l)]
-        if transpose:
-            mats = [m.T for m in mats]
-        return np.stack(mats, axis=0)
-
-    params: Params = {
-        "wtes": [g("transformer.wtes.0.weight")],
-        "wpe": g("transformer.wpe.weight"),
-        "speaker_cond": g("speaker_cond_pos.weight").T,
-        "layers": {
-            "attn_norm_w": stack("transformer.h.{i}.ln_1.weight"),
-            "wqkv": stack("transformer.h.{i}.attn.c_attn.weight", transpose=True),
-            "wo": stack("transformer.h.{i}.attn.c_proj.weight", transpose=True),
-            "ffn_norm_w": stack("transformer.h.{i}.ln_2.weight"),
-            "w1": stack("transformer.h.{i}.mlp.swiglu.w1.weight", transpose=True),
-            "w3": stack("transformer.h.{i}.mlp.swiglu.w3.weight", transpose=True),
-            "w2": stack("transformer.h.{i}.mlp.c_proj.weight", transpose=True),
-        },
-        "ln_f_w": g("transformer.ln_f.weight"),
-    }
+    params = _extract_gpt_params(sd, cfg, dtype)
     # lm_heads.0.weight is tied to wtes.0 (fam/llm/model.py:139-143); our
     # forward reuses wtes for the tied head, so nothing further to load.
     tokenizer_info = ckpt.get("meta", {}).get("tokenizer", {})
     return params, cfg, tokenizer_info
 
 
-def load_second_stage_pt(path: str, dtype=np.float32):
-    """second_stage.pt -> (params, cfg, tokenizer_info).
+def _extract_gpt_params(sd: dict, cfg: TransformerConfig, dtype=np.float32) -> Params:
+    """Training-format state dict -> stacked-layer pytree, variant-aware.
 
-    Builds the TransformerConfig from checkpoint-embedded model_args
-    (fam/llm/inference.py:124-131).
+    Handles every GPTConfig combination the reference trainer can emit
+    (fam/llm/model.py:26-46): rmsnorm/layernorm (+bias), swiglu/gelu MLPs,
+    biased/unbiased linears, tied or separate lm heads.
     """
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = _strip_compile_prefix(ckpt["model"])
-    args = ckpt["model_args"]
-    meta = ckpt.get("meta", {})
-    ckpt_cfg = ckpt.get("config", {})
-
-    cfg = TransformerConfig(
-        block_size=args["block_size"],
-        n_layer=args["n_layer"],
-        n_head=args["n_head"],
-        dim=args["n_embd"],
-        vocab_sizes=tuple(args["vocab_sizes"]),
-        target_vocab_sizes=tuple(args["target_vocab_sizes"]) if args.get("target_vocab_sizes") else None,
-        causal=ckpt_cfg.get("causal", args.get("causal", False)),
-        norm_type=args.get("norm_type", "layernorm"),
-        nonlinearity_type=args.get("nonlinearity_type", "gelu"),
-        bias=args.get("bias", True),
-        speaker_emb_dim=meta.get("speaker_emb_size", 256),
-        norm_eps=args.get("rmsnorm_eps") or 1e-5,
-    )
     l = cfg.n_layer
 
     def g(name):
@@ -174,6 +158,38 @@ def load_second_stage_pt(path: str, dtype=np.float32):
         params["lm_heads"] = [
             g(f"lm_heads.{i}.weight").T for i in range(len(cfg.target_vocab_sizes))
         ]
+    return params
+
+
+def load_second_stage_pt(path: str, dtype=np.float32):
+    """second_stage.pt -> (params, cfg, tokenizer_info).
+
+    Builds the TransformerConfig from checkpoint-embedded model_args
+    (fam/llm/inference.py:124-131).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = _strip_compile_prefix(ckpt["model"])
+    args = ckpt["model_args"]
+    meta = ckpt.get("meta", {})
+    ckpt_cfg = ckpt.get("config", {})
+
+    cfg = TransformerConfig(
+        block_size=args["block_size"],
+        n_layer=args["n_layer"],
+        n_head=args["n_head"],
+        dim=args["n_embd"],
+        vocab_sizes=tuple(args["vocab_sizes"]),
+        target_vocab_sizes=tuple(args["target_vocab_sizes"]) if args.get("target_vocab_sizes") else None,
+        causal=ckpt_cfg.get("causal", args.get("causal", False)),
+        norm_type=args.get("norm_type", "layernorm"),
+        nonlinearity_type=args.get("nonlinearity_type", "gelu"),
+        bias=args.get("bias", True),
+        speaker_emb_dim=meta.get("speaker_emb_size", 256),
+        norm_eps=args.get("rmsnorm_eps") or 1e-5,
+    )
+    params = _extract_gpt_params(sd, cfg, dtype)
     tokenizer_info = meta.get("tokenizer", {})
     return params, cfg, tokenizer_info
 

@@ -67,7 +67,10 @@ def _torch_forward(sd, cfg, idx, spk_emb, spk_on):
     x = sd["transformer.wtes.0.weight"][idx]
     x = x + sd["transformer.wpe.weight"][:t]
     cond = spk_emb @ sd["speaker_cond_pos.weight"].T
-    x = x + cond[:, None, :] * spk_on.view(-1, 1, 1)
+    # spk_on: (B,) per-row CFG gate or (B, T) per-position mask (the
+    # reference's _mask_spk_emb_on_text shape, fam/llm/model.py:178-193)
+    gate = spk_on.view(-1, 1, 1) if spk_on.dim() == 1 else spk_on[:, :, None]
+    x = x + cond[:, None, :] * gate
     mask = torch.tril(torch.ones(t, t, dtype=torch.bool))
     for i in range(cfg.n_layer):
         xa = rms(x, sd[f"transformer.h.{i}.ln_1.weight"])
@@ -262,3 +265,93 @@ def test_second_stage_parity(tmp_path):
     )
     for ours, ref in zip(logits, refs):
         np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4, rtol=1e-3)
+
+
+def test_masked_spk_emb_on_text_forward_parity(tmp_path):
+    """Torch oracle of the spk_emb_on_text=False forward: speaker
+    conditioning masked on text positions via the reference cumsum rule
+    (fam/llm/model.py:178-193,276-278)."""
+    from metavoice_tpu.training import finetune as ft
+
+    sd = _torch_first_stage_state(TINY, seed=3)
+    path = tmp_path / "first_stage.pt"
+    torch.save({"model": sd, "meta": {"tokenizer": {}}}, path)
+    params, cfg, _ = ckpt_util.load_first_stage_pt(str(path), TINY)
+
+    eot = 42  # scaled-down END_OF_TEXT_TOKEN inside the tiny vocab
+    idx_np = np.random.default_rng(2).integers(0, 40, size=(2, 9))
+    idx_np[0, 3] = eot  # row 0: EOT mid-sequence
+    idx_np[1, 0] = eot  # row 1: EOT first
+    spk_np = np.random.default_rng(3).normal(size=(2, TINY.speaker_emb_dim)).astype(np.float32)
+
+    # torch-side mask: cumsum(is_eot) > 0 (keeps the EOT position itself)
+    idx_t = torch.tensor(idx_np)
+    mask_t = (torch.cumsum(idx_t == eot, dim=-1) > 0).float()
+    with torch.no_grad():
+        ref = _torch_forward(sd, TINY, idx_t, torch.tensor(spk_np), mask_t).numpy()
+
+    mask = ft.mask_spk_emb_on_text(jnp.asarray(idx_np), end_of_text_token=eot)
+    np.testing.assert_array_equal(np.asarray(mask)[:, :, 0], mask_t.numpy())
+    logits, _ = tfm.forward(
+        params, cfg, jnp.asarray(idx_np),
+        spk_emb=jnp.asarray(spk_np), spk_cond_mask=mask, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_first_stage_loader_honors_model_args(tmp_path):
+    """A finetuned first-stage .pt with non-default architecture must load
+    via its embedded model_args (mirrors load_second_stage_pt; reference
+    loader fam/llm/inference.py:124-131), not the hardcoded 1B shape."""
+    cfg = first_stage_config(
+        n_layer=3, n_head=2, dim=16, block_size=16, vocab_sizes=(40,),
+        intermediate_size=32, spkemb_dropout=0.1, spk_emb_on_text=False,
+    )
+    sd = _torch_first_stage_state(cfg, seed=5)
+    path = tmp_path / "finetuned.pt"
+    torch.save(
+        {
+            "model": sd,
+            "model_args": {
+                "n_layer": 3, "n_head": 2, "n_embd": 16, "block_size": 16,
+                "vocab_sizes": [40], "causal": True, "norm_type": "rmsnorm",
+                "nonlinearity_type": "swiglu", "bias": False,
+                "spkemb_dropout": 0.1, "spk_emb_on_text": False,
+            },
+            "meta": {"speaker_emb_size": 256, "tokenizer": {}},
+        },
+        path,
+    )
+    params, loaded_cfg, _ = ckpt_util.load_first_stage_pt(str(path))
+    assert loaded_cfg.n_layer == 3
+    assert loaded_cfg.n_head == 2
+    assert loaded_cfg.dim == 16
+    assert loaded_cfg.block_size == 16
+    assert loaded_cfg.vocab_sizes == (40,)
+    assert loaded_cfg.spkemb_dropout == 0.1
+    assert loaded_cfg.spk_emb_on_text is False
+    # forward parity on the loaded shape proves the weights mapped correctly
+    idx_np = np.random.default_rng(6).integers(0, 40, size=(1, 5))
+    spk_np = np.random.default_rng(7).normal(size=(1, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_forward(
+            sd, cfg, torch.tensor(idx_np), torch.tensor(spk_np),
+            torch.ones(1),
+        ).numpy()
+    logits, _ = tfm.forward(
+        params, loaded_cfg, jnp.asarray(idx_np),
+        spk_emb=jnp.asarray(spk_np),
+        spk_cond_mask=jnp.ones((1, 1, 1)),
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_first_stage_loader_defaults_without_model_args(tmp_path):
+    """Old-style checkpoints without model_args still load as the 1B shape
+    (cfg arg wins when provided)."""
+    sd = _torch_first_stage_state(TINY, seed=6)
+    path = tmp_path / "plain.pt"
+    torch.save({"model": sd, "meta": {"tokenizer": {}}}, path)
+    params, cfg, _ = ckpt_util.load_first_stage_pt(str(path), TINY)
+    assert cfg is TINY

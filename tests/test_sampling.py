@@ -103,3 +103,39 @@ def test_sample_cfg_shape():
     tok = S.sample_cfg(jax.random.PRNGKey(0), logits, guidance_scale=3.0, top_p=0.95)
     assert tok.shape == (2,)
     assert tok.dtype == jnp.int32
+
+
+def _reference_cfg_merge3(logits: np.ndarray, g_spk: float, g_prompt: float) -> np.ndarray:
+    """Numpy oracle of the reference double-guidance merge
+    (fam/llm/mixins/causal.py:89-105): split into thirds, then
+    base*cond + (1-g_spk)*uncond_spk + (1-g_prompt)*uncond_prompt."""
+    b = logits.shape[0] // 3
+    cond, uncond_spk, uncond_prompt = logits[:b], logits[b : 2 * b], logits[2 * b :]
+    base = g_spk + g_prompt - 1
+    return base * cond + (1 - g_spk) * uncond_spk + (1 - g_prompt) * uncond_prompt
+
+
+def test_cfg_merge3_matches_reference_formula():
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(6, 40)).astype(np.float32)
+    for g_spk, g_prompt in [(3.0, 1.0), (3.0, 2.0), (2.0, 1.5), (1.0, 1.0)]:
+        ref = _reference_cfg_merge3(logits, g_spk, g_prompt)
+        ours = np.asarray(S.cfg_merge3(jnp.asarray(logits), g_spk, g_prompt))
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_cfg_merge3_prompt_scale_one_reduces_to_pair_merge():
+    # With prompt guidance 1.0 the third term vanishes and the merge equals
+    # the 2-row speaker CFG on the first two groups.
+    rng = np.random.default_rng(8)
+    logits3 = rng.normal(size=(3, 40)).astype(np.float32)
+    merged3 = np.asarray(S.cfg_merge3(jnp.asarray(logits3), 3.0, 1.0))
+    merged2 = np.asarray(S.cfg_merge(jnp.asarray(logits3[:2]), 3.0))
+    np.testing.assert_allclose(merged3, merged2, rtol=1e-6, atol=1e-6)
+
+
+def test_sample_cfg3_shape():
+    logits = jnp.asarray(np.random.default_rng(9).normal(size=(6, 32)).astype(np.float32))
+    tok = S.sample_cfg3(jax.random.PRNGKey(0), logits, 3.0, 2.0, top_p=0.95)
+    assert tok.shape == (2,)
+    assert tok.dtype == jnp.int32

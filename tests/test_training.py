@@ -144,3 +144,101 @@ def test_finetune_split_step(params):
         np.asarray(merged["layers"]["wqkv"][-1]), np.asarray(params["layers"]["wqkv"][-1])
     )
     np.testing.assert_array_equal(np.asarray(merged["wtes"][0]), np.asarray(params["wtes"][0]))
+
+
+# ------------------------------------------------------------------ CFG-training parity
+# spkemb_dropout (reference fam/llm/model.py:35,269-274) and
+# _mask_spk_emb_on_text (fam/llm/model.py:178-193).
+
+
+def test_mask_spk_emb_on_text_rule():
+    # EOT at position 2 (row 0) / position 0 (row 1): positions strictly
+    # before EOT lose conditioning, the EOT position itself keeps it.
+    idx = jnp.asarray([[5, 6, 99, 7, 8], [99, 1, 2, 3, 4]], jnp.int32)
+    mask = np.asarray(ft.mask_spk_emb_on_text(idx, end_of_text_token=99))
+    np.testing.assert_array_equal(mask[:, :, 0], [[0, 0, 1, 1, 1], [1, 1, 1, 1, 1]])
+
+
+def test_mask_spk_emb_on_text_multi_hierarchy_uses_first():
+    idx = jnp.asarray([[[1, 99, 3], [7, 7, 7]]], jnp.int32)  # (B=1, C=2, T=3)
+    mask = np.asarray(ft.mask_spk_emb_on_text(idx, end_of_text_token=99))
+    np.testing.assert_array_equal(mask[0, :, 0], [0, 1, 1])
+
+
+def test_mask_spk_emb_on_text_repeated_eot():
+    # cumsum > 0 rule: repeated EOT tokens don't flip the mask back off
+    idx = jnp.asarray([[1, 99, 2, 99, 3]], jnp.int32)
+    mask = np.asarray(ft.mask_spk_emb_on_text(idx, end_of_text_token=99))
+    np.testing.assert_array_equal(mask[0, :, 0], [0, 1, 1, 1, 1])
+
+
+def test_spkemb_dropout_mask_extremes():
+    key = jax.random.PRNGKey(0)
+    np.testing.assert_array_equal(
+        np.asarray(ft.spkemb_dropout_mask(key, 4, 0.0)), np.ones((4, 1, 1))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ft.spkemb_dropout_mask(key, 4, 1.0)), np.zeros((4, 1, 1))
+    )
+
+
+def test_loss_with_full_spkemb_dropout_equals_zero_conditioning(params):
+    """p=1.0 must zero the conditioning exactly: same loss as spk_emb=0
+    (speaker_cond is a pure linear, so zero input == zero output)."""
+    import dataclasses
+
+    cfg_drop = dataclasses.replace(TINY, spkemb_dropout=1.0)
+    batch = _batch(seed=3)
+    loss_dropped = float(
+        ft.loss_fn(params, cfg_drop, batch, jnp.float32, jax.random.PRNGKey(1))
+    )
+    batch_zero = dict(batch, spk_emb=jnp.zeros_like(batch["spk_emb"]))
+    loss_zero = float(ft.loss_fn(params, TINY, batch_zero, jnp.float32))
+    np.testing.assert_allclose(loss_dropped, loss_zero, rtol=1e-6)
+
+
+def test_spkemb_dropout_deterministic_per_key(params):
+    import dataclasses
+
+    cfg_drop = dataclasses.replace(TINY, spkemb_dropout=0.5)
+    batch = _batch(bsz=8, seed=4)
+    l1 = float(ft.loss_fn(params, cfg_drop, batch, jnp.float32, jax.random.PRNGKey(2)))
+    l2 = float(ft.loss_fn(params, cfg_drop, batch, jnp.float32, jax.random.PRNGKey(2)))
+    assert l1 == l2
+    # eval path (no key) applies no dropout
+    l_eval = float(ft.loss_fn(params, cfg_drop, batch, jnp.float32))
+    l_plain = float(ft.loss_fn(params, TINY, batch, jnp.float32))
+    np.testing.assert_allclose(l_eval, l_plain, rtol=1e-6)
+
+
+def test_spk_emb_on_text_false_changes_loss(params):
+    """With EOT present mid-sequence, masking text positions must change the
+    loss (conditioning removed from text region only)."""
+    import dataclasses
+
+    cfg_masked = dataclasses.replace(TINY, spk_emb_on_text=False)
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 60, (2, 8))
+    x[:, 3] = ft.END_OF_TEXT_TOKEN % 60  # won't match the real EOT id
+    batch = {
+        "x": jnp.asarray(x),
+        "y": jnp.asarray(rng.integers(0, 60, (2, 8))),
+        "spk_emb": jnp.asarray(rng.normal(size=(2, 256)).astype(np.float32)),
+    }
+    # no EOT in-range => whole sequence masked => equals zero conditioning
+    loss_masked = float(ft.loss_fn(params, cfg_masked, batch, jnp.float32))
+    loss_zero = float(
+        ft.loss_fn(params, TINY, dict(batch, spk_emb=jnp.zeros_like(batch["spk_emb"])), jnp.float32)
+    )
+    np.testing.assert_allclose(loss_masked, loss_zero, rtol=1e-6)
+
+
+def test_train_step_with_spkemb_dropout_runs(params):
+    import dataclasses
+
+    cfg_drop = dataclasses.replace(TINY, spkemb_dropout=0.3)
+    state, opt = ft.init_train_state(params, FT)
+    step = ft.make_train_step(cfg_drop, FT, opt, compute_dtype=jnp.float32)
+    state2, metrics = step(state, _batch(seed=6))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
