@@ -539,16 +539,21 @@ def generate_batch(
     spk_embs: jax.Array,  # (B, spk_dim)
     *,
     key: jax.Array,
-    temperature: float = 1.0,
-    top_p: float = 0.95,
-    guidance_scale: float = 3.0,
+    temperature: float = 1.0,  # scalar or per-row length-B sequence
+    top_p: float = 0.95,  # scalar or per-row
+    guidance_scale: float = 3.0,  # scalar or per-row
     max_new_tokens: int | None = None,
     end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
     prompt_pad_multiple: int = 128,
     compute_dtype=jnp.bfloat16,
 ) -> list:
     """Decode a ragged batch; returns a list of B generated-token arrays
-    (prompt not included, EOA included when emitted)."""
+    (prompt not included, EOA included when emitted).
+
+    Sampling knobs accept per-row vectors: they are traced (B, 1) operands
+    that broadcast through the temperature/top-p/CFG math, so mixed-settings
+    batches share one compiled program (no recompilation per combination).
+    """
     import numpy as np
 
     b = len(prompts)
@@ -562,11 +567,15 @@ def generate_batch(
     if max_steps <= 0:
         raise ValueError("Prompts too long to generate more tokens")
 
+    def per_row(v):
+        a = jnp.asarray(v, jnp.float32).reshape(-1)
+        return jnp.broadcast_to(a, (b,)).reshape(b, 1)
+
     kv = tfm.KVCache.create(cfg, 2 * b, cfg.block_size, dtype=compute_dtype)
     kp, kd = jax.random.split(key)
-    t1 = jnp.asarray(temperature, jnp.float32)
-    tp = jnp.asarray(top_p, jnp.float32)
-    g = jnp.asarray(guidance_scale, jnp.float32)
+    t1 = per_row(temperature)
+    tp = per_row(top_p)
+    g = per_row(guidance_scale)
 
     first, kv = prefill_batch(
         params, cfg, jnp.asarray(padded), jnp.asarray(pad_lens),

@@ -123,10 +123,9 @@ class BatchingEngine:
         c = self.tts.c
         self._key, sub = jax.random.split(self._key)
 
-        # Sampling params are uniform per compiled program; serve groups with
-        # the first request's settings (requests rarely differ in practice —
-        # the reference exposes the same three knobs with fixed defaults).
-        lead = batch[0]
+        # Per-request sampling params: traced (B, 1) vectors broadcast
+        # through the temperature/top-p/CFG math, so mixed-settings batches
+        # share one compiled program.
         spk = jnp.asarray(np.stack([r.spk_emb for r in batch]))
         outs = fs.generate_batch(
             c.first_stage_params,
@@ -134,9 +133,9 @@ class BatchingEngine:
             [r.prompt_tokens for r in batch],
             spk,
             key=sub,
-            temperature=lead.temperature,
-            top_p=lead.top_p,
-            guidance_scale=lead.guidance_scale,
+            temperature=[r.temperature for r in batch],
+            top_p=[r.top_p for r in batch],
+            guidance_scale=[r.guidance_scale for r in batch],
             prompt_pad_multiple=self.tts.runtime.prompt_pad_multiple,
             compute_dtype=self.tts._compute_dtype,
         )

@@ -78,20 +78,114 @@ def _parse_request_fields(handler: BaseHTTPRequestHandler) -> dict:
     raise ValueError(f"unsupported content type: {ctype}")
 
 
+# Preset voices + slider denormalization mirror the reference Gradio app
+# (app.py:21-38): stability slider 0-10 -> top_p in [0.9, 1.0], similarity
+# slider 1-5 -> guidance in [1.0, 3.0]; uploads are checked for >=30 s
+# duration (server-side) and <50 MB size (client-side, app.py:40-46).
+PRESET_VOICES = {
+    "Bria": "https://cdn.themetavoice.xyz/speakers/bria.mp3",
+    "Alex": "https://cdn.themetavoice.xyz/speakers/alex.mp3",
+    "Jacob": "https://cdn.themetavoice.xyz/speakers/jacob.wav",
+}
+
+MAX_UPLOAD_MB = 50
+MAX_CHARS = 220
+
 _INDEX_HTML = """<!doctype html>
-<html><head><title>metavoice-tpu</title></head>
-<body style="font-family:sans-serif;max-width:640px;margin:2em auto">
-<h2>metavoice-tpu — text to speech</h2>
-<p>Zero-shot voice cloning; speaker reference must be &ge; 30 s of audio.
-(Equivalent of the reference's Gradio app, app.py.)</p>
-<form method="post" action="/tts" enctype="multipart/form-data">
-  <p><textarea name="text" rows="4" cols="60" maxlength="220"
-      placeholder="Up to 220 characters per request..."></textarea></p>
-  <p>Speaker reference (wav): <input type="file" name="audiodata"></p>
-  <p>top_p <input name="top_p" value="0.95" size="5">
-     guidance <input name="guidance" value="3.0" size="5"></p>
-  <p><button type="submit">Synthesise</button></p>
-</form></body></html>"""
+<html><head><title>TTS by metavoice-tpu</title>
+<style>
+ body{font-family:sans-serif;max-width:720px;margin:2em auto;line-height:1.4}
+ fieldset{border:1px solid #ccc;border-radius:6px;margin:1em 0;padding:1em}
+ label{display:block;margin:.6em 0 .2em}
+ textarea,select,input[type=file]{width:100%%}
+ .row{display:flex;gap:1em}.row>div{flex:1}
+ #status{color:#666}.err{color:#b00}
+ button{padding:.6em 1.6em;font-size:1em}
+</style></head>
+<body>
+<h2>TTS by metavoice-tpu</h2>
+<p>1.2B TTS: emotional speech rhythm and tone, zero-shot cloning with a
+&ge;30 s reference, long-form synthesis. (TPU-native port of the reference
+Gradio app, app.py.)</p>
+
+<label>What should I say!? (max %(max_chars)d characters)</label>
+<textarea id="text" rows="4" maxlength="%(max_chars)d">This is a demo of text to speech by MetaVoice-1B, an open-source foundational audio model.</textarea>
+
+<div class="row">
+ <div>
+  <label>Speech stability <span id="top_p_lbl"></span></label>
+  <input type="range" id="top_p" min="0" max="10" step="1" value="5">
+ </div>
+ <div>
+  <label>Speaker similarity <span id="guidance_lbl"></span></label>
+  <input type="range" id="guidance" min="1" max="5" step="1" value="5">
+ </div>
+</div>
+
+<fieldset>
+ <legend>Choose voice</legend>
+ <label><input type="radio" name="vsrc" value="preset" checked> Preset voices</label>
+ <select id="preset">%(preset_options)s</select>
+ <label><input type="radio" name="vsrc" value="upload"> Upload target voice (at least 30 s, &lt; %(max_mb)d MB)</label>
+ <input type="file" id="upload" accept="audio/*" disabled>
+</fieldset>
+
+<button id="go">Generate Speech</button> <span id="status"></span>
+<p><audio id="out" controls style="width:100%%;display:none"></audio></p>
+
+<script>
+const PRESETS = %(presets_json)s;
+// slider denormalization, reference app.py:30-38
+const denormTopP = v => Math.round((0.9 + v / 100) * 100) / 100;
+const denormGuidance = v => 1 + ((v - 1) * (3 - 1)) / (5 - 1);
+const $ = id => document.getElementById(id);
+function refresh() {
+  $("top_p_lbl").textContent = "(top_p " + denormTopP(+$("top_p").value) + ")";
+  $("guidance_lbl").textContent = "(guidance " + denormGuidance(+$("guidance").value).toFixed(1) + ")";
+}
+$("top_p").oninput = $("guidance").oninput = refresh; refresh();
+for (const r of document.getElementsByName("vsrc"))
+  r.onchange = () => { $("upload").disabled = r.value !== "upload" || !r.checked;
+                       $("preset").disabled = r.value !== "preset" || !r.checked; };
+$("go").onclick = async () => {
+  const status = $("status"); status.className = ""; status.textContent = "";
+  const text = $("text").value.trim();
+  if (!text) { status.className = "err"; status.textContent = "Please provide text to synthesise"; return; }
+  const fd = new FormData();
+  fd.append("text", text.slice(0, %(max_chars)d));
+  fd.append("top_p", denormTopP(+$("top_p").value));
+  fd.append("guidance", denormGuidance(+$("guidance").value));
+  const useUpload = document.querySelector('input[name="vsrc"]:checked').value === "upload";
+  if (useUpload) {
+    const f = $("upload").files[0];
+    if (!f) { status.className = "err"; status.textContent = "Please choose an audio file"; return; }
+    if (f.size >= %(max_mb)d * 1024 * 1024) {
+      status.className = "err";
+      status.textContent = "Please upload a sample smaller than %(max_mb)d MB (" + Math.round(f.size/1048576) + " MB provided)";
+      return;
+    }
+    fd.append("audiodata", f);
+  } else {
+    fd.append("speaker_ref_path", PRESETS[$("preset").value]);
+  }
+  status.textContent = "Synthesising…";
+  try {
+    const resp = await fetch("/tts", { method: "POST", body: fd });
+    if (!resp.ok) { throw new Error((await resp.json()).detail || resp.statusText); }
+    const blob = await resp.blob();
+    const out = $("out"); out.src = URL.createObjectURL(blob);
+    out.style.display = "block"; out.play(); status.textContent = "";
+  } catch (e) { status.className = "err"; status.textContent = "Something went wrong. Reason: " + e.message; }
+};
+</script>
+</body></html>""" % {
+    "presets_json": json.dumps(PRESET_VOICES),
+    "preset_options": "".join(
+        f'<option value="{name}">{name}</option>' for name in PRESET_VOICES
+    ),
+    "max_mb": MAX_UPLOAD_MB,
+    "max_chars": MAX_CHARS,
+}
 
 
 def make_handler(tts, config: ServingConfig, batching_engine=None):
@@ -148,10 +242,33 @@ def make_handler(tts, config: ServingConfig, batching_engine=None):
                     )
                     return
                 if audiodata is not None:
+                    # transcode (ffmpeg when present) + 2-minute cap, the
+                    # reference's _convert_audiodata_to_wav_path
+                    # (serving.py:112-123); uploads are duration-gated
+                    # (serving.py:79 check_audio_file) and size-capped
+                    # (app.py:40-46)
+                    from metavoice_tpu.utils.audio_io import (
+                        check_audio_file,
+                        transcode_upload_to_wav,
+                    )
+
+                    raw = (
+                        audiodata
+                        if isinstance(audiodata, bytes)
+                        else audiodata.encode()
+                    )
+                    if len(raw) >= MAX_UPLOAD_MB * 1024 * 1024:
+                        self._json(
+                            400,
+                            {"detail": f"Please upload a sample smaller than "
+                             f"{MAX_UPLOAD_MB} MB for voice cloning. Provided: "
+                             f"{len(raw) >> 20} MB"},
+                        )
+                        return
                     fd, tmp_upload = tempfile.mkstemp(suffix=".wav")
-                    with os.fdopen(fd, "wb") as f:
-                        f.write(audiodata if isinstance(audiodata, bytes) else audiodata.encode())
-                    ref_path = tmp_upload
+                    os.close(fd)
+                    ref_path = transcode_upload_to_wav(raw, tmp_upload)
+                    check_audio_file(ref_path)
 
                 guidance = min(max(float(fields.get("guidance", 3.0)), 0.0), 5.0)
                 top_p = min(max(float(fields.get("top_p", 0.95)), 0.0), 1.0)

@@ -88,6 +88,8 @@ class TTS:
         runtime: RuntimeConfig | None = None,
         enforce_min_ref_duration: bool = True,
         quantisation_mode: str | None = None,
+        telemetry_origin: str | None = None,
+        telemetry_client=None,
     ):
         self.c = components
         if components.vocoder not in ("encodec", "mbd"):
@@ -119,6 +121,12 @@ class TTS:
             )
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
+        # anonymous usage telemetry (reference fast_inference.py:62,173-193);
+        # offline-safe JSONL spool, opt-out via ANONYMIZED_TELEMETRY=False
+        from metavoice_tpu import telemetry as tele
+
+        self._telemetry = telemetry_client or tele.default_client
+        self._telemetry_origin = telemetry_origin
         self._key = jax.random.PRNGKey(seed)
         self._emb_cache: dict[str, np.ndarray] = {}
         self._enforce_min_ref = enforce_min_ref_duration
@@ -460,4 +468,28 @@ class TTS:
         rtf = elapsed / max(duration, 1e-6)
         print(f"Total time to synth (s): {elapsed:.2f}")
         print(f"Real-time factor: {rtf:.2f}")
+
+        # user_ran_tts event, reference fast_inference.py:173-193
+        from metavoice_tpu.telemetry import TelemetryEvent
+
+        self._telemetry.capture(
+            TelemetryEvent(
+                name="user_ran_tts",
+                properties={
+                    "model_name": "metavoice-1B-tpu",
+                    "text": text,
+                    "temperature": temperature,
+                    "guidance_scale": guidance_scale,
+                    "top_p": top_p,
+                    "spk_ref_path": spk_ref_path,
+                    "speech_duration_s": duration,
+                    "time_to_synth_s": elapsed,
+                    "real_time_factor": round(rtf, 2),
+                    "quantisation_mode": self.runtime.quantisation_mode,
+                    "seed": self.runtime.seed,
+                    "device": str(jax.devices()[0]),
+                    "telemetry_origin": self._telemetry_origin,
+                },
+            )
+        )
         return out_path

@@ -25,12 +25,15 @@ class TelemetryEvent:
 
 
 class TelemetryClient:
-    def __init__(self, spool_dir: str | None = None):
+    def __init__(self, spool_dir: str | None = None, enabled: bool | None = None):
         self._spool_dir = spool_dir or os.path.expanduser("~/.cache/metavoice_tpu")
-        self._enabled = (
-            os.environ.get("ANONYMIZED_TELEMETRY", "True").lower() != "false"
-            and "pytest" not in sys.modules
-        )
+        if enabled is not None:  # explicit override (tests, embedding apps)
+            self._enabled = enabled
+        else:
+            self._enabled = (
+                os.environ.get("ANONYMIZED_TELEMETRY", "True").lower() != "false"
+                and "pytest" not in sys.modules
+            )
 
     @property
     def enabled(self) -> bool:
@@ -63,3 +66,17 @@ class TelemetryClient:
                 f.write(json.dumps(record) + "\n")
         except Exception:
             pass  # telemetry must never break the product
+
+
+def hash_dictionary(d: dict) -> str:
+    """Stable job id from a property dict (reference fam/llm/utils.py
+    hash_dictionary): md5 of the sorted-key JSON serialization."""
+    import hashlib
+
+    blob = json.dumps(d, sort_keys=True, default=str).encode("utf-8")
+    return hashlib.md5(blob).hexdigest()
+
+
+# module-level default client, the analogue of the reference's singleton
+# ``posthog`` (fam/telemetry/posthog.py); importers may replace it
+default_client = TelemetryClient()

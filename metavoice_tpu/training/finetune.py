@@ -328,16 +328,22 @@ def make_finetune_step(
     frozen: Any,
     compute_dtype=jnp.bfloat16,
 ):
-    """Jitted step over the trainable tail only; frozen params are donated
-    constants of the compiled program."""
+    """Jitted step over the trainable tail only.
+
+    The frozen head is a TRACED argument, not a Python closure: closing over
+    it would bake multi-GB weights into the HLO as literal constants
+    (XLA warned "2.38GB of constants captured during lowering" and compile
+    time exploded); passing it as an operand keeps the program small and the
+    weights resident in HBM.
+    """
 
     @jax.jit
-    def step(state: TrainState, batch: dict[str, jax.Array]):
+    def step(state: TrainState, batch: dict[str, jax.Array], frozen_arg):
         step_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
 
         def loss_of(train):
             return loss_fn(
-                merge_trainable(frozen, train), model_cfg, batch, compute_dtype,
+                merge_trainable(frozen_arg, train), model_cfg, batch, compute_dtype,
                 step_key,
             )
 
@@ -349,4 +355,6 @@ def make_finetune_step(
             {"loss": loss, "grad_norm": optax.global_norm(grads)},
         )
 
-    return step
+    # device-resident operand bound once; callers keep the (state, batch) API
+    frozen_dev = jax.tree.map(jnp.asarray, frozen)
+    return lambda state, batch: step(state, batch, frozen_dev)

@@ -90,6 +90,25 @@ def train(
 ) -> ft.TrainState:
     """Run the finetuning loop; returns the final train state."""
     os.makedirs(out_dir, exist_ok=True)
+
+    # start-of-finetuning event (reference fam/llm/finetune.py:246-262)
+    from metavoice_tpu import telemetry as tele
+
+    job_props = {
+        **dataclasses.asdict(ft_cfg),
+        "n_layer": model_cfg.n_layer,
+        "n_head": model_cfg.n_head,
+        "n_embd": model_cfg.dim,
+        "block_size": model_cfg.block_size,
+        "out_dir": out_dir,
+    }
+    finetune_jobid = tele.hash_dictionary(job_props)
+    tele.default_client.capture(
+        tele.TelemetryEvent(
+            name="user_started_finetuning",
+            properties={"finetune_jobid": finetune_jobid, **job_props},
+        )
+    )
     n_tail = ft_cfg.last_n_blocks_to_finetune
     use_split = 0 < n_tail < model_cfg.n_layer
     if use_split:
@@ -111,6 +130,7 @@ def train(
     eval_fn = ft.make_eval_step(model_cfg)
 
     best_val = float("inf")
+    last_loss = None
     t_last = time.time()
     for it, batch in enumerate(train_batches):
         if it >= ft_cfg.max_iters:
@@ -119,7 +139,7 @@ def train(
         state, metrics = step_fn(state, batch)
 
         if it % log_every == 0:
-            loss = float(metrics["loss"])
+            loss = last_loss = float(metrics["loss"])
             dt = (time.time() - t_last) / max(log_every, 1)
             t_last = time.time()
             line = f"iter {it}: loss {loss:.4f}, {dt*1000:.0f} ms/iter"
@@ -140,6 +160,13 @@ def train(
 
     final_state = ft.TrainState(full_params(state), state.opt_state, state.step)
     save_checkpoint(out_dir, "final", final_state, model_cfg, ft_cfg, best_val, tokenizer_info)
+    # end-of-finetuning event (reference finetune.py:368-375)
+    tele.default_client.capture(
+        tele.TelemetryEvent(
+            name="user_completed_finetuning",
+            properties={"finetune_jobid": finetune_jobid, "loss": last_loss},
+        )
+    )
     return final_state
 
 

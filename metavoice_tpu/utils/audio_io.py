@@ -130,6 +130,48 @@ def duration_s(path: str) -> float:
     return len(wav) / sr
 
 
+def transcode_upload_to_wav(
+    data: bytes, out_path: str, max_duration_s: float = 120.0
+) -> str:
+    """Convert uploaded audio bytes of unknown format to a duration-capped wav.
+
+    Reference behavior (serving.py:112-123): write the raw upload to a temp
+    file and run ``ffmpeg -t 120 -y -i <in> -f wav <out>`` — an arbitrary
+    2-minute cutoff. When ffmpeg is unavailable (this image ships without
+    it), WAV uploads are decoded natively and capped in numpy; other formats
+    raise a clear ValueError instead of a cryptic decode failure downstream.
+    Returns ``out_path``.
+    """
+    if not data:
+        raise ValueError("empty audio upload")
+    with tempfile.NamedTemporaryFile(delete=False) as tmp:
+        tmp.write(data)
+        in_path = tmp.name
+    try:
+        ffmpeg = shutil.which("ffmpeg")
+        if ffmpeg is not None:
+            subprocess.check_output(
+                [ffmpeg, "-t", str(int(max_duration_s)), "-y", "-i", in_path,
+                 "-f", "wav", out_path],
+                stderr=subprocess.STDOUT,
+            )
+            return out_path
+        if data[:4] != b"RIFF":
+            raise ValueError(
+                "cannot decode non-WAV upload without ffmpeg; upload a .wav file"
+            )
+        wav_in = in_path + ".wav"
+        os.rename(in_path, wav_in)
+        in_path = wav_in
+        wav, sr = read_wav(in_path)
+        wav = wav[: int(max_duration_s * sr)]
+        write_wav(out_path, wav, sr)
+        return out_path
+    finally:
+        if os.path.exists(in_path):
+            os.unlink(in_path)
+
+
 def check_audio_file(path: str, threshold_s: float = 30.0) -> None:
     """>= 30 s speaker-reference gate (reference fam/llm/utils.py:55-70)."""
     d = duration_s(path)

@@ -120,3 +120,37 @@ def test_generate_segments_stops_at_eoa(params):
     joined = np.concatenate(segs)
     if (joined == 96).any():
         assert joined[-1] == 96  # EOA ends the stream
+
+
+def test_per_row_sampling_matches_scalar(params):
+    """A batch where every row uses the same per-row vector values must
+    reproduce the scalar-parameter program exactly (same key)."""
+    prompts = [list(range(50, 60)), list(range(60, 64))]
+    spk = jnp.ones((2, 256))
+    kw = dict(
+        key=jax.random.PRNGKey(9), max_new_tokens=8, end_of_audio_token=96,
+        prompt_pad_multiple=16, compute_dtype=jnp.float32,
+    )
+    outs_scalar = fs.generate_batch(
+        params, TINY, prompts, spk, temperature=0.8, top_p=0.9, guidance_scale=2.0, **kw
+    )
+    outs_vector = fs.generate_batch(
+        params, TINY, prompts, spk,
+        temperature=[0.8, 0.8], top_p=[0.9, 0.9], guidance_scale=[2.0, 2.0], **kw
+    )
+    for a, b in zip(outs_scalar, outs_vector):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_per_row_sampling_mixed_runs(params):
+    prompts = [list(range(50, 58)), list(range(60, 64))]
+    spk = jnp.ones((2, 256))
+    outs = fs.generate_batch(
+        params, TINY, prompts, spk, key=jax.random.PRNGKey(10),
+        temperature=[0.5, 1.5], top_p=[0.9, 0.99], guidance_scale=[1.5, 4.0],
+        max_new_tokens=8, end_of_audio_token=96, prompt_pad_multiple=16,
+        compute_dtype=jnp.float32,
+    )
+    assert len(outs) == 2
+    for o in outs:
+        assert (o >= 0).all() and (o < 97).all()

@@ -51,3 +51,12 @@ def test_single_request(engine, ref_wav):
 def test_error_propagates_to_future(engine, ref_wav):
     with pytest.raises(ValueError):
         engine.submit("日本語テキスト", ref_wav).result(timeout=10)
+
+
+def test_mixed_sampling_params_in_one_batch(engine, ref_wav):
+    """Per-request temperature/top_p/guidance ride the same compiled batch
+    as traced (B, 1) vectors — both requests must complete."""
+    f1 = engine.submit("Mixed settings one.", ref_wav, temperature=0.7, top_p=0.9, guidance_scale=2.0)
+    f2 = engine.submit("Mixed settings two.", ref_wav, temperature=1.3, top_p=0.99, guidance_scale=4.0)
+    p1, p2 = f1.result(timeout=600), f2.result(timeout=600)
+    assert os.path.exists(p1) and os.path.exists(p2) and p1 != p2

@@ -103,3 +103,59 @@ def test_unknown_route(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(server + "/nope", timeout=30)
     assert exc.value.code == 404
+
+
+def _post_multipart_upload(server, data: bytes, text="Upload test."):
+    boundary = "testboundary42"
+    body = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="text"\r\n\r\n{text}\r\n'
+        f'--{boundary}\r\nContent-Disposition: form-data; name="audiodata"; filename="ref.bin"\r\n'
+        f"Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + data + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        server + "/tts",
+        data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=300)
+
+
+def test_non_wav_upload_rejected_cleanly(server):
+    """Without ffmpeg an mp3-ish upload must 400 with a clear message, not
+    crash mid-synthesis (reference transcodes via ffmpeg, serving.py:112-123)."""
+    import shutil
+
+    if shutil.which("ffmpeg"):
+        pytest.skip("ffmpeg present; non-wav uploads are transcoded instead")
+    fake_mp3 = b"ID3\x04\x00" + b"\x00" * 2048
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_multipart_upload(server, fake_mp3)
+    assert e.value.code == 400
+    assert b"wav" in e.value.read().lower()
+
+
+def test_short_upload_duration_gated(server):
+    """Uploads under 30 s are rejected (reference serving.py:79)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1); f.setsampwidth(2); f.setframerate(16000)
+        f.writeframes(np.zeros(16000 * 5, np.int16).tobytes())  # 5 s
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_multipart_upload(server, buf.getvalue())
+    assert e.value.code == 400
+    assert b"too short" in e.value.read()
+
+
+def test_index_page_has_ui_parity_controls(server):
+    """The web page ships the reference app's knobs (app.py:21-62): preset
+    voices, stability/similarity sliders with denormalization, upload checks."""
+    html = urllib.request.urlopen(server + "/", timeout=30).read().decode()
+    for preset in ("Bria", "Alex", "Jacob"):
+        assert preset in html
+    assert "denormTopP" in html and "denormGuidance" in html
+    assert 'type="range"' in html
+    assert "50 MB" in html or "50 * 1024" in html

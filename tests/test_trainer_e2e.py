@@ -113,3 +113,37 @@ def test_orbax_train_state_roundtrip(tmp_path):
     assert int(restored.step) == 1
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_finetune_telemetry_events(tmp_path, monkeypatch):
+    """trainer.train emits user_started_finetuning / user_completed_finetuning
+    (reference finetune.py:246-262,368-375)."""
+    import json
+
+    from metavoice_tpu import telemetry as tele
+    from metavoice_tpu.core.config import first_stage_config
+    from metavoice_tpu.models import transformer as tfm
+    from metavoice_tpu.training import finetune as ft
+    from metavoice_tpu.training import trainer as tr
+
+    spool = str(tmp_path / "tele")
+    monkeypatch.setattr(
+        tele, "default_client", tele.TelemetryClient(spool_dir=spool, enabled=True)
+    )
+    cfg = first_stage_config(n_layer=2, n_head=2, dim=32, block_size=32, vocab_sizes=(60,))
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    ft_cfg = ft.FinetuneConfig(max_iters=2, batch_size=2, last_n_blocks_to_finetune=1)
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield {
+                "x": rng.integers(0, 60, (2, 8)),
+                "y": rng.integers(0, 60, (2, 8)),
+                "spk_emb": rng.normal(size=(2, 256)).astype(np.float32),
+            }
+
+    tr.train(params, cfg, ft_cfg, batches(), out_dir=str(tmp_path / "out"))
+    events = [json.loads(l)["event"] for l in open(f"{spool}/telemetry.jsonl")]
+    assert "user_started_finetuning" in events
+    assert "user_completed_finetuning" in events

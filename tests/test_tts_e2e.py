@@ -116,3 +116,37 @@ def test_mbd_vocoder_path(tmp_path, ref_wav):
 def test_warmup_runs(tts):
     """warmup precompiles the hot programs without error."""
     tts.warmup(prompt_buckets=(32,))
+
+
+def test_telemetry_user_ran_tts_event(tmp_path, ref_wav):
+    """synthesise must emit a user_ran_tts event with the reference's
+    property set (fast_inference.py:173-193) into the JSONL spool."""
+    import json
+
+    from metavoice_tpu.telemetry import TelemetryClient
+
+    spool = str(tmp_path / "tele")
+    client = TelemetryClient(spool_dir=spool, enabled=True)
+    t = TTS.from_random(
+        jax.random.PRNGKey(0), small=True, output_dir=str(tmp_path / "out"),
+        telemetry_client=client, telemetry_origin="pytest",
+    )
+    t.synthesise("Telemetry check.", ref_wav)
+    records = [
+        json.loads(line)
+        for line in open(f"{spool}/telemetry.jsonl")
+    ]
+    events = [r for r in records if r["event"] == "user_ran_tts"]
+    assert len(events) == 1
+    props = events[0]["properties"]
+    assert props["text"] == "Telemetry check."
+    assert props["telemetry_origin"] == "pytest"
+    assert props["real_time_factor"] > 0
+    assert "distinct_id" in events[0]
+
+
+def test_telemetry_disabled_under_pytest_by_default(tmp_path, ref_wav):
+    from metavoice_tpu.telemetry import TelemetryClient
+
+    client = TelemetryClient(spool_dir=str(tmp_path / "tele2"))
+    assert not client.enabled  # auto-disable under pytest
