@@ -21,6 +21,11 @@ def _add_model_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--first_stage_path", help="first-stage ckpt (.pt)")
     ap.add_argument("--second_stage_path", help="second-stage ckpt (.pt)")
     ap.add_argument("--speaker_encoder_path", help="speaker encoder ckpt (.pt)")
+    ap.add_argument(
+        "--encodec_path",
+        help="pretrained EnCodec 24 kHz vocoder ckpt (encodec-package .pt or "
+        "native .npz); without it the vocoder is random-weight",
+    )
     ap.add_argument("--random_weights", action="store_true", help="dev mode: random init")
     ap.add_argument("--small", action="store_true", help="small dev models")
     ap.add_argument(
@@ -48,6 +53,7 @@ def _build_tts(args):
         args.first_stage_path,
         args.second_stage_path,
         args.speaker_encoder_path,
+        encodec_path=args.encodec_path,
         output_dir=args.output_dir,
         quantisation_mode=args.quantisation_mode,
     )

@@ -324,6 +324,7 @@ def main():
     ap.add_argument("--first_stage_path")
     ap.add_argument("--second_stage_path")
     ap.add_argument("--speaker_encoder_path")
+    ap.add_argument("--encodec_path", help="pretrained EnCodec vocoder (.pt/.npz)")
     ap.add_argument("--random_weights", action="store_true", help="dev mode")
     ap.add_argument("--small", action="store_true", help="small dev models")
     args = ap.parse_args()
@@ -332,7 +333,8 @@ def main():
         tts = TTS.from_random(small=args.small)
     else:
         tts = TTS.from_checkpoints(
-            args.first_stage_path, args.second_stage_path, args.speaker_encoder_path
+            args.first_stage_path, args.second_stage_path, args.speaker_encoder_path,
+            encodec_path=args.encodec_path,
         )
     cfg = ServingConfig(host=args.host, port=args.port)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(tts, cfg))

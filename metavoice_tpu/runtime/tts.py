@@ -195,9 +195,17 @@ class TTS:
         second_stage_path: str,
         speaker_encoder_path: str,
         encodec_path: str | None = None,
+        encodec_cfg: "ec.EncodecConfig | None" = None,
         **kwargs,
     ) -> "TTS":
-        """Build from converted reference checkpoints (utils/checkpoint)."""
+        """Build from converted reference checkpoints (utils/checkpoint).
+
+        ``encodec_path`` accepts an encodec-package ``.pt`` (converted via
+        utils/convert_external, the reference's pretrained 24 kHz decoder,
+        fam/llm/fast_inference.py:88-92 via audiocraft) or a native ``.npz``;
+        without it the vocoder is RANDOM-weight EnCodec — fine for smoke
+        tests, silence-adjacent noise for real use.
+        """
         from metavoice_tpu.utils import checkpoint as ck
 
         p1, cfg1, tok_info = ck.load_first_stage_pt(first_stage_path)
@@ -205,12 +213,23 @@ class TTS:
         spk = ck.load_speaker_encoder_pt(speaker_encoder_path)
         tok_info = tok_info or tok_info2
         tokenizer = TrainedBPETokeniser(**tok_info) if tok_info else TrainedBPETokeniser()
-        ecfg = ec.EncodecConfig()
+        ecfg = encodec_cfg or ec.EncodecConfig()
         from metavoice_tpu.models.enhancer import get_enhancer
 
-        if encodec_path:
+        if encodec_path and encodec_path.endswith(".npz"):
             eparams, _meta = ck.load_npz(encodec_path)
+        elif encodec_path:
+            from metavoice_tpu.utils.convert_external import load_encodec_pt
+
+            eparams = load_encodec_pt(encodec_path, ecfg)
         else:
+            import warnings
+
+            warnings.warn(
+                "No encodec_path given: synthesising through a RANDOM-weight "
+                "EnCodec decoder (output will be noise). Pass a converted "
+                "24 kHz EnCodec checkpoint for real audio."
+            )
             eparams = ec.init_params(jax.random.PRNGKey(0), ecfg)
         comps = TTSComponents(
             first_stage_params=jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), p1),
