@@ -1,22 +1,24 @@
-"""Speech enhancement stage: artifact cleanup after the diffusion vocoder.
+"""Speech enhancement stage: artifact cleanup after the vocoder.
 
 The reference pipes every synthesis through DeepFilterNet
 (fam/llm/enhancers.py:70-83, ``get_enhancer("df")``) — a Rust DSP core
-(ERB filterbank + deep filtering) driving a GRU network. Neither the package
-nor its weights exist here. This module provides:
+(ERB filterbank + deep filtering) driving a GRU network. Neither the
+package, its source, nor its weights are available in this environment, so
+a weight-compatible port is NOT what this module claims to be. The design
+decision (documented here and in PARITY.md) is:
 
-  * ``DFEnhancer`` — a structure-faithful JAX implementation of the
-    DeepFilterNet recipe: STFT -> ERB-banded log-power features -> conv+GRU
-    encoder -> (a) per-ERB-band gain decoder and (b) low-band deep-filter
-    coefficient decoder -> iSTFT. Weight porting from the Rust/torch
-    checkpoints is a later pass; random weights make it a no-op-ish filter,
-    so it is not the default.
-  * ``SpectralGateEnhancer`` — a classical Wiener/spectral-gate enhancer
-    (noise floor tracked as a per-bin percentile, smoothed gain) that works
-    with no training and measurably suppresses broadband diffusion hiss;
-    this is the default until DFN weights land.
+  * ``SpectralGateEnhancer`` — the DEFAULT. A classical Wiener/spectral-gate
+    enhancer (noise floor tracked as a per-bin percentile, smoothed gain)
+    that needs no training and measurably suppresses broadband vocoder
+    hiss. This is the framework's supported enhancement path.
+  * ``DFEnhancer`` ("df_style") — a trainable DeepFilterNet-STYLE network
+    (ERB log-power features -> GRU -> per-ERB gains + low-band deep
+    filtering). It follows DFN's *signal-processing recipe*, not its exact
+    module tree: real DeepFilterNet checkpoints do NOT load into it, and we
+    deliberately do not pretend otherwise. Train it in-repo or keep the
+    spectral gate.
   * ``get_enhancer(name)`` factory, API parity with
-    fam/llm/enhancers.py:86-108.
+    fam/llm/enhancers.py:86-108 ("df" maps to the DF-style network).
 
 Enhancers are callables ``(wav: np.ndarray, sr: int) -> np.ndarray``.
 """
@@ -205,7 +207,7 @@ def df_enhance_spec(params: Params, cfg: DFConfig, spec: jax.Array) -> jax.Array
 
 @dataclass
 class DFEnhancer:
-    """Neural enhancer (structure parity with DeepFilterNet)."""
+    """Trainable DFN-STYLE neural enhancer (recipe, not weight, parity)."""
 
     params: Params
     cfg: DFConfig = DFConfig()
@@ -227,9 +229,9 @@ class DFEnhancer:
 def get_enhancer(enhancer_name: str = "spectral_gate", key: jax.Array | None = None) -> Callable:
     """Factory, parity with reference get_enhancer (fam/llm/enhancers.py:86).
 
-    "df" returns the DFN-style neural enhancer (random weights until the
-    porting pass); "spectral_gate" (default) works untrained; "none" is
-    identity.
+    "df" returns the DFN-STYLE neural enhancer (train in-repo; real
+    DeepFilterNet weights do not load — see module docstring);
+    "spectral_gate" (default) works untrained; "none" is identity.
     """
     if enhancer_name == "df":
         return DFEnhancer(init_df_params(key if key is not None else jax.random.PRNGKey(0)))

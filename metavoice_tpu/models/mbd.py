@@ -1,32 +1,49 @@
-"""Multi-Band Diffusion vocoder: EnCodec codes -> 24 kHz waveform.
+"""Multi-band diffusion vocoder — audiocraft ``MultiBandDiffusion`` topology.
 
-The reference renders audio with audiocraft's MultiBandDiffusion
-(fam/llm/decoders.py:13,84-86: ``mbd = MultiBandDiffusion.get_mbd_24khz
-(bw=6)``; ``mbd.tokens_to_wav``). audiocraft doesn't exist here; this is a
-from-scratch XLA implementation of the same design (Roman et al. 2023,
-"From Discrete Tokens to High-Fidelity Audio Using Multi-Band Diffusion"):
+The reference's quality vocoder is audiocraft's pretrained MBD
+(/root/reference/fam/llm/decoders.py:13,84-86: ``MultiBandDiffusion.
+get_mbd_24khz(bw=6.0)``; sampling at :99-106, band EQ at :104). This module
+re-implements that stack TPU-natively in JAX, component for component:
 
-  * the waveform is split into frequency bands (cascaded windowed-sinc
-    lowpass filters, julius.SplitBands-style); each band is generated by its
-    own diffusion model and the bands sum to the output;
-  * each band model is a 1-D conditional UNet denoiser: strided-conv
-    encoder, bottleneck conditioned on the EnCodec continuous latent (the
-    RVQ-decoded 128-d @ 75 Hz sequence, upsampled to feature rate), and a
-    transposed-conv decoder with skip connections;
-  * sampling is ancestral DDPM over a truncated schedule (default 20 steps)
-    run as a ``jax.lax.fori_loop`` — fixed step count, fully on device (the
-    reference's torch sampler loops in Python per step).
+  * ``DiffusionUnet`` — 1-D conv UNet: stride-4 encoder/decoder layers with
+    GroupNorm + ReLU + dilated ResNet blocks, a learned per-step embedding
+    added after the first encoder (optionally every layer), EnCodec-latent
+    conditioning injected at the bottleneck through a 1x1 conv with
+    nearest-neighbour time interpolation (audiocraft/models/unet.py).
+  * ``NoiseSchedule`` — linear-beta DDPM with subsampled ancestral sampling
+    (~20 steps out of 1000), beta-variance posterior, +-clip, noise_scale
+    (audiocraft/modules/diffusion_schedule.py NoiseSchedule).
+  * ``MultiBandProcessor`` — per-mel-band standardization of model samples
+    using running (count, sum_x, sum_x2, sum_target_x2) statistics
+    (audiocraft/modules/diffusion_schedule.py MultiBandProcessor).
+  * julius-style mel-spaced band split (cascaded windowed-sinc low-passes)
+    used by both the processor and the final EQ.
+  * ``re_eq`` — band-wise loudness matching of the diffusion output against
+    the EnCodec-decoded reference in 32 mel bands
+    (audiocraft/models/multibanddiffusion.py re_eq / tokens_to_wav).
 
-Weights are random-init this round (audiocraft's are torch pickles inside
-its hub bundle; the converter lands with the weight-porting pass). The
-EnCodec-decoder vocoder path (models/encodec.py) remains the default until
-then — the reference itself notes MBD is a quality upgrade over EnCodec's
-own decoder (README.md:165).
+One full MBD = ``n_processes`` (4 at 24 kHz) independent UNet+schedule
+pairs whose generations are SUMMED (each learned one frequency band of the
+target); conditioning for every band is the same EnCodec continuous latent
+(quantizer-decoded codes).
+
+Weight port: utils/convert_external.convert_mbd_checkpoint maps audiocraft's
+``mbd_comp_*.pt`` layout into these pytrees, inferring depth/width from
+tensor shapes. The torch oracle in tests/test_mbd_torch_parity.py pins the
+numerical contract of every component. One documented assumption (the
+checkpoints themselves are unavailable offline): the bottleneck is zeroed
+*before* the conditioning add when the UNet has no BiLSTM/transformer —
+the only reading of unet.py under which conditioning survives to the
+decoder stack.
+
+All compute is static-shape jnp/lax (conv, scan) — no FFT (unimplemented on
+this TPU runtime), no data-dependent Python control flow.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import math
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Any
 
@@ -34,247 +51,552 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from metavoice_tpu.models import encodec as ec
-
 Params = dict[str, Any]
+
+
+# --------------------------------------------------------------------------------------
+# Configuration
+# --------------------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """audiocraft/models/unet.py DiffusionUnet hyperparameters."""
+
+    chin: int = 1
+    hidden: int = 48
+    depth: int = 4
+    growth: float = 4.0
+    max_channels: int = 10_000
+    num_steps: int = 1000
+    codec_dim: int | None = 128  # EnCodec latent dim; None = unconditioned
+    kernel: int = 4
+    stride: int = 4
+    norm_groups: int = 4
+    res_blocks: int = 1
+    emb_all_layers: bool = True
+    bilstm: bool = False
+
+    def channels(self) -> list[int]:
+        """Per-depth output channels: hidden, then *growth capped."""
+        chs, ch = [], self.hidden
+        for _ in range(self.depth):
+            chs.append(ch)
+            ch = min(int(ch * self.growth), self.max_channels)
+        return chs
+
+
+@dataclass(frozen=True)
+class ScheduleConfig:
+    """audiocraft NoiseSchedule (diffusion_schedule.py) hyperparameters."""
+
+    beta_t0: float = 1.0e-5
+    beta_t1: float = 2.9e-2
+    num_steps: int = 1000
+    variance: str = "beta"
+    clip: float = 3.0
+    rescale: float = 1.0
+    beta_exp: float = 7.5  # "power" repartition exponent
+    noise_scale: float = 1.0
 
 
 @dataclass(frozen=True)
 class MBDConfig:
-    sample_rate: int = 24000
-    n_bands: int = 4
-    # band-split cutoffs in Hz (3 cutoffs -> 4 bands)
-    cutoffs: tuple[float, ...] = (1500.0, 3750.0, 7500.0)
-    hidden: int = 64
-    depth: int = 4  # encoder stages, stride 4 each => 256x downsample
-    stride: int = 4
-    kernel: int = 8
-    cond_dim: int = 128  # EnCodec latent dim
-    num_train_steps: int = 1000
-    num_sample_steps: int = 20
-    beta_start: float = 1e-4
-    beta_end: float = 0.02
-    time_emb_dim: int = 128
+    sample_rate: int = 24_000
+    n_processes: int = 4  # independent per-band diffusion models, summed
+    unet: UNetConfig = field(default_factory=UNetConfig)
+    schedule: ScheduleConfig = field(default_factory=ScheduleConfig)
+    processor_bands: int = 8  # MultiBandProcessor n_bands
+    processor_power_std: float = 1.0
+    eq_bands: int = 32  # re_eq band count
+    # subsampled generation steps: audiocraft default list(range(1000))[::-50]+[0]
+    step_list: tuple[int, ...] = tuple(range(999, 0, -50)) + (0,)
 
 
 # --------------------------------------------------------------------------------------
-# Band split / merge (julius.SplitBands equivalent)
+# julius-style mel-spaced band split (no FFT: direct FIR convolution)
 # --------------------------------------------------------------------------------------
 
 
-def _lowpass_kernel(cutoff_hz: float, sr: int, zeros: int = 56) -> np.ndarray:
-    c = cutoff_hz / sr
-    width = int(np.ceil(zeros / (2 * c)))
-    t = np.arange(-width, width + 1, dtype=np.float64)
-    x = 2 * c * t
-    k = 2 * c * np.sinc(x) * np.where(np.abs(x) < zeros, 0.5 * (1 + np.cos(np.pi * x / zeros)), 0.0)
-    return (k / k.sum()).astype(np.float32)
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
 
 
-def split_bands(wav: jax.Array, cfg: MBDConfig) -> jax.Array:
-    """(B, T) -> (n_bands, B, T): cascaded lowpass differences; bands sum
-    exactly to the input."""
-    bands = []
-    prev = jnp.zeros_like(wav)
-    for cut in cfg.cutoffs:
-        k = jnp.asarray(_lowpass_kernel(cut, cfg.sample_rate))
-        half = k.shape[0] // 2
-        low = jax.lax.conv_general_dilated(
-            wav[:, None, :],
-            k[None, None, :],
-            window_strides=(1,),
-            padding=[(half, half)],
-            dimension_numbers=("NCH", "OIH", "NCH"),
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+
+def mel_band_cutoffs(sr: int, n_bands: int) -> np.ndarray:
+    """Interior cutoffs (Hz) of n_bands mel-evenly-spaced bands
+    (julius.bands.SplitBands with cutoffs=None)."""
+    mels = np.linspace(_hz_to_mel(0.0), _hz_to_mel(sr / 2), n_bands + 1)[1:-1]
+    return _mel_to_hz(mels)
+
+
+def _lowpass_kernel(cutoff: float, zeros: float = 8.0) -> np.ndarray:
+    """Windowed-sinc FIR low-pass at normalized cutoff (julius.lowpass)."""
+    half = int(zeros / cutoff / 2)
+    t = np.arange(-half, half + 1, dtype=np.float64)
+    win = np.hanning(2 * half + 1)
+    k = 2 * cutoff * win * np.sinc(2 * cutoff * t)
+    return k.astype(np.float32)
+
+
+def split_bands(x: jax.Array, sr: int, n_bands: int, zeros: float = 8.0) -> list[jax.Array]:
+    """(..., T) -> list of n_bands same-shape band signals summing to x.
+
+    julius semantics: low-pass at each mel-spaced cutoff; band i is the
+    difference of consecutive low-passes; the last band is the residual.
+    """
+    if n_bands == 1:
+        return [x]
+    shape = x.shape
+    xf = x.reshape(-1, shape[-1]).astype(jnp.float32)
+
+    lows = []
+    for hz in mel_band_cutoffs(sr, n_bands):
+        kern = _lowpass_kernel(hz / sr, zeros)
+        half = len(kern) // 2
+        lhs = xf[:, None, :]  # (N, C=1, T)
+        rhs = jnp.asarray(kern)[None, None, :]  # (O=1, I=1, K)
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,), padding=[(half, half)],
+            dimension_numbers=("NCW", "OIW", "NCW"),
         )[:, 0, :]
-        bands.append(low - prev)
-        prev = low
-    bands.append(wav - prev)  # residual high band
-    return jnp.stack(bands, axis=0)
+        lows.append(out)
 
-
-def merge_bands(bands: jax.Array) -> jax.Array:
-    return jnp.sum(bands, axis=0)
-
-
-# --------------------------------------------------------------------------------------
-# Schedule
-# --------------------------------------------------------------------------------------
-
-
-def make_schedule(cfg: MBDConfig) -> dict[str, np.ndarray]:
-    betas = np.linspace(cfg.beta_start, cfg.beta_end, cfg.num_train_steps, dtype=np.float64)
-    alphas = 1.0 - betas
-    alpha_bar = np.cumprod(alphas)
-    return {
-        "betas": betas.astype(np.float32),
-        "alphas": alphas.astype(np.float32),
-        "alpha_bar": alpha_bar.astype(np.float32),
-    }
+    bands = [lows[0]]
+    for prev, nxt in zip(lows[:-1], lows[1:]):
+        bands.append(nxt - prev)
+    bands.append(xf - lows[-1])
+    return [b.reshape(shape) for b in bands]
 
 
 # --------------------------------------------------------------------------------------
-# Conditional UNet denoiser
+# MultiBandProcessor (band-wise standardization, audiocraft diffusion_schedule.py)
 # --------------------------------------------------------------------------------------
 
 
-def _time_embedding(t: jax.Array, dim: int) -> jax.Array:
-    """Sinusoidal timestep embedding, (B,) -> (B, dim)."""
-    half = dim // 2
-    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half) / half)
-    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
-    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+def processor_stats(proc: Params, power_std: float = 1.0):
+    """(mean, std, target_std) per band from running-sum buffers."""
+    counts = jnp.maximum(proc["counts"], 1.0)
+    mean = proc["sum_x"] / counts
+    std = jnp.sqrt(jnp.clip(proc["sum_x2"] / counts - mean**2, 0.0, None))
+    target_std = proc["sum_target_x2"] / counts
+    del power_std
+    return mean, std, target_std
 
 
-def init_unet_params(key: jax.Array, cfg: MBDConfig, dtype=jnp.float32) -> Params:
-    ki = iter(jax.random.split(key, 64))
-
-    def conv(k, cin, cout):
-        return (jax.random.normal(next(ki), (k, cin, cout)) / np.sqrt(k * cin)).astype(dtype)
-
-    h = cfg.hidden
-    enc, dec = [], []
-    cin = 1
-    chans = [h * (2**i) for i in range(cfg.depth)]  # 64,128,256,512
-    for cout in chans:
-        enc.append(
-            {
-                "conv_w": conv(cfg.kernel, cin, cout),
-                "conv_b": jnp.zeros((cout,), dtype),
-                "res_w1": conv(3, cout, cout),
-                "res_b1": jnp.zeros((cout,), dtype),
-                "res_w2": conv(1, cout, cout),
-                "res_b2": jnp.zeros((cout,), dtype),
-                "time_w": (jax.random.normal(next(ki), (cfg.time_emb_dim, cout)) * 0.02).astype(dtype),
-            }
-        )
-        cin = cout
-    for i, cout in enumerate(reversed([1] + chans[:-1])):
-        cin_dec = chans[-1 - i]
-        dec.append(
-            {
-                "convtr_w": conv(cfg.kernel, cin_dec, cout),
-                "convtr_b": jnp.zeros((cout,), dtype),
-                "res_w1": conv(3, cout, cout) if cout > 1 else conv(3, 1, 1),
-                "res_b1": jnp.zeros((max(cout, 1),), dtype),
-            }
-        )
-    return {
-        "encoder": enc,
-        "decoder": dec,
-        "cond_proj": (jax.random.normal(next(ki), (cfg.cond_dim, chans[-1])) * 0.02).astype(dtype),
-    }
-
-
-def unet_denoise(
-    params: Params,
-    cfg: MBDConfig,
-    x_t: jax.Array,  # (B, T) noisy band
-    cond: jax.Array,  # (B, T_frames, cond_dim) EnCodec latent
-    t: jax.Array,  # (B,) timestep
+def processor_return_sample(
+    proc: Params, x: jax.Array, sr: int, n_bands: int, power_std: float = 1.0
 ) -> jax.Array:
-    """Predict the noise eps for one band. Skip-connected strided UNet."""
-    temb = _time_embedding(t, cfg.time_emb_dim)  # (B, D_t)
-    x = x_t[:, :, None]  # (B, T, 1)
-    skips = []
-    for st in params["encoder"]:
-        x = ec._conv1d(x, st["conv_w"], st["conv_b"], stride=cfg.stride, causal=False)
-        x = x + temb[:, None, :] @ jnp.broadcast_to(
-            st["time_w"][None], (x.shape[0],) + st["time_w"].shape
-        )
-        h = jax.nn.gelu(x)
-        h = ec._conv1d(h, st["res_w1"], st["res_b1"], causal=False)
-        h = jax.nn.gelu(h)
-        h = ec._conv1d(h, st["res_w2"], st["res_b2"], causal=False)
-        x = x + h
-        skips.append(x)
+    """Invert project_sample: bands * (std/target_std)**p + mean, summed."""
+    mean, std, target_std = processor_stats(proc)
+    rescale = (std / jnp.clip(target_std, 1e-12, None)) ** power_std
+    bands = split_bands(x, sr, n_bands)
+    out = 0.0
+    for i, band in enumerate(bands):
+        out = out + band * rescale[i] + mean[i]
+    return out
 
-    # bottleneck conditioning: upsample latent frames to the bottleneck rate
-    b, t_feat, _ = x.shape
-    cond_feat = cond @ params["cond_proj"]  # (B, T_frames, C)
-    idx = jnp.clip(
-        (jnp.arange(t_feat) * cond.shape[1]) // jnp.maximum(t_feat, 1), 0, cond.shape[1] - 1
-    )
-    x = x + jnp.take(cond_feat, idx, axis=1)
 
-    for i, st in enumerate(params["decoder"]):
-        x = x + skips[-1 - i]
-        x = ec._conv_transpose1d(x, st["convtr_w"], st["convtr_b"], cfg.stride, causal=False)
-        if x.shape[-1] > 1:
-            h = jax.nn.gelu(x)
-            h = ec._conv1d(h, st["res_w1"], st["res_b1"], causal=False)
-            x = x + h
-    eps = x[:, :, 0]
-    # decoder length can differ by conv arithmetic; crop/pad to input length
-    t_in = x_t.shape[1]
-    eps = eps[:, :t_in]
-    pad = t_in - eps.shape[1]
-    if pad > 0:
-        eps = jnp.pad(eps, ((0, 0), (0, pad)))
-    return eps
+def processor_project_sample(
+    proc: Params, x: jax.Array, sr: int, n_bands: int, power_std: float = 1.0
+) -> jax.Array:
+    """(x_band - mean) * (target_std/std)**p per band, summed (train-side)."""
+    mean, std, target_std = processor_stats(proc)
+    rescale = (target_std / jnp.clip(std, 1e-12, None)) ** power_std
+    bands = split_bands(x, sr, n_bands)
+    out = 0.0
+    for i, band in enumerate(bands):
+        out = out + (band - mean[i]) * rescale[i]
+    return out
+
+
+def init_processor(n_bands: int) -> Params:
+    """Identity processor (std == target_std == 1, mean 0)."""
+    return {
+        "counts": jnp.ones((1,), jnp.float32),
+        "sum_x": jnp.zeros((n_bands,), jnp.float32),
+        "sum_x2": jnp.ones((n_bands,), jnp.float32),
+        "sum_target_x2": jnp.ones((n_bands,), jnp.float32),
+    }
 
 
 # --------------------------------------------------------------------------------------
-# Sampler
+# DiffusionUnet (audiocraft/models/unet.py)
+# --------------------------------------------------------------------------------------
+#
+# Layout: activations are (B, T, C); conv weights (k, in, out); conv-transpose
+# weights stored pre-flipped as (k, in, out) so the forward is a plain
+# input-dilated convolution (the converter handles torch's layout).
+
+
+def _conv1d(x, w, b=None, stride=1, dilation=1, pad="same_torch"):
+    """(B, T, C) x (k, in, out); torch Conv1d semantics with symmetric
+    padding = dilation*(k-stride)//2 (the UNet's convention)."""
+    k = w.shape[0]
+    if pad == "same_torch":
+        p = dilation * (k - stride) // 2
+        padding = [(p, p)]
+    else:
+        padding = pad
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out if b is None else out + b
+
+
+def _conv_transpose1d(x, w, b=None, stride=4):
+    """torch ConvTranspose1d(k, stride, padding=(k-stride)//2) via
+    input-dilated convolution; w is (k, in, out) with kernel PRE-FLIPPED
+    by the converter (torch convt convolves, lax correlates)."""
+    k = w.shape[0]
+    p = (k - stride) // 2
+    # output padding of transposed conv: pad = k - 1 - p on both sides
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,),
+        padding=[(k - 1 - p, k - 1 - p)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out if b is None else out + b
+
+
+def _group_norm(x: jax.Array, w: jax.Array, b: jax.Array, groups: int, eps=1e-5):
+    """GroupNorm over the channel axis of (B, T, C)."""
+    bsz, t, c = x.shape
+    xg = x.reshape(bsz, t, groups, c // groups)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    xg = (xg - mean) / jnp.sqrt(var + eps)
+    return xg.reshape(bsz, t, c) * w + b
+
+
+def _resblock(x: jax.Array, p: Params, groups: int, dilation: int) -> jax.Array:
+    """GroupNorm -> ReLU -> dilated conv -> GroupNorm -> ReLU -> conv, +skip
+    (audiocraft unet.py ResnetBlock; kernel 3, stride 1)."""
+    h = _group_norm(x, p["gn1_w"], p["gn1_b"], groups)
+    h = jax.nn.relu(h)
+    h = _conv1d(h, p["conv1_w"], p["conv1_b"], dilation=dilation)
+    h = _group_norm(h, p["gn2_w"], p["gn2_b"], groups)
+    h = jax.nn.relu(h)
+    h = _conv1d(h, p["conv2_w"], p["conv2_b"], dilation=dilation)
+    return x + h
+
+
+def _pad_to_stride(x: jax.Array, stride: int) -> jax.Array:
+    t = x.shape[1]
+    pad = (stride - t % stride) % stride
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    return x
+
+
+def unet_forward(
+    params: Params,
+    cfg: UNetConfig,
+    x: jax.Array,  # (B, T, chin)
+    step: jax.Array,  # () int32 diffusion step
+    condition: jax.Array | None = None,  # (B, Tc, codec_dim)
+) -> jax.Array:
+    """Denoising estimate for one diffusion step (unet.py DiffusionUnet.forward)."""
+    skips = []
+    z = x
+    for idx, enc in enumerate(params["encoders"]):
+        z = _pad_to_stride(z, cfg.stride)
+        z = _conv1d(z, enc["conv_w"], None, stride=cfg.stride)
+        z = _group_norm(z, enc["norm_w"], enc["norm_b"], cfg.norm_groups)
+        z = jax.nn.relu(z)
+        for j, rb in enumerate(enc["res"]):
+            z = _resblock(z, rb, cfg.norm_groups, dilation=2**j)
+        if idx == 0:
+            z = z + params["embedding"][step][None, None, :]
+        elif params.get("embeddings") is not None:
+            z = z + params["embeddings"][idx - 1][step][None, None, :]
+        skips.append(z)
+
+    # bottleneck: zeroed when there is no recurrent/transformer core (the
+    # skip connections carry the signal), then conditioned on the EnCodec
+    # latent via 1x1 conv + nearest interpolation to the bottleneck length
+    if params.get("bilstm") is not None:
+        z = _bilstm(z, params["bilstm"])
+    else:
+        z = jnp.zeros_like(z)
+    if condition is not None:
+        cond = _conv1d(condition, params["conv_codec_w"], params["conv_codec_b"])
+        t_out = z.shape[1]
+        idxs = jnp.floor(jnp.arange(t_out) * cond.shape[1] / t_out).astype(jnp.int32)
+        cond = jnp.take(cond, jnp.clip(idxs, 0, cond.shape[1] - 1), axis=1)
+        z = z + cond
+
+    for dec in params["decoders"]:
+        s = skips.pop()
+        z = z[:, : s.shape[1], :] + s
+        for j, rb in enumerate(dec["res"]):
+            z = _resblock(z, rb, cfg.norm_groups, dilation=2**j)
+        z = _group_norm(z, dec["norm_w"], dec["norm_b"], cfg.norm_groups)
+        z = jax.nn.relu(z)
+        z = _conv_transpose1d(z, dec["convtr_w"], None, stride=cfg.stride)
+    return z[:, : x.shape[1], :]
+
+
+def _bilstm(x: jax.Array, p: Params) -> jax.Array:
+    """2-layer bidirectional LSTM + linear (audiocraft unet.py BLSTM)."""
+
+    def lstm_dir(xseq, wi, wh, bi, bh, reverse):
+        hdim = wh.shape[1]
+        if reverse:
+            xseq = xseq[:, ::-1]
+
+        def step(carry, xt):
+            h, c = carry
+            gates = xt @ wi + h @ wh + bi + bh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        bsz = xseq.shape[0]
+        init = (jnp.zeros((bsz, hdim)), jnp.zeros((bsz, hdim)))
+        _, hs = jax.lax.scan(step, init, xseq.swapaxes(0, 1))
+        hs = hs.swapaxes(0, 1)
+        return hs[:, ::-1] if reverse else hs
+
+    h = x
+    for layer in p["layers"]:
+        fwd = lstm_dir(h, layer["wi_f"], layer["wh_f"], layer["bi_f"], layer["bh_f"], False)
+        bwd = lstm_dir(h, layer["wi_b"], layer["wh_b"], layer["bi_b"], layer["bh_b"], True)
+        h = jnp.concatenate([fwd, bwd], axis=-1)
+    return h @ p["linear_w"] + p["linear_b"]
+
+
+def init_unet_params(key: jax.Array, cfg: UNetConfig, dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(key, 64))
+
+    def conv(k, cin, cout, bias=True):
+        w = jax.random.normal(next(keys), (k, cin, cout), dtype) * (
+            1.0 / math.sqrt(k * cin)
+        )
+        return (w, jnp.zeros((cout,), dtype)) if bias else (w, None)
+
+    def resblock(ch):
+        w1, b1 = conv(3, ch, ch)
+        w2, b2 = conv(3, ch, ch)
+        return {
+            "gn1_w": jnp.ones((ch,), dtype), "gn1_b": jnp.zeros((ch,), dtype),
+            "conv1_w": w1, "conv1_b": b1,
+            "gn2_w": jnp.ones((ch,), dtype), "gn2_b": jnp.zeros((ch,), dtype),
+            "conv2_w": w2, "conv2_b": b2,
+        }
+
+    chs = cfg.channels()
+    encoders, decoders = [], []
+    cin = cfg.chin
+    for d, ch in enumerate(chs):
+        w, _ = conv(cfg.kernel, cin, ch, bias=False)
+        encoders.append({
+            "conv_w": w,
+            "norm_w": jnp.ones((ch,), dtype), "norm_b": jnp.zeros((ch,), dtype),
+            "res": [resblock(ch) for _ in range(cfg.res_blocks)],
+        })
+        wt, _ = conv(cfg.kernel, ch, cin, bias=False)
+        decoders.insert(0, {
+            "convtr_w": wt,
+            "norm_w": jnp.ones((ch,), dtype), "norm_b": jnp.zeros((ch,), dtype),
+            "res": [resblock(ch) for _ in range(cfg.res_blocks)],
+        })
+        cin = ch
+
+    params: Params = {
+        "encoders": encoders,
+        "decoders": decoders,
+        "embedding": jax.random.normal(next(keys), (cfg.num_steps, chs[0]), dtype) * 0.02,
+        "embeddings": (
+            [
+                jax.random.normal(next(keys), (cfg.num_steps, ch), dtype) * 0.02
+                for ch in chs[1:]
+            ]
+            if cfg.emb_all_layers
+            else None
+        ),
+        "bilstm": None,
+    }
+    if cfg.codec_dim is not None:
+        w, b = conv(1, cfg.codec_dim, chs[-1])
+        params["conv_codec_w"] = w
+        params["conv_codec_b"] = b
+    return params
+
+
+# --------------------------------------------------------------------------------------
+# NoiseSchedule: subsampled ancestral sampling (diffusion_schedule.py)
+# --------------------------------------------------------------------------------------
+
+
+def schedule_betas(cfg: ScheduleConfig) -> np.ndarray:
+    """"power" repartition: linspace in beta**(1/exp) space."""
+    e = cfg.beta_exp
+    return (
+        np.linspace(cfg.beta_t0 ** (1 / e), cfg.beta_t1 ** (1 / e), cfg.num_steps) ** e
+    ).astype(np.float64)
+
+
+def _subsampled_constants(cfg: ScheduleConfig, step_list) -> dict[str, np.ndarray]:
+    """Host-side precompute of the per-iteration sampling constants."""
+    betas = schedule_betas(cfg)
+    alpha_bars = np.cumprod(1.0 - betas)
+    asc = list(reversed(step_list))  # ascending step ids
+    ab_sub = alpha_bars[asc]
+    alphas_sub = np.concatenate([ab_sub[:1], ab_sub[1:] / ab_sub[:-1]])
+    betas_sub = 1.0 - alphas_sub  # betas_from_alpha_bar
+
+    n_iter = len(step_list) - 1
+    beta_i = np.empty(n_iter)
+    alpha_bar_i = np.empty(n_iter)
+    prev_alpha_bar_i = np.empty(n_iter)
+    sigma2_i = np.empty(n_iter)
+    alpha_bar = alpha_bars[cfg.num_steps - 1]
+    for idx in range(n_iter):
+        beta_i[idx] = betas_sub[-1 - idx]
+        alpha_bar_i[idx] = alpha_bar
+        prev_ab = alpha_bars[step_list[idx + 1]]
+        if idx == n_iter - 1:  # step == step_list[-2]: final denoise
+            prev_ab = 1.0
+            sigma2_i[idx] = 0.0
+        elif cfg.variance == "beta":
+            sigma2_i[idx] = (1 - prev_ab) / (1 - alpha_bar) * beta_i[idx]
+        else:
+            raise ValueError(f"unknown variance {cfg.variance!r}")
+        prev_alpha_bar_i[idx] = prev_ab
+        alpha_bar = prev_ab
+    return {
+        "steps": np.asarray(step_list[:-1], np.int32),
+        "beta": beta_i.astype(np.float32),
+        "alpha_bar": alpha_bar_i.astype(np.float32),
+        "sigma": np.sqrt(sigma2_i).astype(np.float32),
+    }
+
+
+def generate_band(
+    unet_params: Params,
+    proc: Params,
+    cfg: MBDConfig,
+    condition: jax.Array,  # (B, Tc, codec_dim)
+    initial_noise: jax.Array,  # (B, T, chin)
+    key: jax.Array,
+) -> jax.Array:
+    """One DiffusionProcess.generate: subsampled DDPM loop + processor
+    return_sample (diffusion_schedule.py generate_subsampled)."""
+    consts = _subsampled_constants(cfg.schedule, cfg.step_list)
+    sched = cfg.schedule
+    current = initial_noise * sched.noise_scale
+
+    def body(carry, xs):
+        cur, k = carry
+        step, beta, alpha_bar, sigma = xs
+        estimate = unet_forward(unet_params, cfg.unet, cur, step, condition)
+        alpha = 1.0 - beta
+        prev = (cur - beta / jnp.sqrt(1.0 - alpha_bar) * estimate) / jnp.sqrt(alpha)
+        k, sub = jax.random.split(k)
+        prev = prev + sigma * jax.random.normal(sub, prev.shape) * sched.rescale
+        if sched.clip:
+            prev = jnp.clip(prev, -sched.clip, sched.clip)
+        return (prev, k), None
+
+    xs = (
+        jnp.asarray(consts["steps"]),
+        jnp.asarray(consts["beta"]),
+        jnp.asarray(consts["alpha_bar"]),
+        jnp.asarray(consts["sigma"]),
+    )
+    (final, _), _ = jax.lax.scan(body, (current, key), xs)
+    out = final[..., 0]  # (B, T), chin == 1
+    return processor_return_sample(
+        proc, out, cfg.sample_rate, cfg.processor_bands, cfg.processor_power_std
+    )
+
+
+# --------------------------------------------------------------------------------------
+# MultiBandDiffusion (audiocraft/models/multibanddiffusion.py)
 # --------------------------------------------------------------------------------------
 
 
 def init_params(key: jax.Array, cfg: MBDConfig = MBDConfig(), dtype=jnp.float32) -> Params:
-    keys = jax.random.split(key, cfg.n_bands)
+    """Random-weight MBD: n_processes (UNet, processor) pairs."""
+    keys = jax.random.split(key, cfg.n_processes)
     return {
-        "bands": [init_unet_params(k, cfg, dtype) for k in keys],
-        "schedule": {k: jnp.asarray(v) for k, v in make_schedule(cfg).items()},
+        "processes": [
+            {
+                "unet": init_unet_params(keys[i], cfg.unet, dtype),
+                "processor": init_processor(cfg.processor_bands),
+            }
+            for i in range(cfg.n_processes)
+        ]
     }
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def sample(
+def _generate_jit(params: Params, cfg: MBDConfig, emb: jax.Array, noise: jax.Array, key: jax.Array):
+    out = jnp.zeros(noise.shape[:-1])
+    for i, proc in enumerate(params["processes"]):
+        key, k1, k2 = jax.random.split(key, 3)
+        init = jax.random.normal(k1, noise.shape) if i else noise
+        out = out + generate_band(proc["unet"], proc["processor"], cfg, emb, init, k2)
+    return out
+
+
+def generate(
     params: Params,
     cfg: MBDConfig,
-    latent: jax.Array,  # (B, T_frames, cond_dim)
+    emb: jax.Array,  # (B, Tc, codec_dim) EnCodec continuous latent
+    size: int,  # output waveform length
     key: jax.Array,
-    n_samples: int | None = None,
 ) -> jax.Array:
-    """Generate a waveform from the EnCodec latent: per-band ancestral DDPM
-    over ``num_sample_steps`` timesteps (uniformly strided through the train
-    schedule), then band merge. Returns (B, T_frames * 320)."""
-    b, t_frames, _ = latent.shape
-    t_audio = t_frames * 320
-    sched = params["schedule"]
-    step_idx = jnp.linspace(cfg.num_train_steps - 1, 0, cfg.num_sample_steps).astype(jnp.int32)
+    """Waveform from the compression model's latent (multibanddiffusion.py
+    generate): each process denoises from fresh Gaussian noise; outputs sum."""
+    bsz = emb.shape[0]
+    key, kn = jax.random.split(key)
+    noise = jax.random.normal(kn, (bsz, size, cfg.unet.chin))
+    return _generate_jit(params, cfg, emb, noise, key)
 
-    def sample_band(band_params, key):
-        def body(i, carry):
-            x, key = carry
-            key, kn = jax.random.split(key)
-            t = step_idx[i]
-            a_bar = sched["alpha_bar"][t]
-            alpha = sched["alphas"][t]
-            beta = sched["betas"][t]
-            eps = unet_denoise(band_params, cfg, x, latent, jnp.full((b,), t))
-            mean = (x - beta / jnp.sqrt(1 - a_bar) * eps) / jnp.sqrt(alpha)
-            noise = jax.random.normal(kn, x.shape) * jnp.sqrt(beta)
-            x = jnp.where(i < cfg.num_sample_steps - 1, mean + noise, mean)
-            return (x, key)
 
-        key, k0 = jax.random.split(key)
-        x0 = jax.random.normal(k0, (b, t_audio))
-        x, _ = jax.lax.fori_loop(0, cfg.num_sample_steps, body, (x0, key))
-        return x
-
-    keys = jax.random.split(key, cfg.n_bands)
-    bands = jnp.stack(
-        [sample_band(bp, k) for bp, k in zip(params["bands"], keys)], axis=0
-    )
-    return merge_bands(bands)
+def re_eq(
+    wav: jax.Array, ref: jax.Array, sr: int, n_bands: int = 32, strictness: float = 1.0
+) -> jax.Array:
+    """Match the EQ of ``wav`` to ``ref`` band by band
+    (multibanddiffusion.py re_eq): scale each mel band by
+    (ref_band_std / wav_band_std) ** strictness."""
+    bands = split_bands(wav, sr, n_bands)
+    bands_ref = split_bands(ref, sr, n_bands)
+    out = 0.0
+    for b, br in zip(bands, bands_ref):
+        scale = (b.std() + 1e-12) ** -strictness * (br.std() + 1e-12) ** strictness
+        out = out + b * scale
+    return out
 
 
 def tokens_to_wav(
     params: Params,
     cfg: MBDConfig,
     encodec_params: Params,
-    codes: jax.Array,  # (n_q, T) or (B, n_q, T)
+    codes: jax.Array,  # (n_q, T) or (B, n_q, T) EnCodec codes
     key: jax.Array,
+    encodec_cfg=None,
 ) -> jax.Array:
-    """EnCodec codes -> waveform via diffusion (reference decoders.py:84-86)."""
-    latent = ec.rvq_decode(encodec_params["codebooks"], jnp.asarray(codes))
-    return sample(params, cfg, latent, key)
+    """EnCodec codes -> MBD waveform with band EQ against the EnCodec
+    decode (multibanddiffusion.py tokens_to_wav; reference decoders.py:99-106).
+    Returns (B, T_wav)."""
+    from metavoice_tpu.models import encodec as ec
+
+    if codes.ndim == 2:
+        codes = codes[None]
+    ecfg = encodec_cfg or ec.EncodecConfig()
+    # conditioning = quantizer-decoded continuous latent (get_emb)
+    emb = ec.rvq_decode(encodec_params["codebooks"], codes)  # (B, T, D)
+    ref = ec.decode_codes(encodec_params, ecfg, codes)  # (B, T_wav)
+    size = ref.shape[-1]
+    wav = generate(params, cfg, emb, size, key)
+    return re_eq(wav, ref, cfg.sample_rate, cfg.eq_bands)

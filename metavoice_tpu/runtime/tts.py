@@ -168,7 +168,13 @@ class TTS:
             from metavoice_tpu.models import mbd as mbd_mod
 
             mbd_cfg = mbd_mod.MBDConfig() if not small else mbd_mod.MBDConfig(
-                hidden=8, depth=2, num_sample_steps=2, cond_dim=ecfg.dimension
+                n_processes=2,
+                unet=mbd_mod.UNetConfig(
+                    hidden=4, depth=2, num_steps=16, codec_dim=ecfg.dimension
+                ),
+                step_list=(15, 7, 0),
+                processor_bands=4,
+                eq_bands=8,
             )
             mbd_params = mbd_mod.init_params(k5, mbd_cfg)
         comps = TTSComponents(
@@ -343,6 +349,7 @@ class TTS:
                 mbd_mod.tokens_to_wav(
                     self.c.mbd_params, self.c.mbd_cfg, self.c.encodec_params,
                     jnp.asarray(full_codes), kv_key,
+                    encodec_cfg=self.c.encodec_cfg,
                 )
             )[0]
         else:

@@ -177,3 +177,171 @@ def load_encodec_pt(path: str, cfg: EncodecConfig = EncodecConfig()) -> Params:
     if isinstance(raw, dict) and "best_state" in raw:
         raw = raw["best_state"]
     return convert_encodec_state_dict(raw, cfg)
+
+
+# --------------------------------------------------------------------------------------
+# audiocraft MultiBandDiffusion checkpoints -> models/mbd.py pytrees
+# --------------------------------------------------------------------------------------
+#
+# audiocraft packs the per-band diffusion models as
+#   {"sample_rate": int, "n_bands": int,
+#    i: {"model_state": {...}, "processor_state": {...}, "cfg": ...}}
+# (audiocraft/models/loaders.py load_diffusion_models); the reference
+# consumes it via MultiBandDiffusion.get_mbd_24khz(bw=6.0)
+# (/root/reference/fam/llm/decoders.py:84-86). Architecture hyperparameters
+# (depth, width, step count, conditioning dim) are INFERRED from tensor
+# shapes so non-default checkpoints load without a config file.
+
+
+def _convert_diffusion_unet(ms: dict) -> tuple[dict, dict]:
+    """One DiffusionUnet model_state -> (params pytree, inferred cfg kwargs)."""
+    import re as _re
+
+    depth = 1 + max(
+        int(m.group(1))
+        for k in ms
+        if (m := _re.match(r"encoders\.(\d+)\.conv\.weight", k))
+    )
+    res_blocks = 1 + max(
+        (
+            int(m.group(1))
+            for k in ms
+            if (m := _re.match(r"encoders\.0\.res_blocks\.(\d+)\.", k))
+        ),
+        default=-1,
+    )
+
+    def conv_w(name):
+        return _to_np(ms[name]).transpose(2, 1, 0)  # (out,in,k) -> (k,in,out)
+
+    def convtr_w(name):
+        return _to_np(ms[name])[:, :, ::-1].transpose(2, 0, 1).copy()
+
+    def resblock(prefix):
+        return {
+            "gn1_w": _to_np(ms[f"{prefix}.block.0.weight"]),
+            "gn1_b": _to_np(ms[f"{prefix}.block.0.bias"]),
+            "conv1_w": conv_w(f"{prefix}.block.2.weight"),
+            "conv1_b": _to_np(ms[f"{prefix}.block.2.bias"]),
+            "gn2_w": _to_np(ms[f"{prefix}.block.3.weight"]),
+            "gn2_b": _to_np(ms[f"{prefix}.block.3.bias"]),
+            "conv2_w": conv_w(f"{prefix}.block.6.weight"),
+            "conv2_b": _to_np(ms[f"{prefix}.block.6.bias"]),
+        }
+
+    encoders, decoders = [], []
+    for i in range(depth):
+        encoders.append(
+            {
+                "conv_w": conv_w(f"encoders.{i}.conv.weight"),
+                "norm_w": _to_np(ms[f"encoders.{i}.norm.weight"]),
+                "norm_b": _to_np(ms[f"encoders.{i}.norm.bias"]),
+                "res": [
+                    resblock(f"encoders.{i}.res_blocks.{j}") for j in range(res_blocks)
+                ],
+            }
+        )
+        decoders.append(
+            {
+                "convtr_w": convtr_w(f"decoders.{i}.convtr.weight"),
+                "norm_w": _to_np(ms[f"decoders.{i}.norm.weight"]),
+                "norm_b": _to_np(ms[f"decoders.{i}.norm.bias"]),
+                "res": [
+                    resblock(f"decoders.{i}.res_blocks.{j}") for j in range(res_blocks)
+                ],
+            }
+        )
+
+    params = {
+        "encoders": encoders,
+        "decoders": decoders,
+        "embedding": _to_np(ms["embedding.weight"]),
+        "embeddings": (
+            [
+                _to_np(ms[f"embeddings.{i}.weight"])
+                for i in range(depth - 1)
+                if f"embeddings.{i}.weight" in ms
+            ]
+            or None
+        )
+        if any(k.startswith("embeddings.") for k in ms)
+        else None,
+        "bilstm": None,
+    }
+    codec_dim = None
+    if "conv_codec.weight" in ms:
+        params["conv_codec_w"] = conv_w("conv_codec.weight")
+        params["conv_codec_b"] = _to_np(ms["conv_codec.bias"])
+        codec_dim = params["conv_codec_w"].shape[1]
+
+    enc0 = encoders[0]["conv_w"]  # (k, chin, hidden)
+    enc_chs = [e["conv_w"].shape[2] for e in encoders]
+    cfg_kwargs = dict(
+        chin=enc0.shape[1],
+        hidden=enc_chs[0],
+        depth=depth,
+        growth=(enc_chs[1] / enc_chs[0]) if depth > 1 else 1.0,
+        num_steps=params["embedding"].shape[0],
+        codec_dim=codec_dim,
+        kernel=enc0.shape[0],
+        res_blocks=res_blocks,
+        emb_all_layers=params["embeddings"] is not None,
+    )
+    return params, cfg_kwargs
+
+
+def convert_mbd_checkpoint(pkg: dict):
+    """audiocraft MBD package -> (params, MBDConfig).
+
+    ``pkg`` is the loaded torch pickle (or a same-shaped dict). Schedule
+    hyperparameters come from the per-band ``cfg`` when it is a plain dict
+    (omegaconf objects are read via dict access too); otherwise defaults.
+    """
+    from metavoice_tpu.models.mbd import MBDConfig, ScheduleConfig, UNetConfig
+
+    n = pkg["n_bands"]
+    processes = []
+    unet_kwargs = None
+    for i in range(n):
+        ms = pkg[i]["model_state"]
+        unet_params, kw = _convert_diffusion_unet(ms)
+        unet_kwargs = unet_kwargs or kw
+        ps = pkg[i]["processor_state"]
+        processor = {
+            "counts": _to_np(ps["counts"]).reshape(-1),
+            "sum_x": _to_np(ps["sum_x"]),
+            "sum_x2": _to_np(ps["sum_x2"]),
+            "sum_target_x2": _to_np(ps["sum_target_x2"]),
+        }
+        processes.append({"unet": unet_params, "processor": processor})
+
+    sched_kwargs = {}
+    cfg0 = pkg[0].get("cfg")
+    if isinstance(cfg0, dict):
+        sch = cfg0.get("schedule", {})
+        for src, dst in (
+            ("beta_t0", "beta_t0"), ("beta_t1", "beta_t1"),
+            ("num_steps", "num_steps"), ("variance", "variance"),
+            ("clip", "clip"), ("rescale", "rescale"),
+            ("beta_exp", "beta_exp"), ("noise_scale", "noise_scale"),
+        ):
+            if src in sch:
+                sched_kwargs[dst] = sch[src]
+
+    proc_bands = processes[0]["processor"]["sum_x"].shape[0]
+    cfg = MBDConfig(
+        sample_rate=pkg.get("sample_rate", 24_000),
+        n_processes=n,
+        unet=UNetConfig(**unet_kwargs),
+        schedule=ScheduleConfig(**sched_kwargs),
+        processor_bands=proc_bands,
+    )
+    return {"processes": processes}, cfg
+
+
+def load_mbd_pt(path: str):
+    """Load an audiocraft mbd_comp_*.pt checkpoint -> (params, MBDConfig)."""
+    import torch
+
+    pkg = torch.load(path, map_location="cpu", weights_only=False)
+    return convert_mbd_checkpoint(pkg)

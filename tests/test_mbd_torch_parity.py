@@ -1,0 +1,270 @@
+"""Torch-oracle parity for the MultiBandDiffusion port.
+
+The oracle below is a torch reimplementation of audiocraft's DiffusionUnet
+(audiocraft/models/unet.py: EncoderLayer/DecoderLayer/ResnetBlock, step
+embeddings, bottleneck conditioning) with audiocraft's parameter names, so
+the test pins BOTH the converter's name/layout mapping and the JAX forward's
+numerics. The subsampled noise schedule is pinned against a direct
+transcription of NoiseSchedule.generate_subsampled's constant computation.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from metavoice_tpu.models import mbd  # noqa: E402
+from metavoice_tpu.utils.convert_external import (  # noqa: E402
+    convert_mbd_checkpoint,
+    _convert_diffusion_unet,
+)
+
+CFG = mbd.UNetConfig(
+    chin=1, hidden=8, depth=3, growth=2.0, num_steps=32, codec_dim=12,
+    kernel=4, stride=4, norm_groups=4, res_blocks=1, emb_all_layers=True,
+)
+
+
+class TorchResnetBlock(nn.Module):
+    def __init__(self, ch, norm_groups=4, dilation=1):
+        super().__init__()
+        pad = dilation  # kernel 3, stride 1
+        self.block = nn.Sequential(
+            nn.GroupNorm(norm_groups, ch), nn.ReLU(),
+            nn.Conv1d(ch, ch, 3, dilation=dilation, padding=pad),
+            nn.GroupNorm(norm_groups, ch), nn.ReLU(), nn.Dropout(0.0),
+            nn.Conv1d(ch, ch, 3, dilation=dilation, padding=pad),
+        )
+
+    def forward(self, x):
+        return self.block(x) + x
+
+
+class TorchEncoderLayer(nn.Module):
+    def __init__(self, chin, chout, kernel=4, stride=4, norm_groups=4, res_blocks=1):
+        super().__init__()
+        self.stride = stride
+        self.conv = nn.Conv1d(chin, chout, kernel, stride, (kernel - stride) // 2, bias=False)
+        self.norm = nn.GroupNorm(norm_groups, chout)
+        self.activation = nn.ReLU()
+        self.res_blocks = nn.Sequential(
+            *[TorchResnetBlock(chout, norm_groups, 2**j) for j in range(res_blocks)]
+        )
+
+    def forward(self, x):
+        pad = (self.stride - x.shape[-1] % self.stride) % self.stride
+        x = F.pad(x, (0, pad))
+        return self.res_blocks(self.activation(self.norm(self.conv(x))))
+
+
+class TorchDecoderLayer(nn.Module):
+    def __init__(self, chin, chout, kernel=4, stride=4, norm_groups=4, res_blocks=1):
+        super().__init__()
+        self.res_blocks = nn.Sequential(
+            *[TorchResnetBlock(chin, norm_groups, 2**j) for j in range(res_blocks)]
+        )
+        self.norm = nn.GroupNorm(norm_groups, chin)
+        self.activation = nn.ReLU()
+        self.convtr = nn.ConvTranspose1d(chin, chout, kernel, stride, (kernel - stride) // 2, bias=False)
+
+    def forward(self, x):
+        return self.convtr(self.activation(self.norm(self.res_blocks(x))))
+
+
+class TorchDiffusionUnet(nn.Module):
+    """audiocraft unet.py DiffusionUnet with the same parameter names."""
+
+    def __init__(self, cfg: mbd.UNetConfig):
+        super().__init__()
+        self.cfg = cfg
+        self.encoders = nn.ModuleList()
+        self.decoders = nn.ModuleList()
+        self.embedding = nn.Embedding(cfg.num_steps, cfg.hidden)
+        self.embeddings = nn.ModuleList() if cfg.emb_all_layers else None
+        chin, hidden = cfg.chin, cfg.hidden
+        for d in range(cfg.depth):
+            self.encoders.append(
+                TorchEncoderLayer(chin, hidden, cfg.kernel, cfg.stride, cfg.norm_groups, cfg.res_blocks)
+            )
+            self.decoders.insert(
+                0, TorchDecoderLayer(hidden, chin, cfg.kernel, cfg.stride, cfg.norm_groups, cfg.res_blocks)
+            )
+            if cfg.emb_all_layers and d > 0:
+                self.embeddings.append(nn.Embedding(cfg.num_steps, hidden))
+            chin = hidden
+            hidden = min(int(hidden * cfg.growth), cfg.max_channels)
+        self.conv_codec = nn.Conv1d(cfg.codec_dim, chin, 1)
+
+    def forward(self, x, step, condition=None):
+        skips = []
+        bs = x.size(0)
+        z = x
+        step_t = torch.tensor([step]).expand(bs)
+        for idx, encoder in enumerate(self.encoders):
+            z = encoder(z)
+            if idx == 0:
+                z = z + self.embedding(step_t).view(bs, -1, 1).expand_as(z)
+            elif self.embeddings is not None:
+                z = z + self.embeddings[idx - 1](step_t).view(bs, -1, 1).expand_as(z)
+            skips.append(z)
+        # bottleneck: zeroed (no bilstm/transformer), then conditioning
+        z = torch.zeros_like(z)
+        if condition is not None:
+            cond = self.conv_codec(condition)
+            cond = F.interpolate(cond, z.size(-1))  # mode='nearest'
+            z = z + cond
+        for decoder in self.decoders:
+            s = skips.pop(-1)
+            z = z[:, :, : s.shape[2]] + s
+            z = decoder(z)
+        return z[:, :, : x.shape[2]]
+
+
+def _state_dict_audiocraft_names(model: TorchDiffusionUnet) -> dict:
+    """nn.Module state dict already matches audiocraft's names for the
+    pieces the converter reads (encoders.*, decoders.*, embedding(.s),
+    conv_codec). res_blocks Sequential indices line up: 0 GN, 2 conv,
+    3 GN, 6 conv (Dropout at 5 holds the gap)."""
+    sd = {}
+    for k, v in model.state_dict().items():
+        sd[k.replace(".res_blocks.0.block.", ".res_blocks.0.block.")] = v
+    return sd
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    torch.manual_seed(0)
+    model = TorchDiffusionUnet(CFG)
+    with torch.no_grad():  # non-trivial norms
+        for p in model.parameters():
+            p.add_(0.01 * torch.randn_like(p))
+    return model
+
+
+def test_unet_forward_parity(oracle):
+    sd = _state_dict_audiocraft_names(oracle)
+    params, kw = _convert_diffusion_unet(sd)
+    assert kw["depth"] == CFG.depth
+    assert kw["hidden"] == CFG.hidden
+    assert kw["num_steps"] == CFG.num_steps
+    assert kw["codec_dim"] == CFG.codec_dim
+    assert kw["emb_all_layers"] is True
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 1, 100)).astype(np.float32)  # (B, C, T) torch layout
+    cond = rng.normal(size=(2, CFG.codec_dim, 7)).astype(np.float32)
+    step = 5
+
+    with torch.no_grad():
+        ref = oracle(torch.tensor(x), step, torch.tensor(cond)).numpy()
+
+    out = mbd.unet_forward(
+        jax.tree.map(jnp.asarray, params), CFG,
+        jnp.asarray(x.transpose(0, 2, 1)),  # (B, T, C) jax layout
+        jnp.asarray(step, jnp.int32),
+        jnp.asarray(cond.transpose(0, 2, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 2, 1), ref, atol=2e-4, rtol=1e-3
+    )
+
+
+def test_unet_forward_parity_unconditioned(oracle):
+    sd = _state_dict_audiocraft_names(oracle)
+    params, _ = _convert_diffusion_unet(sd)
+    x = np.random.default_rng(1).normal(size=(1, 1, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(x), 3, None).numpy()
+    out = mbd.unet_forward(
+        jax.tree.map(jnp.asarray, params), CFG,
+        jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(3, jnp.int32), None,
+    )
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_full_checkpoint_conversion(oracle, tmp_path):
+    """audiocraft package layout {sample_rate, n_bands, i: {model_state,
+    processor_state, cfg}} loads end-to-end and generates."""
+    sd = _state_dict_audiocraft_names(oracle)
+    proc_state = {
+        "counts": torch.tensor([100.0]),
+        "sum_x": torch.zeros(4),
+        "sum_x2": torch.full((4,), 100.0),
+        "sum_target_x2": torch.full((4,), 100.0),
+    }
+    pkg = {
+        "sample_rate": 24_000,
+        "n_bands": 2,
+        0: {"model_state": sd, "processor_state": proc_state,
+            "cfg": {"schedule": {"num_steps": 32, "beta_t0": 1e-4, "beta_t1": 0.02, "beta_exp": 1.0}}},
+        1: {"model_state": sd, "processor_state": proc_state, "cfg": {}},
+    }
+    params, cfg = convert_mbd_checkpoint(pkg)
+    assert cfg.n_processes == 2
+    assert cfg.unet.num_steps == 32
+    assert cfg.schedule.num_steps == 32
+    assert cfg.processor_bands == 4
+
+    cfg = mbd.MBDConfig(
+        sample_rate=cfg.sample_rate, n_processes=cfg.n_processes, unet=cfg.unet,
+        schedule=cfg.schedule, processor_bands=cfg.processor_bands,
+        step_list=(31, 15, 0),
+    )
+    emb = jnp.asarray(np.random.default_rng(2).normal(size=(1, 7, CFG.codec_dim)).astype(np.float32))
+    wav = np.asarray(mbd.generate(jax.tree.map(jnp.asarray, params), cfg, emb, 320, jax.random.PRNGKey(0)))
+    assert wav.shape == (1, 320)
+    assert np.isfinite(wav).all()
+
+
+def _oracle_subsampled_constants(betas: np.ndarray, step_list, variance="beta"):
+    """Direct transcription of audiocraft NoiseSchedule.generate_subsampled's
+    per-iteration constants (diffusion_schedule.py)."""
+    alpha_bars = np.cumprod(1 - betas)
+
+    def get_alpha_bar(step):
+        return np.prod(1 - betas[: step + 1])
+
+    ab_sub = alpha_bars[list(reversed(step_list))]
+    alphas = np.concatenate([ab_sub[:1], ab_sub[1:] / ab_sub[:-1]])
+    betas_sub = 1 - alphas
+
+    out = []
+    alpha_bar = get_alpha_bar(len(betas) - 1)
+    for idx, step in enumerate(step_list[:-1]):
+        beta = betas_sub[-1 - idx]
+        prev_ab = get_alpha_bar(step_list[idx + 1])
+        if step == step_list[-2]:
+            sigma2 = 0.0
+            prev_ab = 1.0
+        elif variance == "beta":
+            sigma2 = (1 - prev_ab) / (1 - alpha_bar) * beta
+        out.append((step, beta, alpha_bar, np.sqrt(sigma2)))
+        alpha_bar = prev_ab
+    return out
+
+
+def test_schedule_constants_match_oracle():
+    sched = mbd.ScheduleConfig(beta_t0=1e-4, beta_t1=0.02, num_steps=100, beta_exp=1.0)
+    step_list = (99, 66, 33, 0)
+    consts = mbd._subsampled_constants(sched, step_list)
+    oracle_consts = _oracle_subsampled_constants(mbd.schedule_betas(sched), step_list)
+    for i, (step, beta, alpha_bar, sigma) in enumerate(oracle_consts):
+        assert consts["steps"][i] == step
+        np.testing.assert_allclose(consts["beta"][i], beta, rtol=1e-5)
+        np.testing.assert_allclose(consts["alpha_bar"][i], alpha_bar, rtol=1e-5)
+        np.testing.assert_allclose(consts["sigma"][i], sigma, rtol=1e-5, atol=1e-7)
+
+
+def test_power_beta_repartition():
+    """beta_exp != 1: linspace in beta**(1/exp) space then re-exponentiated."""
+    sched = mbd.ScheduleConfig(beta_t0=1e-5, beta_t1=2.9e-2, num_steps=10, beta_exp=7.5)
+    betas = mbd.schedule_betas(sched)
+    expected = np.linspace((1e-5) ** (1 / 7.5), (2.9e-2) ** (1 / 7.5), 10) ** 7.5
+    np.testing.assert_allclose(betas, expected, rtol=1e-10)
+    assert betas[0] == pytest.approx(1e-5, rel=1e-6)
+    assert betas[-1] == pytest.approx(2.9e-2, rel=1e-6)
