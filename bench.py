@@ -143,9 +143,6 @@ def main():
     t_stage1 = n_tokens / tps
     full_time = t_stage1 + t_stage2 + t_vocoder
     full_rtf = full_time / audio_s
-    # time-to-first-audio: the non-causal stage 2 needs the full first-stage
-    # stream, so TTFA for one chunk == its full synthesis latency
-    ttfa_s = full_time
     log(
         f"full pipeline for {audio_s:.2f}s audio: stage1 {t_stage1:.3f}s + "
         f"stage2 {t_stage2:.3f}s + vocoder {t_vocoder:.3f}s = {full_time:.3f}s "
@@ -194,6 +191,63 @@ def main():
     except Exception as e:  # batched path must not break the headline metric
         log(f"batched measurement skipped: {e}")
 
+    # ---- streaming TTFA: time to the FIRST audible segment out of the real
+    # public streaming path (north star: p50 < 500 ms). Speaker embedding is
+    # md5-cached as in real serving (the reference caches it the same way,
+    # fam/llm/inference.py:419-435); warmup precompiles every program first.
+    ttfa_p50 = None
+    try:
+        import gc
+
+        del kv
+        gc.collect()
+
+        from metavoice_tpu.runtime.tts import TTS, TTSComponents
+        from metavoice_tpu.models import speaker_encoder as sem
+        from metavoice_tpu.tokenizer import TrainedBPETokeniser
+        from metavoice_tpu.models.enhancer import get_enhancer
+        from metavoice_tpu.utils import audio_io as aio
+
+        comps = TTSComponents(
+            first_stage_params=params,  # the already-quantized int8 model
+            first_stage_cfg=cfg,
+            second_stage_params=params2,
+            second_stage_cfg=cfg2,
+            spk_params=sem.init_params(jax.random.PRNGKey(5)),
+            encodec_params=eparams,
+            encodec_cfg=ecfg,
+            tokenizer=TrainedBPETokeniser(),
+            enhancer=get_enhancer("spectral_gate"),
+        )
+        tts = TTS(comps, output_dir="/tmp/mvtpu_bench", enforce_min_ref_duration=False)
+
+        ref_path = "/tmp/mvtpu_bench_ref.wav"
+        sr = 16000
+        tt = np.arange(31 * sr) / sr
+        aio.write_wav(ref_path, (0.2 * np.sin(2 * np.pi * 220 * tt)).astype(np.float32), sr)
+        text = "The quick brown fox jumps over the lazy dog while the band plays on."
+
+        # warmup: one full streaming pass compiles prefill/decode/stage2/vocoder
+        t0 = time.perf_counter()
+        for _ in tts.synthesise_streaming(text, ref_path):
+            pass
+        log(f"streaming warmup pass: {time.perf_counter()-t0:.1f}s")
+
+        ttfas = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            gen = tts.synthesise_streaming(text, ref_path)
+            seg = next(gen)
+            np.asarray(seg)  # host transfer = audible bytes in hand
+            dt = time.perf_counter() - t0
+            gen.close()
+            ttfas.append(dt)
+            log(f"streaming TTFA run {i}: {dt*1000:.0f} ms ({len(seg)} samples)")
+        ttfa_p50 = float(np.median(ttfas))
+        log(f"streaming TTFA p50: {ttfa_p50*1000:.0f} ms (north star < 500 ms)")
+    except Exception as e:  # TTFA must not break the headline metric
+        log(f"streaming TTFA measurement skipped: {e}")
+
     result = {
         "metric": "first_stage_decode_tokens_per_sec",
         "value": round(tps, 2),
@@ -201,7 +255,9 @@ def main():
         "vs_baseline": round(tps / 300.0, 3),
         "stage1_rtf": round(stage1_rtf, 3),
         "full_pipeline_rtf": round(full_rtf, 3),
-        "ttfa_s": round(ttfa_s, 3),
+        "full_latency_s": round(full_time, 3),
+        "ttfa_s": round(ttfa_p50, 3) if ttfa_p50 else None,
+        "ttfa_note": "p50 of 5 runs, time to first synthesise_streaming segment (40-token first segment), cached speaker emb",
         "batch8_aggregate_tokens_per_sec": round(batch_tps, 1) if batch_tps else None,
         "achieved_bandwidth_gb_s": round(bandwidth_gbs, 1),
         "params_b": round(n_params / 1e9, 3),

@@ -609,6 +609,7 @@ def generate_segments(
     *,
     key: jax.Array,
     segment_tokens: int = 150,  # 75 frames = 1 s of audio per segment
+    first_segment_tokens: int | None = None,  # smaller first segment => lower TTFA
     temperature: float = 1.0,
     top_p: float = 0.95,
     guidance_scale: float | tuple[float, float] = 3.0,
@@ -631,6 +632,10 @@ def generate_segments(
 
     if segment_tokens % 2 != 0:
         raise ValueError("segment_tokens must be even (whole interleaved frames)")
+    if first_segment_tokens is None:
+        first_segment_tokens = segment_tokens
+    if first_segment_tokens % 2 != 0:
+        raise ValueError("first_segment_tokens must be even")
     spk_g, prompt_g, cfg_rows = _normalize_guidance(guidance_scale)
     if cfg_rows == 3 and end_of_text_token <= end_of_audio_token:
         raise ValueError(
@@ -664,9 +669,10 @@ def generate_segments(
         yield np.asarray(pending, np.int32)
         return
 
+    target_tokens = first_segment_tokens  # ramps to segment_tokens after seg 1
     while emitted < budget and pos < cfg.block_size:
         key, kd = jax.random.split(key)
-        step_budget = min(segment_tokens - len(pending), budget - emitted, cfg.block_size - pos)
+        step_budget = min(target_tokens - len(pending), budget - emitted, cfg.block_size - pos)
         if step_budget <= 0:
             break
         buf, lens, kv = decode(
@@ -680,9 +686,10 @@ def generate_segments(
         emitted += n
         pos += n
         done = n > 0 and toks[-1] == end_of_audio_token
-        if len(pending) >= segment_tokens or done or emitted >= budget:
+        if len(pending) >= target_tokens or done or emitted >= budget:
             yield np.asarray(pending, np.int32)
             pending = []
+            target_tokens = segment_tokens
         if done or n == 0:
             return
         cur = jnp.asarray([int(toks[-1])], jnp.int32)

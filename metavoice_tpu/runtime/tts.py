@@ -413,14 +413,18 @@ class TTS:
         guidance_scale: float | tuple[float, float] = 3.0,
         temperature: float = 1.0,
         segment_tokens: int = 150,
+        first_segment_tokens: int = 40,
     ):
         """Yield 24 kHz waveform chunks as they are synthesised.
 
-        Time-to-first-audio becomes one ~1 s segment's latency instead of the
+        Time-to-first-audio becomes one FIRST-segment latency instead of the
         full utterance's: the first stage pauses at even segment boundaries
         (models/first_stage.generate_segments) and each segment runs through
-        the second stage + vocoder + enhancer immediately. The reference has
-        no streaming path (its non-streaming TTFA is the full synthesis).
+        the second stage + vocoder + enhancer immediately. The first segment
+        is deliberately short (default 40 tokens ~ 1/4 s of audio) to get
+        sound out fast; later segments ramp to ``segment_tokens``. The
+        reference has no streaming path (its non-streaming TTFA is the full
+        synthesis).
         """
         text = normalize_text(text)
         if self._enforce_min_ref:
@@ -437,6 +441,7 @@ class TTS:
                 jnp.asarray(spk_emb),
                 key=k1,
                 segment_tokens=segment_tokens,
+                first_segment_tokens=min(first_segment_tokens, segment_tokens),
                 temperature=temperature,
                 top_p=top_p,
                 guidance_scale=guidance_scale,

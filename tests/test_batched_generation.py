@@ -154,3 +154,22 @@ def test_per_row_sampling_mixed_runs(params):
     assert len(outs) == 2
     for o in outs:
         assert (o >= 0).all() and (o < 97).all()
+
+
+def test_generate_segments_first_segment_ramp(params):
+    """first_segment_tokens < segment_tokens: the first yield is small (low
+    TTFA), later yields ramp to the full segment size."""
+    prompt = list(range(50, 60))
+    spk = jnp.ones((1, 256))
+    segs = list(
+        fs.generate_segments(
+            params, TINY, prompt, spk, key=jax.random.PRNGKey(11),
+            segment_tokens=12, first_segment_tokens=4, max_new_tokens=30,
+            end_of_audio_token=10**6, prompt_pad_multiple=16,
+            compute_dtype=jnp.float32,
+        )
+    )
+    assert len(segs[0]) == 4
+    assert len(segs[1]) == 12
+    total = np.concatenate(segs)
+    assert len(total) == 30  # max_new_tokens, counting the prefill-sampled token
