@@ -33,39 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from metavoice_tpu.ops.audio import hann_window, stft, istft_np, stft_np
+from metavoice_tpu.ops.audio import hann_window, istft, istft_np, stft, stft_np  # noqa: F401 (istft re-exported for back-compat)
 
 Params = dict[str, Any]
-
-
-def istft(
-    spec: jax.Array, n_fft: int, hop_length: int, length: int | None = None
-) -> jax.Array:
-    """Inverse STFT with Hann synthesis window + COLA normalization.
-
-    spec: (..., frames, bins) complex -> (..., T).
-    """
-    window = jnp.asarray(hann_window(n_fft))
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window  # (..., F, n_fft)
-    n_frames = spec.shape[-2]
-    t_total = n_fft + hop_length * (n_frames - 1)
-
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    out = jnp.zeros(spec.shape[:-2] + (t_total,), frames.dtype)
-    out = out.at[..., idx.reshape(-1)].add(frames.reshape(spec.shape[:-2] + (-1,)))
-    norm = jnp.zeros((t_total,), frames.dtype)
-    norm = norm.at[idx.reshape(-1)].add(jnp.tile(window**2, (n_frames,)))
-    out = out / jnp.maximum(norm, 1e-8)
-    # undo the center padding stft applied
-    out = out[..., n_fft // 2 :]
-    if length is not None:
-        out = out[..., :length]
-    return out
-
-
-# --------------------------------------------------------------------------------------
-# ERB filterbank (DeepFilterNet's feature frontend)
-# --------------------------------------------------------------------------------------
 
 
 def erb_filterbank(sr: int, n_fft: int, n_bands: int = 32) -> np.ndarray:

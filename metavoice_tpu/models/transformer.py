@@ -365,6 +365,13 @@ def embed_inputs(
     return x
 
 
+def _dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
+    """Inverted dropout (torch nn.Dropout semantics: scale kept values by
+    1/(1-p) at train time)."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x)).astype(x.dtype)
+
+
 def apply_blocks(
     params: Params,
     cfg: TransformerConfig,
@@ -373,6 +380,7 @@ def apply_blocks(
     kv_cache: KVCache | None = None,
     cache_pos: jax.Array | None = None,
     attn_starts: jax.Array | None = None,
+    dropout_key: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the L-layer block stack as one ``lax.scan``.
 
@@ -381,10 +389,20 @@ def apply_blocks(
     carries in place. Passing the caches as scan xs/ys instead would restack
     the full (L, B, H, S, Dh) buffers (hundreds of MB for the 1.2B model)
     into fresh output arrays on every decode step.
+
+    ``dropout_key`` (training path only) enables cfg.dropout on the
+    attention and MLP residual branches (reference fam/llm/model.py
+    resid/MLP nn.Dropout; the attention-probability dropout inside SDPA is
+    intentionally not reproduced — with the finetune default p=0.1 its
+    effect is subsumed by the residual dropouts, and it would break the
+    fused attention path).
     """
     lp_stack = params["layers"]
+    train_dropout = (
+        dropout_key is not None and cfg.dropout > 0.0 and kv_cache is None
+    )
 
-    def block_compute(x, lp, layer_cache):
+    def block_compute(x, lp, layer_cache, drop_key=None):
         h_attn, new_cache = _attention(
             _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg.norm_type, cfg.norm_eps),
             lp,
@@ -393,8 +411,14 @@ def apply_blocks(
             layer_cache,
             cache_pos,
         )
+        if drop_key is not None:
+            k1, k2 = jax.random.split(drop_key)
+            h_attn = _dropout(h_attn, cfg.dropout, k1)
         h = x + h_attn
-        out = h + _mlp(_norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg.norm_type, cfg.norm_eps), lp, cfg)
+        m = _mlp(_norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg.norm_type, cfg.norm_eps), lp, cfg)
+        if drop_key is not None:
+            m = _dropout(m, cfg.dropout, k2)
+        out = h + m
         return out, new_cache
 
     if kv_cache is not None:
@@ -496,8 +520,15 @@ def apply_blocks(
         # rematerialize per-layer activations on the backward pass: without
         # this, training saves every intermediate of all layers
         # (~12 GB at batch 2 x 2048 for the 1.2B model) and OOMs one chip
-        body_fn = jax.checkpoint(lambda c, lp: (block_compute(c, lp, None)[0], None))
-        x, _ = jax.lax.scan(body_fn, x, lp_stack)
+        if train_dropout:
+            layer_keys = jax.random.split(dropout_key, cfg.n_layer)
+            body_fn = jax.checkpoint(
+                lambda c, xs: (block_compute(c, xs[0], None, drop_key=xs[1])[0], None)
+            )
+            x, _ = jax.lax.scan(body_fn, x, (lp_stack, layer_keys))
+        else:
+            body_fn = jax.checkpoint(lambda c, lp: (block_compute(c, lp, None)[0], None))
+            x, _ = jax.lax.scan(body_fn, x, lp_stack)
         new_kv = None
 
     x = _norm(x, params["ln_f_w"], params.get("ln_f_b"), cfg.norm_type, cfg.norm_eps)
@@ -540,18 +571,27 @@ def forward(
     kv_cache: KVCache | None = None,
     cache_pos: jax.Array | int = 0,
     compute_dtype=jnp.bfloat16,
+    dropout_key: jax.Array | None = None,
 ) -> tuple[list[jax.Array], KVCache | None]:
     """Full forward pass: (B, [C,] T) tokens -> per-hierarchy (B, T, V) logits.
 
     * causal without cache: standard training / slow-infer forward
     * causal with cache: prefill (T>1) or decode (T=1) at ``cache_pos``
     * non-causal: all-to-all attention (second stage)
+
+    ``dropout_key`` + cfg.dropout > 0 enables training dropout on the
+    embedding sum (reference transformer.drop, fam/llm/model.py:276) and the
+    residual branches (see apply_blocks). Inference callers pass no key.
     """
     t = idx.shape[-1]
     if positions is None:
         positions = jnp.arange(t) + (cache_pos if kv_cache is not None else 0)
 
     x = embed_inputs(params, cfg, idx, positions, spk_emb, spk_cond_mask, compute_dtype)
+    key_emb = key_blocks = None
+    if dropout_key is not None and cfg.dropout > 0.0 and kv_cache is None:
+        key_emb, key_blocks = jax.random.split(dropout_key)
+        x = _dropout(x, cfg.dropout, key_emb)
 
     if not cfg.causal:
         mask = None
@@ -560,5 +600,9 @@ def forward(
     else:
         mask = causal_mask_for(positions, t)[None, None]
 
-    x, new_kv = apply_blocks(params, cfg, x, mask, kv_cache, jnp.asarray(cache_pos) if kv_cache is not None else None)
+    x, new_kv = apply_blocks(
+        params, cfg, x, mask, kv_cache,
+        jnp.asarray(cache_pos) if kv_cache is not None else None,
+        dropout_key=key_blocks,
+    )
     return output_logits(params, cfg, x), new_kv

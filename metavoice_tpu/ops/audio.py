@@ -63,6 +63,33 @@ def stft(
     return jnp.fft.rfft(frames, n=n_fft, axis=-1)
 
 
+def istft(
+    spec: jax.Array, n_fft: int, hop_length: int, length: int | None = None
+) -> jax.Array:
+    """Inverse STFT with Hann synthesis window + COLA normalization.
+
+    spec: (..., frames, bins) complex -> (..., T). jnp counterpart of
+    :func:`istft_np`; FFT is unimplemented on the axon TPU runtime, so this
+    runs on the CPU backend (callers jit with a cpu device or run eagerly).
+    """
+    window = jnp.asarray(hann_window(n_fft))
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window  # (..., F, n_fft)
+    n_frames = spec.shape[-2]
+    t_total = n_fft + hop_length * (n_frames - 1)
+
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    out = jnp.zeros(spec.shape[:-2] + (t_total,), frames.dtype)
+    out = out.at[..., idx.reshape(-1)].add(frames.reshape(spec.shape[:-2] + (-1,)))
+    norm = jnp.zeros((t_total,), frames.dtype)
+    norm = norm.at[idx.reshape(-1)].add(jnp.tile(window**2, (n_frames,)))
+    out = out / jnp.maximum(norm, 1e-8)
+    # undo the center padding stft applied
+    out = out[..., n_fft // 2 :]
+    if length is not None:
+        out = out[..., :length]
+    return out
+
+
 def stft_np(y: np.ndarray, n_fft: int, hop_length: int, center: bool = True) -> np.ndarray:
     """Pure-numpy STFT for host-side DSP stages (enhancer, checks); same
     semantics as :func:`stft`."""

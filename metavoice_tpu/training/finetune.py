@@ -179,12 +179,15 @@ def loss_fn(
 ) -> jax.Array:
     spk_emb = batch.get("spk_emb")
     spk_cond_mask = None
+    drop_key = net_key = None
+    if dropout_key is not None:
+        drop_key, net_key = jax.random.split(dropout_key)
     if spk_emb is not None:
         if not model_cfg.spk_emb_on_text:
             spk_cond_mask = mask_spk_emb_on_text(batch["x"])
-        if model_cfg.spkemb_dropout > 0.0 and dropout_key is not None:
+        if model_cfg.spkemb_dropout > 0.0 and drop_key is not None:
             row_mask = spkemb_dropout_mask(
-                dropout_key, spk_emb.shape[0], model_cfg.spkemb_dropout
+                drop_key, spk_emb.shape[0], model_cfg.spkemb_dropout
             )
             spk_cond_mask = (
                 row_mask if spk_cond_mask is None else spk_cond_mask * row_mask
@@ -196,6 +199,7 @@ def loss_fn(
         spk_emb=spk_emb,
         spk_cond_mask=spk_cond_mask,
         compute_dtype=compute_dtype,
+        dropout_key=net_key if model_cfg.dropout > 0.0 else None,
     )
     return hierarchy_cross_entropy(logits, batch["y"])
 

@@ -196,6 +196,12 @@ def main():
     ap.add_argument("--seed", type=int, default=1337)
     ap.add_argument("--small", action="store_true", help="small dev model (no ckpt)")
     ap.add_argument(
+        "--dropout", type=float, default=0.1,
+        help="residual/embedding dropout during finetuning (reference "
+        "finetune_params.py:43 default 0.1; attention-prob dropout not "
+        "reproduced — see transformer.apply_blocks docstring)",
+    )
+    ap.add_argument(
         "--spkemb_dropout", type=float, default=None,
         help="drop whole rows' speaker conditioning with this probability "
         "(trains the CFG uncond branch; reference fam/llm/model.py:269-274). "
@@ -243,7 +249,7 @@ def main():
         )
         params = tfm.init_params(jax.random.PRNGKey(args.seed), model_cfg)
 
-    cfg_overrides = {}
+    cfg_overrides = {"dropout": args.dropout}
     if args.spkemb_dropout is not None:
         cfg_overrides["spkemb_dropout"] = args.spkemb_dropout
     if args.no_spk_emb_on_text:

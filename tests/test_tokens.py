@@ -98,3 +98,30 @@ def test_build_second_stage_input():
     assert x.shape == (2, 10)
     np.testing.assert_array_equal(x[0], [2100, 2101, 1, 2, 3, 1024, 1024, 1024, 1024, 1024])
     np.testing.assert_array_equal(x[1], [1024, 1024, 4, 5, 6, 1024, 1024, 1024, 1024, 1024])
+
+
+def test_build_second_stage_input_truncates_overflow():
+    """Audio beyond ctx_window - len(text) is silently dropped — reference
+    behavior (fam/llm/inference.py:279-301 truncates rows at the context
+    window). This pins the overflow case for long chunks near the 220-char
+    boundary (VERDICT weak #9)."""
+    text = list(range(2049, 2049 + 6))  # 6 text tokens
+    h0 = list(range(100, 100 + 10))  # 10 audio frames, only 4+... fit
+    h1 = list(range(200, 200 + 10))
+    ctx = 12
+    out = T.build_second_stage_input(text, [h0, h1], ctx)
+    assert out.shape == (2, ctx)
+    # row 0: 6 text + first (ctx-6)=6 h0 codes, NO room for the pad sentinel
+    np.testing.assert_array_equal(out[0], text + h0[:6])
+    # row 1: 6 pads + first 6 h1 codes
+    np.testing.assert_array_equal(out[1], [T.ENCODEC_PAD_TOKEN] * 6 + h1[:6])
+    # dropped frames never appear
+    assert 107 not in out[0] and 207 not in out[1]
+
+
+def test_build_second_stage_input_exact_fit_keeps_pad_sentinel():
+    text = [2049, 2050]
+    h0, h1 = [1, 2, 3], [4, 5, 6]
+    out = T.build_second_stage_input(text, [h0, h1], ctx_window=6)
+    np.testing.assert_array_equal(out[0], [2049, 2050, 1, 2, 3, T.ENCODEC_PAD_TOKEN])
+    np.testing.assert_array_equal(out[1], [T.ENCODEC_PAD_TOKEN] * 2 + [4, 5, 6, T.ENCODEC_PAD_TOKEN])

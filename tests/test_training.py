@@ -242,3 +242,35 @@ def test_train_step_with_spkemb_dropout_runs(params):
     state2, metrics = step(state, _batch(seed=6))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_network_dropout_train_vs_eval(params):
+    """cfg.dropout > 0: train-mode loss (with key) differs from eval-mode
+    loss (no key), eval-mode equals the p=0 loss exactly; dropout is
+    deterministic per key (reference nn.Dropout train/eval semantics)."""
+    import dataclasses
+
+    cfg_do = dataclasses.replace(TINY, dropout=0.2)
+    batch = _batch(seed=7)
+    l_eval = float(ft.loss_fn(params, cfg_do, batch, jnp.float32))
+    l_plain = float(ft.loss_fn(params, TINY, batch, jnp.float32))
+    np.testing.assert_allclose(l_eval, l_plain, rtol=1e-6)
+
+    l_t1 = float(ft.loss_fn(params, cfg_do, batch, jnp.float32, jax.random.PRNGKey(3)))
+    l_t1b = float(ft.loss_fn(params, cfg_do, batch, jnp.float32, jax.random.PRNGKey(3)))
+    l_t2 = float(ft.loss_fn(params, cfg_do, batch, jnp.float32, jax.random.PRNGKey(4)))
+    assert l_t1 == l_t1b
+    assert l_t1 != l_t2  # different masks
+    assert l_t1 != l_eval
+
+
+def test_dropout_grads_flow(params):
+    import dataclasses
+
+    cfg_do = dataclasses.replace(TINY, dropout=0.1)
+    batch = _batch(seed=8)
+    grads = jax.grad(
+        lambda p: ft.loss_fn(p, cfg_do, batch, jnp.float32, jax.random.PRNGKey(5))
+    )(params)
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+    assert max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads)) > 0
