@@ -182,6 +182,16 @@ def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
         int4_large_m = "zeros" in w and x2.shape[0] > 256
         if int4_large_m:
             on_tpu = False
+        if "pw" in w:  # int4-in-int32 serving format (ops/quantized.py)
+            # prefill / CPU / training-free path: XLA dense dequant. The hot
+            # decode loop never lands here — apply_blocks routes single-token
+            # steps to the int4 megakernels instead.
+            n = w["pw"].shape[-1]
+            y2 = qz.matmul_int4_i32_reference(x2, w["pw"], w["sc"])
+            y = y2.reshape(*lead, n).astype(x.dtype)
+            if b is not None:
+                y = y + b.astype(x.dtype)
+            return y
         if "p" in w:  # nibble-packed int4: 4-bit HBM weight reads
             n = w["p"].shape[-1]
             tile_n = 512 if n % 512 == 0 else 256 if n % 256 == 0 else n
@@ -438,6 +448,56 @@ def apply_blocks(
 
         def _is_int8(w):
             return isinstance(w, dict) and "q" in w and "zeros" not in w
+
+        def _is_int4(w):
+            return isinstance(w, dict) and "pw" in w
+
+        int4_mega = (
+            use_fused
+            and cfg.nonlinearity_type == "swiglu"
+            and cfg.dim % 1024 == 0
+            and all(_is_int4(lp_stack.get(k)) for k in ("wqkv", "wo", "w1", "w3", "w2"))
+            and "wqkv_b" not in lp_stack
+        )
+        if int4_mega:
+            # int4 serving path: TWO Pallas calls per layer (attention block
+            # + fused FFN), both DMA-slicing the STACKED packed weights by
+            # layer index — 4-bit HBM weight reads end to end
+            from metavoice_tpu.ops.attention import decode_attention_block_int4
+            from metavoice_tpu.ops.quantized import decode_ffn_int4
+
+            big = {k: lp_stack[k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+            small = {k: v for k, v in lp_stack.items() if k not in big}
+
+            def body4(carry, lp):
+                x, k_full, v_full, li = carry
+                xa = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg.norm_type, cfg.norm_eps)
+                y2, k_full, v_full = decode_attention_block_int4(
+                    xa[:, 0, :],
+                    big["wqkv"]["pw"], big["wqkv"]["sc"],
+                    big["wo"]["pw"], big["wo"]["sc"],
+                    k_full, v_full, li,
+                    jnp.asarray(cache_pos, jnp.int32),
+                    cfg.n_head,
+                    starts=attn_starts,
+                )
+                h = x + y2[:, None, :].astype(x.dtype)
+                hn = _norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg.norm_type, cfg.norm_eps)
+                f = decode_ffn_int4(
+                    hn[:, 0, :],
+                    big["w1"]["pw"], big["w1"]["sc"],
+                    big["w3"]["pw"], big["w3"]["sc"],
+                    big["w2"]["pw"], big["w2"]["sc"],
+                    li,
+                )
+                out = h + f[:, None, :].astype(x.dtype)
+                return (out, k_full, v_full, li + 1), None
+
+            (x, k_new, v_new, _), _ = jax.lax.scan(
+                body4, (x, kv_cache.k, kv_cache.v, jnp.asarray(0, jnp.int32)), small
+            )
+            x = _norm(x, params["ln_f_w"], params.get("ln_f_b"), cfg.norm_type, cfg.norm_eps)
+            return x, KVCache(k=k_new, v=v_new)
 
         def body(carry, lp):
             x, k_full, v_full, li = carry

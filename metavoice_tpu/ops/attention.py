@@ -421,6 +421,273 @@ def _decode_block_kernel(
     jax.lax.fori_loop(0, n_o_tiles, o_body, None)
 
 
+W4_TILE = 1024  # int4 weight tile width (i32 words; measured best vs 512/2048)
+
+
+def _decode_block_int4_kernel(
+    dh: int,
+    chunk: int,
+    groupsize: int,
+    # scalar prefetch
+    idx_ref,  # (2,) int32: [layer, pos]
+    # inputs
+    x_ref,  # (Bpad, D) bf16 VMEM (normed input, rows >= B zero-padded)
+    xones_ref,  # (D, Gp) bf16 VMEM group-sum matrix
+    starts_ref,  # (BH, 1) int32 VMEM
+    wqkv_hbm,  # (L, D/8, 3D) i32 packed
+    sqkv_hbm,  # (L, 2*Gp, 3D) f32
+    wo_hbm,  # (L, D/8, D) i32 packed
+    so_hbm,  # (L, 2*Gp, D) f32
+    k_hbm,  # (L, S, BH, Dh) HBM (aliased out)
+    v_hbm,
+    # outputs
+    y_ref,  # (Bpad, D) bf16 VMEM
+    k_out,
+    v_out,
+    # scratch
+    w_buf,  # (2, D/8, W4_TILE) i32
+    sc_buf,  # (2, 2*Gp, W4_TILE) f32
+    qkv_scr,  # (Bpad, 3D) f32
+    k_buf,  # (2, CHUNK, BH, Dh)
+    v_buf,
+    acc_ref,  # (BH, Dh) f32
+    m_ref,  # (BH, 128) f32
+    l_ref,  # (BH, 128) f32
+    w_sems,  # DMA (2, 2)
+    kv_w_sems,  # DMA (2,)
+    c_sems,  # DMA (2, 2)
+):
+    """int4 variant of _decode_block_kernel: same four phases, with the
+    qkv/wo projections reading 4-bit packed weights (see ops/quantized.py
+    int4-in-int32 notes for the layout and dequant identity)."""
+    from metavoice_tpu.ops.quantized import _int4_group_matmul
+
+    li = idx_ref[0]
+    pos = idx_ref[1]
+    bpad, d = x_ref.shape
+    bh = acc_ref.shape[0]
+    b = bh * dh // d
+    tile = w_buf.shape[2]
+    x = x_ref[:]
+    xsum = jnp.dot(x, xones_ref[:], preferred_element_type=jnp.float32)
+
+    # ---- phase 1: qkv = x @ Wqkv (int4), streaming packed weight tiles ------
+    n_qkv_tiles = (3 * d) // tile
+
+    def qkv_dma(slot, j):
+        sl = pl.ds(j * tile, tile)
+        return (
+            pltpu.make_async_copy(wqkv_hbm.at[li, :, sl], w_buf.at[slot], w_sems.at[slot, 0]),
+            pltpu.make_async_copy(sqkv_hbm.at[li, :, sl], sc_buf.at[slot], w_sems.at[slot, 1]),
+        )
+
+    for dma in qkv_dma(0, 0):
+        dma.start()
+
+    def qkv_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_qkv_tiles)
+        def _():
+            for dma in qkv_dma(jax.lax.rem(j + 1, 2), j + 1):
+                dma.start()
+
+        for dma in qkv_dma(slot, j):
+            dma.wait()
+        acc = _int4_group_matmul(x, xsum, w_buf[slot], sc_buf[slot], groupsize)
+        qkv_scr[:, pl.ds(j * tile, tile)] = acc
+        return _
+
+    jax.lax.fori_loop(0, n_qkv_tiles, qkv_body, None)
+
+    # ---- phase 2: write new K/V row into the cache --------------------------
+    q = qkv_scr[:b, :d].reshape(bh, dh) * (1.0 / np.sqrt(dh))
+    k_buf[0, 0] = qkv_scr[:b, d : 2 * d].reshape(bh, dh).astype(k_out.dtype)
+    v_buf[0, 0] = qkv_scr[:b, 2 * d :].reshape(bh, dh).astype(v_out.dtype)
+    kw = pltpu.make_async_copy(k_buf.at[0, pl.ds(0, 1)], k_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[0])
+    vw = pltpu.make_async_copy(v_buf.at[0, pl.ds(0, 1)], v_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[1])
+    kw.start()
+    vw.start()
+    kw.wait()
+    vw.wait()
+
+    # ---- phase 3: flash attention over the valid prefix ---------------------
+    n_chunks = (pos + chunk) // chunk
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, -1e30)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def get_dma(slot, c):
+        return (
+            pltpu.make_async_copy(
+                k_out.at[li, pl.ds(c * chunk, chunk)], k_buf.at[slot], c_sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                v_out.at[li, pl.ds(c * chunk, chunk)], v_buf.at[slot], c_sems.at[slot, 1]
+            ),
+        )
+
+    dk, dv = get_dma(0, 0)
+    dk.start()
+    dv.start()
+
+    def attn_body(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            nk, nv = get_dma(jax.lax.rem(c + 1, 2), c + 1)
+            nk.start()
+            nv.start()
+
+        ck, cv = get_dma(slot, c)
+        ck.wait()
+        cv.wait()
+        k = k_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)
+        s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (BH, C)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
+        s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = jnp.broadcast_to(l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.sum(p.T[:, :, None] * v, axis=0)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        return _
+
+    jax.lax.fori_loop(0, n_chunks, attn_body, None)
+    y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
+    if bpad > b:
+        y_pad = jnp.concatenate([y_attn, jnp.zeros((bpad - b, d), jnp.bfloat16)], axis=0)
+    else:
+        y_pad = y_attn
+    ysum = jnp.dot(y_pad, xones_ref[:], preferred_element_type=jnp.float32)
+
+    # ---- phase 4: y = attn @ Wo (int4), streaming packed weight tiles -------
+    n_o_tiles = d // tile
+
+    def o_dma(slot, j):
+        sl = pl.ds(j * tile, tile)
+        return (
+            pltpu.make_async_copy(wo_hbm.at[li, :, sl], w_buf.at[slot], w_sems.at[slot, 0]),
+            pltpu.make_async_copy(so_hbm.at[li, :, sl], sc_buf.at[slot], w_sems.at[slot, 1]),
+        )
+
+    for dma in o_dma(0, 0):
+        dma.start()
+
+    def o_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_o_tiles)
+        def _():
+            for dma in o_dma(jax.lax.rem(j + 1, 2), j + 1):
+                dma.start()
+
+        for dma in o_dma(slot, j):
+            dma.wait()
+        acc = _int4_group_matmul(y_pad, ysum, w_buf[slot], sc_buf[slot], groupsize)
+        y_ref[:, pl.ds(j * tile, tile)] = acc.astype(y_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, n_o_tiles, o_body, None)
+
+
+def decode_attention_block_int4(
+    xa: jax.Array,  # (B, D) normed input, bf16
+    wqkv_pw: jax.Array,  # (L, D/8, 3D) i32
+    wqkv_sc: jax.Array,  # (L, 2*Gp, 3D) f32
+    wo_pw: jax.Array,  # (L, D/8, D) i32
+    wo_sc: jax.Array,  # (L, 2*Gp, D) f32
+    k_cache: jax.Array,  # (L, S, B, H, Dh)
+    v_cache: jax.Array,
+    layer: jax.Array,
+    pos: jax.Array,
+    n_head: int,
+    starts: jax.Array | None = None,
+    groupsize: int = 128,
+    tile: int = W4_TILE,
+    interpret: bool = False,
+):
+    """Fused int4 attention block for one decode layer (packed-weight variant
+    of decode_attention_block_int8; weights stay STACKED across layers and
+    are DMA-sliced by the scalar-prefetched layer index).
+
+    Returns (y (B, D), k_cache, v_cache). Requires MHA, Dh % 128 == 0,
+    D % tile == 0, D % (8*groupsize) == 0.
+    """
+    from metavoice_tpu.ops.quantized import group_ones
+
+    b, d = xa.shape
+    dh = d // n_head
+    bh = b * n_head
+    l, s = k_cache.shape[0], k_cache.shape[1]
+    bpad = max(8, b)
+    chunk = _chunk_for(bh, dh)
+    gp = wqkv_sc.shape[1] // 2
+    x_pad = jnp.zeros((bpad, d), jnp.bfloat16).at[:b].set(xa.astype(jnp.bfloat16))
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    starts_bh = jnp.repeat(starts.astype(jnp.int32), n_head).reshape(bh, 1)
+    k_flat = k_cache.reshape(l, s, bh, dh)
+    v_flat = v_cache.reshape(l, s, bh, dh)
+    idx = jnp.stack([layer.astype(jnp.int32), pos.astype(jnp.int32)])
+    xones = group_ones(d, gp, groupsize)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xones
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # starts
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wqkv packed
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wqkv sc
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wo packed
+            pl.BlockSpec(memory_space=pltpu.HBM),  # wo sc
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k cache
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v cache
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d // 8, tile), jnp.int32),
+            pltpu.VMEM((2, 2 * gp, tile), jnp.float32),
+            pltpu.VMEM((bpad, 3 * d), jnp.float32),
+            pltpu.VMEM((2, chunk, bh, dh), k_cache.dtype),
+            pltpu.VMEM((2, chunk, bh, dh), v_cache.dtype),
+            pltpu.VMEM((bh, dh), jnp.float32),
+            pltpu.VMEM((bh, 128), jnp.float32),
+            pltpu.VMEM((bh, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    y, k_out, v_out = pl.pallas_call(
+        partial(_decode_block_int4_kernel, dh, chunk, groupsize),
+        out_shape=(
+            jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
+            jax.ShapeDtypeStruct(v_flat.shape, v_flat.dtype),
+        ),
+        grid_spec=grid_spec,
+        input_output_aliases={8: 1, 9: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx, x_pad, xones, starts_bh, wqkv_pw, wqkv_sc, wo_pw, wo_sc, k_flat, v_flat)
+    return (
+        y[:b],
+        k_out.reshape(k_cache.shape),
+        v_out.reshape(v_cache.shape),
+    )
+
+
 def decode_attention_block_int8(
     xa: jax.Array,  # (B, D) normed input, bf16
     wqkv_q: jax.Array,  # (D, 3D) int8

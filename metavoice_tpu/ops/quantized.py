@@ -27,10 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:  # imported lazily in kernels elsewhere; top-level for the fused FFN
+try:  # imported lazily in kernels elsewhere; top-level for the fused FFNs
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 except ImportError:  # pragma: no cover
     pl = None
+    pltpu = None
 
 
 # --------------------------------------------------------------------------------------
@@ -427,3 +429,360 @@ def ffn_int8_reference(x, w1, s1, w3, s3, w2, s2):
     h3 = matmul_int8_reference(x.astype(jnp.float32), w3, s3)
     h = jax.nn.silu(h1.astype(jnp.float32)) * h3.astype(jnp.float32)
     return matmul_int8_reference(h, w2, s2)
+
+
+# --------------------------------------------------------------------------------------
+# int4-in-int32 packing: the fast decode serving format
+# --------------------------------------------------------------------------------------
+#
+# Measured on v5e: 1-byte HBM reads cap at ~390 GB/s while 4-byte reads and
+# the VPU unpack together sustain more, so nibbles are packed EIGHT to an
+# int32 word (native (8,128) register layout, no u8->i32 relayouts).
+#
+# Layout is "split-eighth" along the contraction dim K: bits [4j, 4j+4) of
+# word (k', n) hold q[j*K/8 + k', n] + 8 (biased to [0, 15]). The kernel
+# recovers slab j with one arithmetic shift + mask and feeds the raw nibble
+# values straight to the MXU; quantization affine terms never touch the
+# per-weight path thanks to the identity (per K-group g of `groupsize` rows):
+#
+#   x_g @ W_g = s_g * (x_g @ nib_g) + (sum x_g) * c_g,   c_g := z_g - 7.5*s_g
+#
+# so scales/offsets land in a per-group epilogue using precomputed per-group
+# row-sums of x. s and c are stored stacked as one (2*Gp, N) f32 "sc" array
+# (Gp = n_groups padded to a multiple of 8 for aligned DMA slices; pad rows
+# are zero and therefore inert in the epilogue).
+#
+# Alignment: K must be divisible by 8*groupsize so every 128-row dot block
+# of a slab lies within one quant group; quantize_params_int4_i32 zero-pads
+# the FFN hidden dim to satisfy this (pad columns/rows have s = c = 0, so
+# they contribute exactly zero).
+
+I32_GROUPSIZE = 128  # serving groupsize (reference default, fast_quantize.py:70)
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def pack_int4_i32(q: jax.Array) -> jax.Array:
+    """(K, N) int8 in [-8, 7] -> (K/8, N) int32, split-eighth slab layout."""
+    k, n = q.shape
+    assert k % 8 == 0, k
+    nib = (q.astype(jnp.int32) + 8).reshape(8, k // 8, n)  # slab j = rows [j*K/8, ...)
+    word = nib[0]
+    for j in range(1, 8):
+        word = word | (nib[j] << (4 * j))
+    return word.astype(jnp.int32)
+
+
+def unpack_int4_i32(pw: jax.Array) -> jax.Array:
+    """Inverse of pack_int4_i32: (K/8, N) int32 -> (K, N) int8 in [-8, 7]."""
+    slabs = [(((pw >> (4 * j)) & 0xF) - 8).astype(jnp.int8) for j in range(8)]
+    return jnp.concatenate(slabs, axis=0)
+
+
+def quantize_int4_i32(
+    w: jax.Array, groupsize: int = I32_GROUPSIZE
+) -> tuple[jax.Array, jax.Array]:
+    """Quantize (in, out) weights to the packed serving format.
+
+    Returns (pw (Kp/8, N) int32, sc (2*Gp, N) f32) where Kp = in padded to a
+    multiple of 8*groupsize, Gp = Kp/groupsize padded to a multiple of 8, and
+    sc rows [0, Gp) are the scales, [Gp, 2*Gp) the constants c = z - 7.5*s.
+    Pad rows/groups carry s = c = 0 and contribute nothing.
+    """
+    in_dim, out_dim = w.shape
+    kp = _round_up(in_dim, 8 * groupsize)
+    if kp != in_dim:
+        w = jnp.concatenate(
+            [w, jnp.zeros((kp - in_dim, out_dim), w.dtype)], axis=0
+        )
+    q, s, z = quantize_int4_grouped(w, groupsize)
+    n_groups = kp // groupsize
+    gp = _round_up(n_groups, 8)
+    c = z - 7.5 * s
+    if kp != in_dim:
+        # zero out the affine terms of any group that is entirely padding so
+        # the epilogue cannot pick up quantization noise from the pad rows
+        full_groups = in_dim // groupsize
+        mask = (jnp.arange(n_groups) < full_groups + (in_dim % groupsize > 0))[:, None]
+        s = jnp.where(mask, s, 0.0)
+        c = jnp.where(mask, c, 0.0)
+    pad = jnp.zeros((gp - n_groups, out_dim), jnp.float32)
+    sc = jnp.concatenate([s, pad, c, pad], axis=0).astype(jnp.float32)
+    return pack_int4_i32(q), sc
+
+
+def matmul_int4_i32_reference(
+    x: jax.Array, pw: jax.Array, sc: jax.Array, groupsize: int = I32_GROUPSIZE
+) -> jax.Array:
+    """jnp semantics oracle (and CPU/prefill path) for the packed format.
+
+    x (..., in) with in <= 8*pw.shape[0]; zero-pads x to the packed K.
+    """
+    kp = 8 * pw.shape[0]
+    gp = sc.shape[0] // 2
+    n_groups = kp // groupsize
+    s, c = sc[:n_groups], sc[gp : gp + n_groups]
+    if x.shape[-1] != kp:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, kp - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    nib = jnp.concatenate(
+        [(pw >> (4 * j)) & 0xF for j in range(8)], axis=0
+    ).astype(jnp.float32)
+    w = nib.reshape(n_groups, groupsize, -1) * s[:, None, :]
+    y = jnp.einsum("...d,do->...o", x.astype(jnp.float32), w.reshape(kp, -1))
+    xsum = x.astype(jnp.float32).reshape(*x.shape[:-1], n_groups, groupsize).sum(-1)
+    y = y + jnp.einsum("...g,go->...o", xsum, c)
+    return y.astype(x.dtype)
+
+
+def quantize_params_int4_i32(params: dict, groupsize: int = I32_GROUPSIZE) -> dict:
+    """Param-tree quantizer for the fast int4 serving config.
+
+    Quantized (L, in, out) leaves become {"pw": (L, Kp/8, out) int32,
+    "sc": (L, 2*Gp, out) f32}. The FFN hidden dim is zero-padded inside the
+    packed tensors (w1/w3 along out, w2 along in) so all kernels see
+    8*groupsize-aligned contractions; the padding is numerically inert.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for key in _QUANTIZABLE_LAYER_KEYS:
+        if key not in layers:
+            continue
+        w = layers[key]  # (L, in, out)
+        if key in ("w1", "w3", "w_fc"):
+            # pad the hidden dim (out axis) to match w2/w_proj's padded in
+            ip = _round_up(w.shape[2], 8 * groupsize)
+            if ip != w.shape[2]:
+                w = jnp.concatenate(
+                    [w, jnp.zeros((w.shape[0], w.shape[1], ip - w.shape[2]), w.dtype)],
+                    axis=2,
+                )
+        pw, sc = jax.vmap(partial(quantize_int4_i32, groupsize=groupsize))(w)
+        layers[key] = {"pw": pw, "sc": sc}
+        if key in ("w1", "w3", "w_fc"):
+            # pad columns must dequantize to exactly zero: zero their affine
+            # terms (their nibbles already quantize a zero column)
+            n_real = params["layers"][key].shape[2]
+            col = jnp.arange(sc.shape[2]) < n_real
+            layers[key]["sc"] = jnp.where(col[None, None, :], sc, 0.0)
+    out["layers"] = layers
+    return out
+
+
+# --------------------------------------------------------------------------------------
+# Fused int4 decode FFN megakernel: silu(x@w1) * (x@w3) @ w2, one Pallas call
+# per layer, manual double-buffered DMA from the STACKED (L, ...) weights
+# --------------------------------------------------------------------------------------
+#
+# Taking the full stacked arrays + a scalar layer index (instead of per-layer
+# scan slices) keeps XLA from materializing a per-layer copy of the weights
+# before the kernel runs — measured 255 GB/s packed vs 184 GB/s sliced.
+
+FFN_TILE = 1024  # intermediate/output tile width (measured best vs 512/2048)
+
+
+def _int4_group_matmul(x, xsum, w_words, sc, groupsize):
+    """In-kernel helper: (Bpad, K) x packed (K/8, tile) -> (Bpad, tile) f32.
+
+    x: (Bpad, K) bf16, xsum: (Bpad, Gp) f32 per-group row sums,
+    w_words: (K/8, tile) i32, sc: (2*Gp, tile) f32 (scales then constants).
+
+    Per-weight work is one arithmetic shift + mask + bf16 cast; slab j
+    covers original rows [j*K/8, (j+1)*K/8) so each 128-row dot block sits
+    inside one quant group (K is 8*groupsize-aligned by construction).
+    """
+    k8 = w_words.shape[0]
+    gp = sc.shape[0] // 2
+    n_grp_slab = k8 // groupsize  # quant groups per slab
+    acc = jnp.dot(xsum, sc[gp:, :], preferred_element_type=jnp.float32)  # c term
+    for j8 in range(8):
+        nib = ((w_words >> (4 * j8)) & 0xF).astype(jnp.bfloat16)
+        for m in range(n_grp_slab):
+            g = j8 * n_grp_slab + m
+            xg = x[:, g * groupsize : (g + 1) * groupsize]
+            d = jnp.dot(
+                xg, nib[m * groupsize : (m + 1) * groupsize, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + d * sc[g, :][None, :]
+    return acc
+
+
+def group_ones(k: int, gp: int, groupsize: int) -> jax.Array:
+    """(K, Gp) bf16 block-diagonal 0/1 matrix: x @ group_ones = per-group row
+    sums. Built in XLA and passed into kernels so group reduction is one MXU
+    dot instead of Mosaic-hostile reshapes."""
+    rows = jnp.arange(k)[:, None] // groupsize
+    cols = jnp.arange(gp)[None, :]
+    return (rows == cols).astype(jnp.bfloat16)
+
+
+def _ffn_int4_kernel(
+    groupsize, tile, n_i_tiles, n_d_tiles,
+    # scalar prefetch
+    li_ref,  # (1,) int32
+    # inputs
+    x_ref,  # (Bpad, D) bf16 VMEM
+    xones_ref,  # (D, G1p) bf16 VMEM block-diagonal group-sum matrix
+    hones_ref,  # (Ip, G2p) bf16 VMEM
+    pw1_hbm,  # (L, D/8, Ip) i32
+    sc1_hbm,  # (L, 2*G1p, Ip) f32
+    pw3_hbm,
+    sc3_hbm,
+    pw2_hbm,  # (L, Ip/8, D) i32
+    sc2_hbm,  # (L, 2*G2p, D) f32
+    # outputs
+    o_ref,  # (Bpad, D) f32 VMEM
+    # scratch
+    w1_buf,  # (2, D/8, tile) i32
+    w3_buf,
+    sc1_buf,  # (2, 2*G1p, tile) f32
+    sc3_buf,
+    h_scr,  # (Bpad, Ip) bf16
+    w2_buf,  # (2, Ip/8, tile) i32
+    sc2_buf,  # (2, 2*G2p, tile) f32
+    sems,  # DMA (2, 4)
+    sems2,  # DMA (2, 2)
+):
+    li = li_ref[0]
+    x = x_ref[:]
+    xsum = jnp.dot(x, xones_ref[:], preferred_element_type=jnp.float32)  # (Bpad, G1p)
+
+    # ---- phase 1: h = silu(x@w1) * (x@w3), streaming intermediate tiles ----
+    def p1_dma(slot, j):
+        sl = pl.ds(j * tile, tile)
+        return (
+            pltpu.make_async_copy(pw1_hbm.at[li, :, sl], w1_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(sc1_hbm.at[li, :, sl], sc1_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(pw3_hbm.at[li, :, sl], w3_buf.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(sc3_hbm.at[li, :, sl], sc3_buf.at[slot], sems.at[slot, 3]),
+        )
+
+    for dma in p1_dma(0, 0):
+        dma.start()
+
+    def p1_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_i_tiles)
+        def _():
+            for dma in p1_dma(jax.lax.rem(j + 1, 2), j + 1):
+                dma.start()
+
+        for dma in p1_dma(slot, j):
+            dma.wait()
+        h1 = _int4_group_matmul(x, xsum, w1_buf[slot], sc1_buf[slot], groupsize)
+        h3 = _int4_group_matmul(x, xsum, w3_buf[slot], sc3_buf[slot], groupsize)
+        h_scr[:, pl.ds(j * tile, tile)] = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)
+        return _
+
+    jax.lax.fori_loop(0, n_i_tiles, p1_body, None)
+
+    # ---- phase 2: y = h @ w2, streaming output tiles ------------------------
+    h = h_scr[:]
+    hsum = jnp.dot(h, hones_ref[:], preferred_element_type=jnp.float32)  # (Bpad, G2p)
+
+    def p2_dma(slot, j):
+        sl = pl.ds(j * tile, tile)
+        return (
+            pltpu.make_async_copy(pw2_hbm.at[li, :, sl], w2_buf.at[slot], sems2.at[slot, 0]),
+            pltpu.make_async_copy(sc2_hbm.at[li, :, sl], sc2_buf.at[slot], sems2.at[slot, 1]),
+        )
+
+    for dma in p2_dma(0, 0):
+        dma.start()
+
+    def p2_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_d_tiles)
+        def _():
+            for dma in p2_dma(jax.lax.rem(j + 1, 2), j + 1):
+                dma.start()
+
+        for dma in p2_dma(slot, j):
+            dma.wait()
+        y = _int4_group_matmul(h, hsum, w2_buf[slot], sc2_buf[slot], groupsize)
+        o_ref[:, pl.ds(j * tile, tile)] = y
+        return _
+
+    jax.lax.fori_loop(0, n_d_tiles, p2_body, None)
+
+
+def decode_ffn_int4(
+    x: jax.Array,  # (B, D) normed input
+    pw1: jax.Array,  # (L, D/8, Ip) i32
+    sc1: jax.Array,  # (L, 2*G1p, Ip) f32
+    pw3: jax.Array,
+    sc3: jax.Array,
+    pw2: jax.Array,  # (L, Ip/8, D) i32
+    sc2: jax.Array,  # (L, 2*G2p, D) f32
+    layer: jax.Array,  # () int32
+    *,
+    groupsize: int = I32_GROUPSIZE,
+    tile: int = FFN_TILE,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused int4 SwiGLU FFN for one decode layer: ONE Pallas call streaming
+    the packed weights of stacked layer ``layer`` HBM->VMEM (double-buffered,
+    4-bit weight reads), hidden activation resident in VMEM. Returns (B, D)
+    f32. Weights come in STACKED (all layers) so XLA never materializes a
+    per-layer slice copy."""
+    b, d = x.shape
+    ip = pw1.shape[2]
+    assert pw2.shape[1] * 8 == ip and pw2.shape[2] == d, (pw1.shape, pw2.shape)
+    assert ip % tile == 0 and d % tile == 0 and tile % groupsize == 0
+    bpad = max(8, b)
+    x_pad = jnp.zeros((bpad, d), jnp.bfloat16).at[:b].set(x.astype(jnp.bfloat16))
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    n_i_tiles = ip // tile
+    n_d_tiles = d // tile
+    g1p = sc1.shape[1] // 2
+    g2p = sc2.shape[1] // 2
+    xones = group_ones(d, g1p, groupsize)
+    hones = group_ones(ip, g2p, groupsize)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xones
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hones
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pw1
+            pl.BlockSpec(memory_space=pltpu.HBM),  # sc1
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pw3
+            pl.BlockSpec(memory_space=pltpu.HBM),  # sc3
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pw2
+            pl.BlockSpec(memory_space=pltpu.HBM),  # sc2
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, d // 8, tile), jnp.int32),
+            pltpu.VMEM((2, d // 8, tile), jnp.int32),
+            pltpu.VMEM((2, 2 * g1p, tile), jnp.float32),
+            pltpu.VMEM((2, 2 * g1p, tile), jnp.float32),
+            pltpu.VMEM((bpad, ip), jnp.bfloat16),
+            pltpu.VMEM((2, ip // 8, tile), jnp.int32),
+            pltpu.VMEM((2, 2 * g2p, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    y = pl.pallas_call(
+        partial(_ffn_int4_kernel, groupsize, tile, n_i_tiles, n_d_tiles),
+        out_shape=jax.ShapeDtypeStruct((bpad, d), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(li, x_pad, xones, hones, pw1, sc1, pw3, sc3, pw2, sc2)
+    return y[:b]
+
+
+def ffn_int4_i32_reference(x, pw1, sc1, pw3, sc3, pw2, sc2, groupsize=I32_GROUPSIZE):
+    """jnp semantics oracle for decode_ffn_int4 (single layer, unstacked)."""
+    h1 = matmul_int4_i32_reference(x.astype(jnp.float32), pw1, sc1, groupsize)
+    h3 = matmul_int4_i32_reference(x.astype(jnp.float32), pw3, sc3, groupsize)
+    h = jax.nn.silu(h1) * h3
+    return matmul_int4_i32_reference(h, pw2, sc2, groupsize)

@@ -112,7 +112,10 @@ class TTS:
         elif mode == "int4":
             from metavoice_tpu.ops import quantized as qz
 
-            self.c.first_stage_params = qz.quantize_params_int4_packed(
+            # int4-in-int32 serving format: 4-bit HBM weight reads through
+            # the decode megakernels (the reference's claimed 2x lever,
+            # README.md:92 / fast_quantize.py:70-148)
+            self.c.first_stage_params = qz.quantize_params_int4_i32(
                 self.c.first_stage_params
             )
         elif mode is not None:

@@ -1,0 +1,180 @@
+"""int4-in-int32 serving format: packing, reference semantics, and the
+decode megakernels (interpret mode) against the jnp oracles.
+
+Reference counterpart: fam/llm/fast_quantize.py int4 groupwise quantization
+(g=128) executed by aten._weight_int4pack_mm; here the same qparam math is
+repacked eight-nibbles-per-i32-word for TPU HBM/VPU efficiency
+(ops/quantized.py int4-in-int32 notes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metavoice_tpu.ops import attention as A
+from metavoice_tpu.ops import quantized as qz
+
+
+def test_pack_int4_i32_roundtrip():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-8, 8, size=(1024, 16), dtype=np.int8))
+    pw = qz.pack_int4_i32(q)
+    assert pw.shape == (128, 16) and pw.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(qz.unpack_int4_i32(pw)), np.asarray(q))
+
+
+def test_quantize_int4_i32_matches_grouped_dequant():
+    """The i32 format must encode exactly the reference groupwise int4 math."""
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(1024, 32)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(4, 1024)).astype(np.float32))
+    q, s, z = qz.quantize_int4_grouped(w, groupsize=128)
+    ref = np.asarray(qz.matmul_int4_reference(x, q, s, z, groupsize=128))
+    pw, sc = qz.quantize_int4_i32(w, groupsize=128)
+    out = np.asarray(qz.matmul_int4_i32_reference(x, pw, sc, groupsize=128))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max())
+
+
+def test_quantize_int4_i32_pads_unaligned_k():
+    """in-dim not divisible by 8*groupsize zero-pads; result still matches a
+    dense dequant matmul on the real rows."""
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(size=(704, 16)).astype(np.float32))  # 5632/8 shape class
+    x = jnp.asarray(rng.normal(size=(2, 704)).astype(np.float32))
+    pw, sc = qz.quantize_int4_i32(w, groupsize=128)
+    assert pw.shape[0] * 8 == 1024  # padded to 8*groupsize multiple
+    out = np.asarray(qz.matmul_int4_i32_reference(x, pw, sc, groupsize=128))
+    dense = np.asarray(x @ w)
+    # int4 g=128 noise over a 704-length contraction: ~sqrt(K)*s/2 per output
+    assert np.abs(out - dense).max() < 0.3 * np.abs(dense).max()
+    # and the pad region contributes nothing: an x carrying energy only in
+    # pad positions (impossible for real callers) is irrelevant, but the
+    # packed K must not change the result vs truncating to the real rows
+    x2 = jnp.pad(x, ((0, 0), (0, 1024 - 704)))
+    out2 = np.asarray(qz.matmul_int4_i32_reference(x2, pw, sc, groupsize=128))
+    np.testing.assert_allclose(out2, out, rtol=1e-5, atol=1e-5)
+
+
+def test_ffn_int4_kernel_interpret():
+    rng = np.random.default_rng(3)
+    d, inter, L = 1024, 768, 2  # inter pads to 1024 inside the quantizer
+    x = jnp.asarray(rng.normal(size=(2, d)).astype(np.float32) * 0.1)
+    params = {
+        "layers": {
+            k: jnp.asarray(rng.normal(size=(L, *shape)).astype(np.float32) * 0.05)
+            for k, shape in (
+                ("w1", (d, inter)), ("w3", (d, inter)), ("w2", (inter, d)),
+            )
+        }
+    }
+    qp = qz.quantize_params_int4_i32(params)["layers"]
+    for li in range(L):
+        out = qz.decode_ffn_int4(
+            x,
+            qp["w1"]["pw"], qp["w1"]["sc"],
+            qp["w3"]["pw"], qp["w3"]["sc"],
+            qp["w2"]["pw"], qp["w2"]["sc"],
+            jnp.asarray(li, jnp.int32),
+            tile=512,
+            interpret=True,
+        )
+        ref = qz.ffn_int4_i32_reference(
+            x,
+            qp["w1"]["pw"][li], qp["w1"]["sc"][li],
+            qp["w3"]["pw"][li], qp["w3"]["sc"][li],
+            qp["w2"]["pw"][li], qp["w2"]["sc"][li],
+        )
+        ref_np = np.asarray(ref)
+        scale = np.abs(ref_np).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(out), ref_np, atol=0.03 * scale, rtol=0.05
+        )
+
+
+@pytest.mark.parametrize("pos", [0, 300])
+def test_attention_block_int4_kernel_interpret(pos):
+    rng = np.random.default_rng(4)
+    b, h, dh, s, L = 2, 8, 128, 512, 2
+    d = h * dh
+    xa = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.1)
+    wqkv = jnp.asarray(rng.normal(size=(L, d, 3 * d)).astype(np.float32) * 0.05)
+    wo = jnp.asarray(rng.normal(size=(L, d, d)).astype(np.float32) * 0.05)
+    qp = qz.quantize_params_int4_i32({"layers": {"wqkv": wqkv, "wo": wo}})["layers"]
+    k_cache = jnp.asarray(rng.normal(size=(L, s, b, h, dh)).astype(np.float32), jnp.bfloat16)
+    v_cache = jnp.asarray(rng.normal(size=(L, s, b, h, dh)).astype(np.float32), jnp.bfloat16)
+    layer = jnp.asarray(1, jnp.int32)
+    pos_a = jnp.asarray(pos, jnp.int32)
+
+    y, kc, vc = A.decode_attention_block_int4(
+        xa,
+        qp["wqkv"]["pw"], qp["wqkv"]["sc"],
+        qp["wo"]["pw"], qp["wo"]["sc"],
+        k_cache, v_cache, layer, pos_a, n_head=h, tile=512, interpret=True,
+    )
+
+    # composed reference from already-validated pieces
+    qkv = qz.matmul_int4_i32_reference(xa, qp["wqkv"]["pw"][1], qp["wqkv"]["sc"][1])
+    q = qkv[:, :d].reshape(b, h, dh)
+    k_new = qkv[:, d : 2 * d].reshape(b, h, dh)
+    v_new = qkv[:, 2 * d :].reshape(b, h, dh)
+    y_attn, kc_ref, vc_ref = A.decode_attention_reference(
+        q.astype(jnp.float32), k_new, v_new,
+        k_cache.astype(jnp.float32), v_cache.astype(jnp.float32), layer, pos_a,
+    )
+    ref = qz.matmul_int4_i32_reference(
+        y_attn.reshape(b, d), qp["wo"]["pw"][1], qp["wo"]["sc"][1]
+    )
+    ref_np = np.asarray(ref)
+    scale = np.abs(ref_np).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(y).astype(np.float32), ref_np, atol=0.05 * scale, rtol=0.05
+    )
+    # the new K/V row landed at (layer, pos)
+    np.testing.assert_allclose(
+        np.asarray(kc[1, pos]).astype(np.float32),
+        np.asarray(k_new).astype(np.float32).reshape(b, h, dh),
+        atol=0.02 * np.abs(np.asarray(k_new)).max() + 1e-3,
+    )
+    # the other layer's cache is untouched
+    np.testing.assert_array_equal(np.asarray(kc[0]), np.asarray(k_cache[0]))
+
+
+def test_int4_i32_forward_close_to_dense():
+    """Full tiny-transformer forward through the _linear 'pw' path."""
+    from metavoice_tpu.core.config import first_stage_config
+    from metavoice_tpu.models import transformer as tfm
+
+    tiny = first_stage_config(
+        n_layer=2, n_head=4, dim=128, block_size=64, vocab_sizes=(97,),
+        intermediate_size=256,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), tiny)
+    qp = qz.quantize_params_int4_i32(params)
+    idx = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 97)
+    spk = jnp.ones((1, 256))
+    dense, _ = tfm.forward(params, tiny, idx, spk_emb=spk, compute_dtype=jnp.float32)
+    quant, _ = tfm.forward(qp, tiny, idx, spk_emb=spk, compute_dtype=jnp.float32)
+    d, q = np.asarray(dense[0]), np.asarray(quant[0])
+    assert np.abs(d - q).max() / np.abs(d).max() < 0.25
+
+
+def test_int4_i32_generate_end_to_end():
+    """Cached decode (CPU reference path) runs and stays in-vocab."""
+    from metavoice_tpu.core.config import first_stage_config
+    from metavoice_tpu.models import first_stage as fs
+
+    tiny = first_stage_config(
+        n_layer=2, n_head=4, dim=128, block_size=64, vocab_sizes=(97,),
+        intermediate_size=256,
+    )
+    params = tfm_init = None
+    from metavoice_tpu.models import transformer as tfm
+
+    params = tfm.init_params(jax.random.PRNGKey(0), tiny)
+    qp = qz.quantize_params_int4_i32(params)
+    out = fs.generate(
+        qp, tiny, np.arange(5) + 50, jnp.ones((256,)), key=jax.random.PRNGKey(3),
+        max_new_tokens=8, end_of_audio_token=96, prompt_pad_multiple=8,
+    )
+    assert all(0 <= t < 97 for t in out)
