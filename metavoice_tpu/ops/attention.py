@@ -657,7 +657,7 @@ def decode_attention_block_int4(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, d // 8, tile), jnp.int32),
-            pltpu.VMEM((2, 2 * gp, tile), jnp.float32),
+            pltpu.VMEM((2, 2 * gp, tile), wqkv_sc.dtype),
             pltpu.VMEM((bpad, 3 * d), jnp.float32),
             pltpu.VMEM((2, chunk, bh, dh), k_cache.dtype),
             pltpu.VMEM((2, chunk, bh, dh), v_cache.dtype),

@@ -509,7 +509,9 @@ def quantize_int4_i32(
         s = jnp.where(mask, s, 0.0)
         c = jnp.where(mask, c, 0.0)
     pad = jnp.zeros((gp - n_groups, out_dim), jnp.float32)
-    sc = jnp.concatenate([s, pad, c, pad], axis=0).astype(jnp.float32)
+    # bf16 scale/constant tables: halves the sc DMA traffic; the rounding
+    # (~0.4% relative) is far below the int4 quantization noise itself
+    sc = jnp.concatenate([s, pad, c, pad], axis=0).astype(jnp.bfloat16)
     return pack_int4_i32(q), sc
 
 
@@ -523,7 +525,8 @@ def matmul_int4_i32_reference(
     kp = 8 * pw.shape[0]
     gp = sc.shape[0] // 2
     n_groups = kp // groupsize
-    s, c = sc[:n_groups], sc[gp : gp + n_groups]
+    s = sc[:n_groups].astype(jnp.float32)
+    c = sc[gp : gp + n_groups].astype(jnp.float32)
     if x.shape[-1] != kp:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, kp - x.shape[-1])]
         x = jnp.pad(x, pad)
@@ -596,7 +599,9 @@ def _int4_group_matmul(x, xsum, w_words, sc, groupsize):
     k8 = w_words.shape[0]
     gp = sc.shape[0] // 2
     n_grp_slab = k8 // groupsize  # quant groups per slab
-    acc = jnp.dot(xsum, sc[gp:, :], preferred_element_type=jnp.float32)  # c term
+    acc = jnp.dot(
+        xsum.astype(jnp.bfloat16), sc[gp:, :], preferred_element_type=jnp.float32
+    )  # c term
     for j8 in range(8):
         nib = ((w_words >> (4 * j8)) & 0xF).astype(jnp.bfloat16)
         for m in range(n_grp_slab):
@@ -606,7 +611,7 @@ def _int4_group_matmul(x, xsum, w_words, sc, groupsize):
                 xg, nib[m * groupsize : (m + 1) * groupsize, :],
                 preferred_element_type=jnp.float32,
             )
-            acc = acc + d * sc[g, :][None, :]
+            acc = acc + d * sc[g, :].astype(jnp.float32)[None, :]
     return acc
 
 
@@ -762,11 +767,11 @@ def decode_ffn_int4(
         scratch_shapes=[
             pltpu.VMEM((2, d // 8, tile), jnp.int32),
             pltpu.VMEM((2, d // 8, tile), jnp.int32),
-            pltpu.VMEM((2, 2 * g1p, tile), jnp.float32),
-            pltpu.VMEM((2, 2 * g1p, tile), jnp.float32),
+            pltpu.VMEM((2, 2 * g1p, tile), sc1.dtype),
+            pltpu.VMEM((2, 2 * g1p, tile), sc3.dtype),
             pltpu.VMEM((bpad, ip), jnp.bfloat16),
             pltpu.VMEM((2, ip // 8, tile), jnp.int32),
-            pltpu.VMEM((2, 2 * g2p, tile), jnp.float32),
+            pltpu.VMEM((2, 2 * g2p, tile), sc2.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

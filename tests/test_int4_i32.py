@@ -33,7 +33,9 @@ def test_quantize_int4_i32_matches_grouped_dequant():
     ref = np.asarray(qz.matmul_int4_reference(x, q, s, z, groupsize=128))
     pw, sc = qz.quantize_int4_i32(w, groupsize=128)
     out = np.asarray(qz.matmul_int4_i32_reference(x, pw, sc, groupsize=128))
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max())
+    # sc tables are stored bf16 (DMA bandwidth): equivalence up to bf16
+    # rounding of the scale/constant rows, far below the int4 noise itself
+    np.testing.assert_allclose(out, ref, rtol=0.02, atol=0.01 * np.abs(ref).max())
 
 
 def test_quantize_int4_i32_pads_unaligned_k():
