@@ -33,6 +33,12 @@ def _add_model_args(ap: argparse.ArgumentParser) -> None:
         choices=["int4", "int8"],
         help="weight-only quantisation of the first stage",
     )
+    ap.add_argument(
+        "--kv_cache_dtype",
+        choices=["int8"],
+        help="quantize the first-stage KV cache (halves cache HBM reads "
+        "at long context; pairs with --quantisation_mode int4)",
+    )
     ap.add_argument("--seed", type=int, default=1337)
     ap.add_argument("--output_dir", default="outputs")
 
@@ -48,6 +54,7 @@ def _build_tts(args):
             small=args.small,
             output_dir=args.output_dir,
             quantisation_mode=args.quantisation_mode,
+            kv_cache_dtype=args.kv_cache_dtype,
         )
     return TTS.from_checkpoints(
         args.first_stage_path,
@@ -56,6 +63,7 @@ def _build_tts(args):
         encodec_path=args.encodec_path,
         output_dir=args.output_dir,
         quantisation_mode=args.quantisation_mode,
+        kv_cache_dtype=args.kv_cache_dtype,
     )
 
 

@@ -295,6 +295,7 @@ def generate(
     prompt_pad_multiple: int = 128,
     kv_cache: tfm.KVCache | None = None,
     compute_dtype=jnp.bfloat16,
+    cache_dtype=None,
 ):
     """Host-facing single-utterance generation (batch 1).
 
@@ -326,7 +327,9 @@ def generate(
         raise ValueError("Prompt is too long to generate more tokens")
 
     if kv_cache is None or kv_cache.batch_size != cfg_rows:
-        kv_cache = tfm.KVCache.create(cfg, cfg_rows, cfg.block_size, dtype=compute_dtype)
+        kv_cache = tfm.KVCache.create(
+            cfg, cfg_rows, cfg.block_size, dtype=cache_dtype or compute_dtype
+        )
     spk_emb = jnp.asarray(spk_emb).reshape(1, -1)
 
     key_prefill, key_decode = jax.random.split(key)
@@ -546,6 +549,7 @@ def generate_batch(
     end_of_audio_token: int = T.END_OF_AUDIO_TOKEN,
     prompt_pad_multiple: int = 128,
     compute_dtype=jnp.bfloat16,
+    cache_dtype=None,
 ) -> list:
     """Decode a ragged batch; returns a list of B generated-token arrays
     (prompt not included, EOA included when emitted).
@@ -571,7 +575,7 @@ def generate_batch(
         a = jnp.asarray(v, jnp.float32).reshape(-1)
         return jnp.broadcast_to(a, (b,)).reshape(b, 1)
 
-    kv = tfm.KVCache.create(cfg, 2 * b, cfg.block_size, dtype=compute_dtype)
+    kv = tfm.KVCache.create(cfg, 2 * b, cfg.block_size, dtype=cache_dtype or compute_dtype)
     kp, kd = jax.random.split(key)
     t1 = per_row(temperature)
     tp = per_row(top_p)
@@ -618,6 +622,7 @@ def generate_segments(
     end_of_text_token: int = 0,
     prompt_pad_multiple: int = 128,
     compute_dtype=jnp.bfloat16,
+    cache_dtype=None,
 ):
     """Yield generated tokens in ~1 s segments instead of one final array.
 
@@ -648,7 +653,9 @@ def generate_segments(
     if budget <= 0:
         raise ValueError("Prompt is too long to generate more tokens")
 
-    kv = tfm.KVCache.create(cfg, cfg_rows, cfg.block_size, dtype=compute_dtype)
+    kv = tfm.KVCache.create(
+        cfg, cfg_rows, cfg.block_size, dtype=cache_dtype or compute_dtype
+    )
     spk_emb = jnp.asarray(spk_emb).reshape(1, -1)
     key, kp = jax.random.split(key)
     t1 = jnp.asarray(temperature, jnp.float32)

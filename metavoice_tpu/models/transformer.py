@@ -40,10 +40,21 @@ class KVCache(NamedTuple):
     Sequence-major layout: a decode step writes one contiguous
     (1, 1, B, H, Dh) block per layer (B*H*Dh*2 bytes in one run) instead of
     B*H strided Dh-sized chunks that a (L, B, H, S, Dh) layout would force.
+
+    ``dtype=jnp.int8`` enables the quantized cache: values are stored int8
+    with a per-(position, head) f32 absmax scale in ``k_scale``/``v_scale``,
+    layout (L, B*H, S) — scales TRANSPOSED vs the cache so Pallas chunk
+    slices land on the lane axis at aligned offsets, and the decode kernel
+    can fold dequantization into the (B*H, chunk) score/probability
+    matrices instead of per-element cache dequant. Halves the cache HBM
+    read that dominates decode at long context and halves cache memory for
+    batched serving. ``k_scale is None`` means the plain bf16 cache.
     """
 
     k: jax.Array
     v: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
     @classmethod
     def create(
@@ -55,6 +66,14 @@ class KVCache(NamedTuple):
     ) -> "KVCache":
         s = max_seq_len or cfg.block_size
         shape = (cfg.n_layer, s, batch_size, cfg.n_local_heads, cfg.head_dim)
+        if dtype == jnp.int8:
+            sshape = (cfg.n_layer, batch_size * cfg.n_local_heads, s)
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32),
+            )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
@@ -64,6 +83,18 @@ class KVCache(NamedTuple):
     @property
     def batch_size(self) -> int:
         return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def quantize_kv_rows(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., Dh) f32/bf16 -> (int8 values, (..., 1) f32 absmax scales)."""
+    a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(a, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 # --------------------------------------------------------------------------------------
@@ -446,6 +477,8 @@ def apply_blocks(
             and jax.default_backend() == "tpu"
         )
 
+        quantized_cache = kv_cache.quantized
+
         def _is_int8(w):
             return isinstance(w, dict) and "q" in w and "zeros" not in w
 
@@ -459,6 +492,13 @@ def apply_blocks(
             and all(_is_int4(lp_stack.get(k)) for k in ("wqkv", "wo", "w1", "w3", "w2"))
             and "wqkv_b" not in lp_stack
         )
+        if int4_mega and quantized_cache:
+            # int8-cache scale DMAs slice the lane axis of the (L, BH, S)
+            # tables: the cache chunk must stay 128-aligned (true for up to
+            # 4 CFG rows at Dh=128; bigger batches fall back to XLA dequant)
+            from metavoice_tpu.ops.attention import _chunk_for
+
+            int4_mega = _chunk_for(x.shape[0] * cfg.n_head, cfg.head_dim) % 128 == 0
         if int4_mega:
             # int4 serving path: TWO Pallas calls per layer (attention block
             # + fused FFN), both DMA-slicing the STACKED packed weights by
@@ -470,9 +510,9 @@ def apply_blocks(
             small = {k: v for k, v in lp_stack.items() if k not in big}
 
             def body4(carry, lp):
-                x, k_full, v_full, li = carry
+                x, k_full, v_full, ks_full, vs_full, li = carry
                 xa = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg.norm_type, cfg.norm_eps)
-                y2, k_full, v_full = decode_attention_block_int4(
+                y2, k_full, v_full, ks_full, vs_full = decode_attention_block_int4(
                     xa[:, 0, :],
                     big["wqkv"]["pw"], big["wqkv"]["sc"],
                     big["wo"]["pw"], big["wo"]["sc"],
@@ -480,6 +520,8 @@ def apply_blocks(
                     jnp.asarray(cache_pos, jnp.int32),
                     cfg.n_head,
                     starts=attn_starts,
+                    k_scale=ks_full,
+                    v_scale=vs_full,
                 )
                 h = x + y2[:, None, :].astype(x.dtype)
                 hn = _norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg.norm_type, cfg.norm_eps)
@@ -491,19 +533,23 @@ def apply_blocks(
                     li,
                 )
                 out = h + f[:, None, :].astype(x.dtype)
-                return (out, k_full, v_full, li + 1), None
+                return (out, k_full, v_full, ks_full, vs_full, li + 1), None
 
-            (x, k_new, v_new, _), _ = jax.lax.scan(
-                body4, (x, kv_cache.k, kv_cache.v, jnp.asarray(0, jnp.int32)), small
+            (x, k_new, v_new, ks_new, vs_new, _), _ = jax.lax.scan(
+                body4,
+                (x, kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale,
+                 jnp.asarray(0, jnp.int32)),
+                small,
             )
             x = _norm(x, params["ln_f_w"], params.get("ln_f_b"), cfg.norm_type, cfg.norm_eps)
-            return x, KVCache(k=k_new, v=v_new)
+            return x, KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
 
         def body(carry, lp):
-            x, k_full, v_full, li = carry
+            x, k_full, v_full, ks_full, vs_full, li = carry
             xa = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg.norm_type, cfg.norm_eps)
             if (
                 use_fused
+                and not quantized_cache
                 and _is_int8(lp["wqkv"])
                 and _is_int8(lp["wo"])
                 and "wqkv_b" not in lp
@@ -532,9 +578,9 @@ def apply_blocks(
                     lp,
                     cfg,
                 )
-                return (out, k_full, v_full, li + 1), None
+                return (out, k_full, v_full, ks_full, vs_full, li + 1), None
             q, k_new, v_new = _qkv_proj(xa, lp, cfg)
-            if use_fused:
+            if use_fused and not quantized_cache:
                 from metavoice_tpu.ops.attention import decode_attention
 
                 y3, k_full, v_full = decode_attention(
@@ -550,16 +596,56 @@ def apply_blocks(
                 y = y3.reshape(x.shape[0], 1, cfg.n_head * cfg.head_dim).astype(x.dtype)
             else:
                 # prefill / CPU path: windowed in-place update on the carry
+                t_win = k_new.shape[2]
+                b_rows = k_new.shape[0]
                 k_win = k_new.transpose(2, 0, 1, 3)[None]  # (1, T, B, H, Dh)
                 v_win = v_new.transpose(2, 0, 1, 3)[None]
-                k_full = jax.lax.dynamic_update_slice(
-                    k_full, k_win.astype(k_full.dtype), (li, cache_pos, 0, 0, 0)
-                )
-                v_full = jax.lax.dynamic_update_slice(
-                    v_full, v_win.astype(v_full.dtype), (li, cache_pos, 0, 0, 0)
-                )
-                layer_k = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
-                layer_v = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
+                if quantized_cache:
+                    # int8 cache: per-(position, head) absmax rows; the
+                    # attention read dequantizes the layer slice. Scales are
+                    # stored transposed (L, B*H, S) — see KVCache notes.
+                    bh_rows = b_rows * cfg.n_local_heads
+                    k_q, k_s = quantize_kv_rows(k_win)
+                    v_q, v_s = quantize_kv_rows(v_win)
+                    k_full = jax.lax.dynamic_update_slice(
+                        k_full, k_q, (li, cache_pos, 0, 0, 0)
+                    )
+                    v_full = jax.lax.dynamic_update_slice(
+                        v_full, v_q, (li, cache_pos, 0, 0, 0)
+                    )
+                    ks_full = jax.lax.dynamic_update_slice(
+                        ks_full,
+                        k_s.reshape(1, t_win, bh_rows).transpose(0, 2, 1),
+                        (li, 0, cache_pos),
+                    )
+                    vs_full = jax.lax.dynamic_update_slice(
+                        vs_full,
+                        v_s.reshape(1, t_win, bh_rows).transpose(0, 2, 1),
+                        (li, 0, cache_pos),
+                    )
+                    s_len = k_full.shape[1]
+
+                    def _deq(cache_full, scale_full):
+                        vals = jax.lax.dynamic_index_in_dim(
+                            cache_full, li, 0, keepdims=False
+                        ).astype(jnp.float32)
+                        sc = jax.lax.dynamic_index_in_dim(
+                            scale_full, li, 0, keepdims=False
+                        )  # (BH, S)
+                        sc = sc.T.reshape(s_len, b_rows, cfg.n_local_heads, 1)
+                        return (vals * sc).astype(x.dtype)
+
+                    layer_k = _deq(k_full, ks_full)
+                    layer_v = _deq(v_full, vs_full)
+                else:
+                    k_full = jax.lax.dynamic_update_slice(
+                        k_full, k_win.astype(k_full.dtype), (li, cache_pos, 0, 0, 0)
+                    )
+                    v_full = jax.lax.dynamic_update_slice(
+                        v_full, v_win.astype(v_full.dtype), (li, cache_pos, 0, 0, 0)
+                    )
+                    layer_k = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
+                    layer_v = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
                 y = _attend_seq_major(q, layer_k, layer_v, cfg, mask, x.dtype)
             h = x + _linear(y, lp["wo"], lp.get("wo_b"))
             out = h + _mlp(
@@ -567,15 +653,18 @@ def apply_blocks(
                 lp,
                 cfg,
             )
-            return (out, k_full, v_full, li + 1), None
+            return (out, k_full, v_full, ks_full, vs_full, li + 1), None
 
         # NOTE: do not unroll this scan — unrolling was measured slower
         # (11.4 vs 5.6 ms/token bf16): it breaks XLA's in-place aliasing of
         # the carried cache buffers.
-        (x, k_new, v_new, _), _ = jax.lax.scan(
-            body, (x, kv_cache.k, kv_cache.v, jnp.asarray(0, jnp.int32)), lp_stack
+        (x, k_new, v_new, ks_new, vs_new, _), _ = jax.lax.scan(
+            body,
+            (x, kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale,
+             jnp.asarray(0, jnp.int32)),
+            lp_stack,
         )
-        new_kv = KVCache(k=k_new, v=v_new)
+        new_kv = KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
     else:
         # rematerialize per-layer activations on the backward pass: without
         # this, training saves every intermediate of all layers

@@ -428,6 +428,7 @@ def _decode_block_int4_kernel(
     dh: int,
     chunk: int,
     groupsize: int,
+    cache_int8: bool,
     # scalar prefetch
     idx_ref,  # (2,) int32: [layer, pos]
     # inputs
@@ -435,32 +436,38 @@ def _decode_block_int4_kernel(
     xones_ref,  # (D, Gp) bf16 VMEM group-sum matrix
     starts_ref,  # (BH, 1) int32 VMEM
     wqkv_hbm,  # (L, D/8, 3D) i32 packed
-    sqkv_hbm,  # (L, 2*Gp, 3D) f32
+    sqkv_hbm,  # (L, 2*Gp, 3D) bf16
     wo_hbm,  # (L, D/8, D) i32 packed
-    so_hbm,  # (L, 2*Gp, D) f32
+    so_hbm,  # (L, 2*Gp, D) bf16
     k_hbm,  # (L, S, BH, Dh) HBM (aliased out)
     v_hbm,
-    # outputs
-    y_ref,  # (Bpad, D) bf16 VMEM
-    k_out,
-    v_out,
-    # scratch
-    w_buf,  # (2, D/8, W4_TILE) i32
-    sc_buf,  # (2, 2*Gp, W4_TILE) f32
-    qkv_scr,  # (Bpad, 3D) f32
-    k_buf,  # (2, CHUNK, BH, Dh)
-    v_buf,
-    acc_ref,  # (BH, Dh) f32
-    m_ref,  # (BH, 128) f32
-    l_ref,  # (BH, 128) f32
-    w_sems,  # DMA (2, 2)
-    kv_w_sems,  # DMA (2,)
-    c_sems,  # DMA (2, 2)
+    *rest,
 ):
     """int4 variant of _decode_block_kernel: same four phases, with the
     qkv/wo projections reading 4-bit packed weights (see ops/quantized.py
-    int4-in-int32 notes for the layout and dequant identity)."""
+    int4-in-int32 notes for the layout and dequant identity).
+
+    ``cache_int8``: the KV cache is int8 with per-(position, head) absmax
+    scales in separate (L, BH, S) f32 arrays — the new row is quantized
+    in-kernel and the flash loop dequantizes each streamed chunk by folding
+    the scales into the score/probability matrices (halves the cache HBM
+    read that dominates long-context decode). The new row's scale lands at
+    lane ``pos`` of the (L, BH, S) table; Mosaic forbids width-1 lane
+    slices, so the write is a read-modify-write of the aligned 128-wide
+    lane block containing ``pos`` with an iota-mask blend in VMEM.
+    """
     from metavoice_tpu.ops.quantized import _int4_group_matmul
+
+    if cache_int8:
+        (ks_hbm, vs_hbm, y_ref, k_out, v_out, ks_out, vs_out,
+         w_buf, sc_buf, qkv_scr, k_buf, v_buf, ks_buf, vs_buf,
+         ks_stage, vs_stage,
+         acc_ref, m_ref, l_ref, w_sems, kv_w_sems, c_sems, s_sems) = rest
+    else:
+        (y_ref, k_out, v_out,
+         w_buf, sc_buf, qkv_scr, k_buf, v_buf,
+         acc_ref, m_ref, l_ref, w_sems, kv_w_sems, c_sems) = rest
+        ks_out = vs_out = ks_buf = vs_buf = ks_stage = vs_stage = s_sems = None
 
     li = idx_ref[0]
     pos = idx_ref[1]
@@ -502,12 +509,46 @@ def _decode_block_int4_kernel(
 
     # ---- phase 2: write new K/V row into the cache --------------------------
     q = qkv_scr[:b, :d].reshape(bh, dh) * (1.0 / np.sqrt(dh))
-    k_buf[0, 0] = qkv_scr[:b, d : 2 * d].reshape(bh, dh).astype(k_out.dtype)
-    v_buf[0, 0] = qkv_scr[:b, 2 * d :].reshape(bh, dh).astype(v_out.dtype)
+    k_row = qkv_scr[:b, d : 2 * d].reshape(bh, dh)
+    v_row = qkv_scr[:b, 2 * d :].reshape(bh, dh)
+    if cache_int8:
+        def _quant(row):
+            a = jnp.max(jnp.abs(row), axis=-1, keepdims=True)
+            s = jnp.maximum(a, 1e-8) * (1.0 / 127.0)
+            # Mosaic: cast f32 through i32 before narrowing to i8
+            q8 = jnp.clip(jnp.round(row / s), -127, 127).astype(jnp.int32).astype(jnp.int8)
+            return q8, s
+
+        k_q, k_s = _quant(k_row)
+        v_q, v_s = _quant(v_row)
+        k_buf[0, 0] = k_q
+        v_buf[0, 0] = v_q
+        # RMW the aligned 128-wide lane block of the (L, BH, S) scale
+        # tables containing column `pos` (width-1 lane slices are illegal).
+        blk = (pos // 128) * 128
+        ksr = pltpu.make_async_copy(ks_out.at[li, :, pl.ds(blk, 128)], ks_stage, s_sems.at[0])
+        vsr = pltpu.make_async_copy(vs_out.at[li, :, pl.ds(blk, 128)], vs_stage, s_sems.at[1])
+        ksr.start()
+        vsr.start()
+    else:
+        k_buf[0, 0] = k_row.astype(k_out.dtype)
+        v_buf[0, 0] = v_row.astype(v_out.dtype)
     kw = pltpu.make_async_copy(k_buf.at[0, pl.ds(0, 1)], k_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[0])
     vw = pltpu.make_async_copy(v_buf.at[0, pl.ds(0, 1)], v_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[1])
     kw.start()
     vw.start()
+    if cache_int8:
+        ksr.wait()
+        vsr.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, ks_stage.shape, 1)
+        ks_stage[:] = jnp.where(lane == pos - blk, k_s, ks_stage[:])
+        vs_stage[:] = jnp.where(lane == pos - blk, v_s, vs_stage[:])
+        ksw = pltpu.make_async_copy(ks_stage, ks_out.at[li, :, pl.ds(blk, 128)], s_sems.at[0])
+        vsw = pltpu.make_async_copy(vs_stage, vs_out.at[li, :, pl.ds(blk, 128)], s_sems.at[1])
+        ksw.start()
+        vsw.start()
+        ksw.wait()
+        vsw.wait()
     kw.wait()
     vw.wait()
 
@@ -518,34 +559,43 @@ def _decode_block_int4_kernel(
     l_ref[:] = jnp.zeros_like(l_ref)
 
     def get_dma(slot, c):
-        return (
+        copies = [
             pltpu.make_async_copy(
                 k_out.at[li, pl.ds(c * chunk, chunk)], k_buf.at[slot], c_sems.at[slot, 0]
             ),
             pltpu.make_async_copy(
                 v_out.at[li, pl.ds(c * chunk, chunk)], v_buf.at[slot], c_sems.at[slot, 1]
             ),
-        )
+        ]
+        if cache_int8:
+            # scales transposed (L, BH, S): chunk slice on the lane axis
+            copies.append(pltpu.make_async_copy(
+                ks_out.at[li, :, pl.ds(c * chunk, chunk)], ks_buf.at[slot], c_sems.at[slot, 2]
+            ))
+            copies.append(pltpu.make_async_copy(
+                vs_out.at[li, :, pl.ds(c * chunk, chunk)], vs_buf.at[slot], c_sems.at[slot, 3]
+            ))
+        return copies
 
-    dk, dv = get_dma(0, 0)
-    dk.start()
-    dv.start()
+    for dma in get_dma(0, 0):
+        dma.start()
 
     def attn_body(c, _):
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            nk, nv = get_dma(jax.lax.rem(c + 1, 2), c + 1)
-            nk.start()
-            nv.start()
+            for dma in get_dma(jax.lax.rem(c + 1, 2), c + 1):
+                dma.start()
 
-        ck, cv = get_dma(slot, c)
-        ck.wait()
-        cv.wait()
+        for dma in get_dma(slot, c):
+            dma.wait()
         k = k_buf[slot].astype(jnp.float32)
         v = v_buf[slot].astype(jnp.float32)
         s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (BH, C)
+        if cache_int8:
+            # fold K dequant into the scores: scores scale linearly in k
+            s = s * ks_buf[slot]
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
         s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
         m_prev = m_ref[:, :1]
@@ -553,6 +603,9 @@ def _decode_block_int4_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_ref[:] = jnp.broadcast_to(l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+        if cache_int8:
+            # fold V dequant into the attention probabilities
+            p = p * vs_buf[slot]
         acc_ref[:] = acc_ref[:] * alpha + jnp.sum(p.T[:, :, None] * v, axis=0)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         return _
@@ -601,7 +654,7 @@ def decode_attention_block_int4(
     wqkv_sc: jax.Array,  # (L, 2*Gp, 3D) f32
     wo_pw: jax.Array,  # (L, D/8, D) i32
     wo_sc: jax.Array,  # (L, 2*Gp, D) f32
-    k_cache: jax.Array,  # (L, S, B, H, Dh)
+    k_cache: jax.Array,  # (L, S, B, H, Dh) bf16, or int8 with k_scale/v_scale
     v_cache: jax.Array,
     layer: jax.Array,
     pos: jax.Array,
@@ -610,12 +663,15 @@ def decode_attention_block_int4(
     groupsize: int = 128,
     tile: int = W4_TILE,
     interpret: bool = False,
+    k_scale: jax.Array | None = None,  # (L, B*H, S) f32 for the int8 cache
+    v_scale: jax.Array | None = None,
 ):
     """Fused int4 attention block for one decode layer (packed-weight variant
     of decode_attention_block_int8; weights stay STACKED across layers and
     are DMA-sliced by the scalar-prefetched layer index).
 
-    Returns (y (B, D), k_cache, v_cache). Requires MHA, Dh % 128 == 0,
+    Returns (y (B, D), k_cache, v_cache, k_scale, v_scale) — the scale pair
+    is None unless the int8 KV cache is in use. Requires MHA, Dh % 128 == 0,
     D % tile == 0, D % (8*groupsize) == 0.
     """
     from metavoice_tpu.ops.quantized import group_ones
@@ -636,55 +692,109 @@ def decode_attention_block_int4(
     idx = jnp.stack([layer.astype(jnp.int32), pos.astype(jnp.int32)])
     xones = group_ones(d, gp, groupsize)
 
+    cache_int8 = k_scale is not None
+    if cache_int8 and chunk % 128 != 0:
+        raise ValueError(
+            f"int8 KV cache needs chunk % 128 == 0 (lane-axis scale DMAs); "
+            f"got chunk={chunk} for bh={bh}, dh={dh}"
+        )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # xones
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # starts
+        pl.BlockSpec(memory_space=pltpu.HBM),  # wqkv packed
+        pl.BlockSpec(memory_space=pltpu.HBM),  # wqkv sc
+        pl.BlockSpec(memory_space=pltpu.HBM),  # wo packed
+        pl.BlockSpec(memory_space=pltpu.HBM),  # wo sc
+        pl.BlockSpec(memory_space=pltpu.HBM),  # k cache
+        pl.BlockSpec(memory_space=pltpu.HBM),  # v cache
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),
+        jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
+        jax.ShapeDtypeStruct(v_flat.shape, v_flat.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((2, d // 8, tile), jnp.int32),
+        pltpu.VMEM((2, 2 * gp, tile), wqkv_sc.dtype),
+        pltpu.VMEM((bpad, 3 * d), jnp.float32),
+        pltpu.VMEM((2, chunk, bh, dh), k_cache.dtype),
+        pltpu.VMEM((2, chunk, bh, dh), v_cache.dtype),
+    ]
+    operands = [idx, x_pad, xones, starts_bh, wqkv_pw, wqkv_sc, wo_pw, wo_sc, k_flat, v_flat]
+    if cache_int8:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k scales
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v scales
+        ]
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ]
+        scratch += [
+            pltpu.VMEM((2, bh, chunk), jnp.float32),  # ks chunks (transposed)
+            pltpu.VMEM((2, bh, chunk), jnp.float32),  # vs chunks
+            pltpu.VMEM((bh, 128), jnp.float32),  # new-row k scale RMW block
+            pltpu.VMEM((bh, 128), jnp.float32),  # new-row v scale RMW block
+        ]
+        operands += [k_scale, v_scale]
+        # aliases: inputs idx..v_flat = 0..9, k_scale=10, v_scale=11
+        aliases = {8: 1, 9: 2, 10: 3, 11: 4}
+        chunk_sems = 4
+    else:
+        aliases = {8: 1, 9: 2}
+        chunk_sems = 2
+    scratch += [
+        pltpu.VMEM((bh, dh), jnp.float32),
+        pltpu.VMEM((bh, 128), jnp.float32),
+        pltpu.VMEM((bh, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, chunk_sems)),
+    ]
+    if cache_int8:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))  # scale-row writes
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # xones
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # starts
-            pl.BlockSpec(memory_space=pltpu.HBM),  # wqkv packed
-            pl.BlockSpec(memory_space=pltpu.HBM),  # wqkv sc
-            pl.BlockSpec(memory_space=pltpu.HBM),  # wo packed
-            pl.BlockSpec(memory_space=pltpu.HBM),  # wo sc
-            pl.BlockSpec(memory_space=pltpu.HBM),  # k cache
-            pl.BlockSpec(memory_space=pltpu.HBM),  # v cache
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, d // 8, tile), jnp.int32),
-            pltpu.VMEM((2, 2 * gp, tile), wqkv_sc.dtype),
-            pltpu.VMEM((bpad, 3 * d), jnp.float32),
-            pltpu.VMEM((2, chunk, bh, dh), k_cache.dtype),
-            pltpu.VMEM((2, chunk, bh, dh), v_cache.dtype),
-            pltpu.VMEM((bh, dh), jnp.float32),
-            pltpu.VMEM((bh, 128), jnp.float32),
-            pltpu.VMEM((bh, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
     )
-    y, k_out, v_out = pl.pallas_call(
-        partial(_decode_block_int4_kernel, dh, chunk, groupsize),
-        out_shape=(
-            jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),
-            jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
-            jax.ShapeDtypeStruct(v_flat.shape, v_flat.dtype),
-        ),
+    outs = pl.pallas_call(
+        partial(_decode_block_int4_kernel, dh, chunk, groupsize, cache_int8),
+        out_shape=tuple(out_shape),
         grid_spec=grid_spec,
-        input_output_aliases={8: 1, 9: 2},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(idx, x_pad, xones, starts_bh, wqkv_pw, wqkv_sc, wo_pw, wo_sc, k_flat, v_flat)
+    )(*operands)
+    if cache_int8:
+        y, k_out, v_out, ks_out, vs_out = outs
+        return (
+            y[:b],
+            k_out.reshape(k_cache.shape),
+            v_out.reshape(v_cache.shape),
+            ks_out,
+            vs_out,
+        )
+    y, k_out, v_out = outs
     return (
         y[:b],
         k_out.reshape(k_cache.shape),
         v_out.reshape(v_cache.shape),
+        None,
+        None,
     )
 
 

@@ -25,6 +25,7 @@ for development/benchmarking (``from_random``).
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import os
 import time
@@ -88,6 +89,7 @@ class TTS:
         runtime: RuntimeConfig | None = None,
         enforce_min_ref_duration: bool = True,
         quantisation_mode: str | None = None,
+        kv_cache_dtype: str | None = None,
         telemetry_origin: str | None = None,
         telemetry_client=None,
     ):
@@ -99,8 +101,20 @@ class TTS:
         if components.vocoder == "mbd" and components.mbd_params is None:
             raise ValueError("vocoder='mbd' requires mbd_params/mbd_cfg")
         self.runtime = runtime or RuntimeConfig(
-            seed=seed, output_dir=output_dir, quantisation_mode=quantisation_mode
+            seed=seed,
+            output_dir=output_dir,
+            quantisation_mode=quantisation_mode,
+            kv_cache_dtype=kv_cache_dtype,
         )
+        if kv_cache_dtype and self.runtime.kv_cache_dtype != kv_cache_dtype:
+            self.runtime = dataclasses.replace(
+                self.runtime, kv_cache_dtype=kv_cache_dtype
+            )
+        if self.runtime.kv_cache_dtype not in (None, "int8"):
+            raise ValueError(
+                f"Invalid kv_cache_dtype {self.runtime.kv_cache_dtype!r}; "
+                "expected None or 'int8'"
+            )
         # weight-only quantisation of the first stage (reference
         # fam/llm/fast_inference.py:41 `quantisation_mode`); int8 is FASTER
         # than bf16 here (Pallas weight-streaming kernels)
@@ -136,10 +150,16 @@ class TTS:
         self._compute_dtype = (
             jnp.bfloat16 if self.runtime.dtype == "bfloat16" else jnp.float32
         )
-        # persistent KV cache buffer (2 CFG rows), reused across calls
+        # persistent KV cache buffer (2 CFG rows), reused across calls.
+        # kv_cache_dtype="int8" halves the cache HBM read that dominates
+        # long-context decode (per-(position, head) absmax scales); pairs
+        # with the int4 weight megakernels for the fast serving config.
+        self._cache_dtype = (
+            jnp.int8 if self.runtime.kv_cache_dtype == "int8" else None
+        )
         self._kv_cache = tfm.KVCache.create(
             self.c.first_stage_cfg, 2, self.c.first_stage_cfg.block_size,
-            dtype=self._compute_dtype,
+            dtype=self._cache_dtype or self._compute_dtype,
         )
 
     # ------------------------------------------------------------------ constructors
@@ -281,6 +301,7 @@ class TTS:
                 prompt_pad_multiple=bucket,
                 kv_cache=self._kv_cache,
                 compute_dtype=self._compute_dtype,
+                cache_dtype=self._cache_dtype,
             )
             del seq
         # second stage + vocoder
@@ -405,6 +426,7 @@ class TTS:
             prompt_pad_multiple=self.runtime.prompt_pad_multiple,
             kv_cache=self._kv_cache,
             compute_dtype=self._compute_dtype,
+            cache_dtype=self._cache_dtype,
         )
         return self._tokens_to_wav(text, prompt, seq, spk_emb, k2)
 
@@ -450,6 +472,7 @@ class TTS:
                 guidance_scale=guidance_scale,
                 end_of_text_token=self.c.tokenizer.eot_token,
                 prompt_pad_multiple=self.runtime.prompt_pad_multiple,
+                cache_dtype=self._cache_dtype,
                 compute_dtype=self._compute_dtype,
             ):
                 self._key, k2 = jax.random.split(self._key)

@@ -108,7 +108,7 @@ def test_attention_block_int4_kernel_interpret(pos):
     layer = jnp.asarray(1, jnp.int32)
     pos_a = jnp.asarray(pos, jnp.int32)
 
-    y, kc, vc = A.decode_attention_block_int4(
+    y, kc, vc, _, _ = A.decode_attention_block_int4(
         xa,
         qp["wqkv"]["pw"], qp["wqkv"]["sc"],
         qp["wo"]["pw"], qp["wo"]["sc"],
@@ -180,3 +180,109 @@ def test_int4_i32_generate_end_to_end():
         max_new_tokens=8, end_of_audio_token=96, prompt_pad_multiple=8,
     )
     assert all(0 <= t < 97 for t in out)
+
+
+@pytest.mark.parametrize("pos", [0, 300])
+def test_attention_block_int4_int8_cache_interpret(pos):
+    """int8 KV cache: the kernel quantizes the new row in place and
+    dequantizes streamed chunks; output matches the bf16-cache kernel run
+    on the dequantized cache."""
+    from metavoice_tpu.models import transformer as tfm
+
+    rng = np.random.default_rng(6)
+    b, h, dh, s, L = 2, 8, 128, 512, 2
+    d = h * dh
+    xa = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.1)
+    wqkv = jnp.asarray(rng.normal(size=(L, d, 3 * d)).astype(np.float32) * 0.05)
+    wo = jnp.asarray(rng.normal(size=(L, d, d)).astype(np.float32) * 0.05)
+    qp = qz.quantize_params_int4_i32({"layers": {"wqkv": wqkv, "wo": wo}})["layers"]
+    layer = jnp.asarray(1, jnp.int32)
+    pos_a = jnp.asarray(pos, jnp.int32)
+
+    # build an int8 cache whose dequantized content equals the bf16 cache
+    kf = rng.normal(size=(L, s, b, h, dh)).astype(np.float32)
+    vf = rng.normal(size=(L, s, b, h, dh)).astype(np.float32)
+    k_q, k_s = tfm.quantize_kv_rows(jnp.asarray(kf))
+    v_q, v_s = tfm.quantize_kv_rows(jnp.asarray(vf))
+    k_deq = (k_q.astype(jnp.float32) * k_s).astype(jnp.bfloat16)
+    v_deq = (v_q.astype(jnp.float32) * v_s).astype(jnp.bfloat16)
+
+    y8, kc8, vc8, ks8, vs8 = A.decode_attention_block_int4(
+        xa,
+        qp["wqkv"]["pw"], qp["wqkv"]["sc"],
+        qp["wo"]["pw"], qp["wo"]["sc"],
+        k_q, v_q, layer, pos_a, n_head=h, tile=512, interpret=True,
+        k_scale=jnp.transpose(k_s.reshape(L, s, b * h), (0, 2, 1)),
+        v_scale=jnp.transpose(v_s.reshape(L, s, b * h), (0, 2, 1)),
+    )
+    y16, kc16, vc16, _, _ = A.decode_attention_block_int4(
+        xa,
+        qp["wqkv"]["pw"], qp["wqkv"]["sc"],
+        qp["wo"]["pw"], qp["wo"]["sc"],
+        k_deq, v_deq, layer, pos_a, n_head=h, tile=512, interpret=True,
+    )
+    a8, a16 = np.asarray(y8, dtype=np.float32), np.asarray(y16, dtype=np.float32)
+    scale = np.abs(a16).max() + 1e-6
+    # int8 cache noise on top of int4 weights: ~1% of full scale
+    np.testing.assert_allclose(a8, a16, atol=0.04 * scale, rtol=0.1)
+    # the new row was quantized and its scale written at (layer, pos)
+    assert kc8.dtype == jnp.int8
+    new_scale = np.asarray(ks8)[1, :, pos].reshape(b * h)
+    assert (new_scale > 0).all()
+    # dequantized new row matches the bf16-kernel's written row
+    row8 = np.asarray(kc8[1, pos]).astype(np.float32).reshape(b * h, dh) * new_scale[:, None]
+    row16 = np.asarray(kc16[1, pos]).astype(np.float32).reshape(b * h, dh)
+    np.testing.assert_allclose(row8, row16, atol=0.03 * np.abs(row16).max() + 1e-3)
+
+
+def test_int8_kv_cache_generate_cpu():
+    """Tiny-model generate with the quantized cache (non-fused CPU path)."""
+    from metavoice_tpu.core.config import first_stage_config
+    from metavoice_tpu.models import first_stage as fs
+    from metavoice_tpu.models import transformer as tfm
+
+    tiny = first_stage_config(
+        n_layer=2, n_head=4, dim=128, block_size=64, vocab_sizes=(97,),
+        intermediate_size=256,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), tiny)
+    kv8 = tfm.KVCache.create(tiny, 2, 64, dtype=jnp.int8)
+    assert kv8.quantized and kv8.k.dtype == jnp.int8
+    assert kv8.k_scale.shape == (2, 2 * 4, 64)
+    out = fs.generate(
+        params, tiny, np.arange(5) + 50, jnp.ones((256,)),
+        key=jax.random.PRNGKey(3), max_new_tokens=8, end_of_audio_token=96,
+        prompt_pad_multiple=8, cache_dtype=jnp.int8,
+    )
+    assert all(0 <= t < 97 for t in out)
+
+
+def test_int8_kv_cache_forward_close_to_bf16():
+    """Cached forward with int8 cache tracks the bf16-cache forward."""
+    from metavoice_tpu.core.config import first_stage_config
+    from metavoice_tpu.models import transformer as tfm
+
+    tiny = first_stage_config(
+        n_layer=2, n_head=4, dim=128, block_size=64, vocab_sizes=(97,),
+        intermediate_size=256,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), tiny)
+    idx = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 97)
+    spk = jnp.ones((1, 256))
+
+    def run(cache):
+        logits, cache = tfm.forward(
+            params, tiny, idx, spk_emb=spk, kv_cache=cache, cache_pos=0,
+            compute_dtype=jnp.float32,
+        )
+        # one cached decode step on top
+        logits2, _ = tfm.forward(
+            params, tiny, idx[:, :1], spk_emb=spk, kv_cache=cache, cache_pos=8,
+            compute_dtype=jnp.float32,
+        )
+        return np.asarray(logits2[0])
+
+    out16 = run(tfm.KVCache.create(tiny, 1, 64, dtype=jnp.float32))
+    out8 = run(tfm.KVCache.create(tiny, 1, 64, dtype=jnp.int8))
+    denom = np.abs(out16).max()
+    assert np.abs(out16 - out8).max() / denom < 0.05

@@ -85,6 +85,31 @@ def test_invalid_quantisation_mode(tmp_path):
         )
 
 
+def test_int8_kv_cache_tts(tmp_path, ref_wav):
+    """kv_cache_dtype='int8' rides the constructor down to the cache buffer
+    and the full pipeline still synthesises."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    t = TTS.from_random(
+        _jax.random.PRNGKey(4), small=True, output_dir=str(tmp_path),
+        kv_cache_dtype="int8",
+    )
+    assert t._kv_cache.quantized and t._kv_cache.k.dtype == _jnp.int8
+    out = t.synthesise("Quantised cache hello.", ref_wav)
+    assert os.path.exists(out)
+
+
+def test_invalid_kv_cache_dtype(tmp_path):
+    import jax as _jax
+
+    with pytest.raises(ValueError, match="Invalid kv_cache_dtype"):
+        TTS.from_random(
+            _jax.random.PRNGKey(5), small=True, output_dir=str(tmp_path),
+            kv_cache_dtype="fp8",
+        )
+
+
 def test_streaming_synthesis(tts, ref_wav):
     """Streaming yields >=1 chunks of finite 24 kHz audio."""
     chunks = list(
