@@ -138,6 +138,7 @@ class BatchingEngine:
             guidance_scale=[r.guidance_scale for r in batch],
             prompt_pad_multiple=self.tts.runtime.prompt_pad_multiple,
             compute_dtype=self.tts._compute_dtype,
+            cache_dtype=self.tts._cache_dtype,
         )
 
         # stages 3-4 batched: one second-stage forward + one vocoder call

@@ -83,6 +83,34 @@ def test_batch_matches_single_greedy(params):
     np.testing.assert_array_equal(outs[0], outs_single[0])
 
 
+def test_batch_int8_cache_matches_bf16_greedy(params):
+    """Greedy batched decode with the int8 KV cache tracks the f32 cache.
+
+    Cache quantization noise can flip a greedy pick only where the top-2
+    logits are near-ties; with this tiny random model the sequences must
+    agree on the large majority of steps.
+    """
+    prompts = [list(range(30, 42)), list(range(50, 55))]
+    spk_b = jnp.ones((2, 256))
+
+    def run(cache_dtype):
+        return fs.generate_batch(
+            params, TINY, prompts, spk_b,
+            key=jax.random.PRNGKey(3), temperature=1e-6, top_p=1.0,
+            guidance_scale=1.0, max_new_tokens=8, end_of_audio_token=10_000,
+            prompt_pad_multiple=16, compute_dtype=jnp.float32,
+            cache_dtype=cache_dtype,
+        )
+
+    ref = run(None)
+    q = run(jnp.int8)
+    matches = sum(
+        int(a == b) for r, s in zip(ref, q) for a, b in zip(r, s)
+    )
+    total = sum(len(r) for r in ref)
+    assert matches / total >= 0.75, (ref, q)
+
+
 def test_generate_segments_matches_generate(params):
     """Streaming segments concatenated == one-shot generate (same key)."""
     prompt = list(range(50, 60))
