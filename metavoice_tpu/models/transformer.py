@@ -43,12 +43,18 @@ class KVCache(NamedTuple):
 
     ``dtype=jnp.int8`` enables the quantized cache: values are stored int8
     with a per-(position, head) f32 absmax scale in ``k_scale``/``v_scale``,
-    layout (L, B*H, S) — scales TRANSPOSED vs the cache so Pallas chunk
-    slices land on the lane axis at aligned offsets, and the decode kernel
-    can fold dequantization into the (B*H, chunk) score/probability
-    matrices instead of per-element cache dequant. Halves the cache HBM
-    read that dominates decode at long context and halves cache memory for
-    batched serving. ``k_scale is None`` means the plain bf16 cache.
+    layout (L, S, 1, B*H) — sequence-major like the cache itself, so Pallas
+    chunk DMAs slice the S axis (third-from-last: legal at ANY offset, no
+    128-alignment requirement) and the decode kernel folds dequantization
+    into the (chunk, B*H) score/probability matrices instead of per-element
+    cache dequant. The singleton axis keeps S off the two tiled dims; DMAs
+    index it away so the VMEM chunk buffers are plain (chunk, B*H). The
+    B*H lane axis is zero-padded to a multiple of 128 (Mosaic requires
+    128-aligned slice widths on the tiled lane dim); see kv_scale_width.
+    Halves
+    the cache HBM read that dominates decode at long context and halves
+    cache memory for batched serving. ``k_scale is None`` means the plain
+    bf16 cache.
     """
 
     k: jax.Array
@@ -67,7 +73,10 @@ class KVCache(NamedTuple):
         s = max_seq_len or cfg.block_size
         shape = (cfg.n_layer, s, batch_size, cfg.n_local_heads, cfg.head_dim)
         if dtype == jnp.int8:
-            sshape = (cfg.n_layer, batch_size * cfg.n_local_heads, s)
+            sshape = (
+                cfg.n_layer, s, 1,
+                kv_scale_width(batch_size * cfg.n_local_heads),
+            )
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
                 v=jnp.zeros(shape, jnp.int8),
@@ -87,6 +96,11 @@ class KVCache(NamedTuple):
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
+
+
+def kv_scale_width(bh: int) -> int:
+    """Lane width of the int8-cache scale tables: B*H rounded up to 128."""
+    return ((bh + 127) // 128) * 128
 
 
 def quantize_kv_rows(w: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -492,13 +506,6 @@ def apply_blocks(
             and all(_is_int4(lp_stack.get(k)) for k in ("wqkv", "wo", "w1", "w3", "w2"))
             and "wqkv_b" not in lp_stack
         )
-        if int4_mega and quantized_cache:
-            # int8-cache scale DMAs slice the lane axis of the (L, BH, S)
-            # tables: the cache chunk must stay 128-aligned (true for up to
-            # 4 CFG rows at Dh=128; bigger batches fall back to XLA dequant)
-            from metavoice_tpu.ops.attention import _chunk_for
-
-            int4_mega = _chunk_for(x.shape[0] * cfg.n_head, cfg.head_dim) % 128 == 0
         if int4_mega:
             # int4 serving path: TWO Pallas calls per layer (attention block
             # + fused FFN), both DMA-slicing the STACKED packed weights by
@@ -603,7 +610,7 @@ def apply_blocks(
                 if quantized_cache:
                     # int8 cache: per-(position, head) absmax rows; the
                     # attention read dequantizes the layer slice. Scales are
-                    # stored transposed (L, B*H, S) — see KVCache notes.
+                    # stored sequence-major (L, S, 1, B*H) — see KVCache.
                     bh_rows = b_rows * cfg.n_local_heads
                     k_q, k_s = quantize_kv_rows(k_win)
                     v_q, v_s = quantize_kv_rows(v_win)
@@ -615,13 +622,13 @@ def apply_blocks(
                     )
                     ks_full = jax.lax.dynamic_update_slice(
                         ks_full,
-                        k_s.reshape(1, t_win, bh_rows).transpose(0, 2, 1),
-                        (li, 0, cache_pos),
+                        k_s.reshape(1, t_win, 1, bh_rows),
+                        (li, cache_pos, 0, 0),
                     )
                     vs_full = jax.lax.dynamic_update_slice(
                         vs_full,
-                        v_s.reshape(1, t_win, bh_rows).transpose(0, 2, 1),
-                        (li, 0, cache_pos),
+                        v_s.reshape(1, t_win, 1, bh_rows),
+                        (li, cache_pos, 0, 0),
                     )
                     s_len = k_full.shape[1]
 
@@ -631,8 +638,8 @@ def apply_blocks(
                         ).astype(jnp.float32)
                         sc = jax.lax.dynamic_index_in_dim(
                             scale_full, li, 0, keepdims=False
-                        )  # (BH, S)
-                        sc = sc.T.reshape(s_len, b_rows, cfg.n_local_heads, 1)
+                        )[:, 0, :bh_rows]  # (S, BH) minus lane padding
+                        sc = sc.reshape(s_len, b_rows, cfg.n_local_heads, 1)
                         return (vals * sc).astype(x.dtype)
 
                     layer_k = _deq(k_full, ks_full)

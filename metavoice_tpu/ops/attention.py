@@ -448,13 +448,14 @@ def _decode_block_int4_kernel(
     int4-in-int32 notes for the layout and dequant identity).
 
     ``cache_int8``: the KV cache is int8 with per-(position, head) absmax
-    scales in separate (L, BH, S) f32 arrays — the new row is quantized
+    scales in separate (L, S, 1, BH) f32 arrays — the new row is quantized
     in-kernel and the flash loop dequantizes each streamed chunk by folding
     the scales into the score/probability matrices (halves the cache HBM
-    read that dominates long-context decode). The new row's scale lands at
-    lane ``pos`` of the (L, BH, S) table; Mosaic forbids width-1 lane
-    slices, so the write is a read-modify-write of the aligned 128-wide
-    lane block containing ``pos`` with an iota-mask blend in VMEM.
+    read that dominates long-context decode). The tables are sequence-major
+    like the cache itself, so the chunk DMAs slice the S axis at arbitrary
+    offsets (any batch size / chunk length) and the new row's scale is a
+    direct width-1 S-slice write; DMAs index the singleton axis away so the
+    VMEM buffers are plain (chunk, BH) / (1, BH).
     """
     from metavoice_tpu.ops.quantized import _int4_group_matmul
 
@@ -523,13 +524,20 @@ def _decode_block_int4_kernel(
         v_q, v_s = _quant(v_row)
         k_buf[0, 0] = k_q
         v_buf[0, 0] = v_q
-        # RMW the aligned 128-wide lane block of the (L, BH, S) scale
-        # tables containing column `pos` (width-1 lane slices are illegal).
-        blk = (pos // 128) * 128
-        ksr = pltpu.make_async_copy(ks_out.at[li, :, pl.ds(blk, 128)], ks_stage, s_sems.at[0])
-        vsr = pltpu.make_async_copy(vs_out.at[li, :, pl.ds(blk, 128)], vs_stage, s_sems.at[1])
-        ksr.start()
-        vsr.start()
+        # direct width-1 S-slice write of the new row's scales (the
+        # sequence-major tables make `pos` a legal slice offset); zero-pad
+        # the (bh,) row out to the tables' 128-aligned lane width
+        bh_pad = ks_stage.shape[-1]
+        if bh_pad > bh:
+            pad = jnp.zeros((bh_pad - bh, 1), jnp.float32)
+            k_s = jnp.concatenate([k_s, pad], axis=0)
+            v_s = jnp.concatenate([v_s, pad], axis=0)
+        ks_stage[:] = k_s.reshape(1, bh_pad)
+        vs_stage[:] = v_s.reshape(1, bh_pad)
+        ksw = pltpu.make_async_copy(ks_stage, ks_out.at[li, pl.ds(pos, 1), 0], s_sems.at[0])
+        vsw = pltpu.make_async_copy(vs_stage, vs_out.at[li, pl.ds(pos, 1), 0], s_sems.at[1])
+        ksw.start()
+        vsw.start()
     else:
         k_buf[0, 0] = k_row.astype(k_out.dtype)
         v_buf[0, 0] = v_row.astype(v_out.dtype)
@@ -538,15 +546,6 @@ def _decode_block_int4_kernel(
     kw.start()
     vw.start()
     if cache_int8:
-        ksr.wait()
-        vsr.wait()
-        lane = jax.lax.broadcasted_iota(jnp.int32, ks_stage.shape, 1)
-        ks_stage[:] = jnp.where(lane == pos - blk, k_s, ks_stage[:])
-        vs_stage[:] = jnp.where(lane == pos - blk, v_s, vs_stage[:])
-        ksw = pltpu.make_async_copy(ks_stage, ks_out.at[li, :, pl.ds(blk, 128)], s_sems.at[0])
-        vsw = pltpu.make_async_copy(vs_stage, vs_out.at[li, :, pl.ds(blk, 128)], s_sems.at[1])
-        ksw.start()
-        vsw.start()
         ksw.wait()
         vsw.wait()
     kw.wait()
@@ -568,12 +567,13 @@ def _decode_block_int4_kernel(
             ),
         ]
         if cache_int8:
-            # scales transposed (L, BH, S): chunk slice on the lane axis
+            # sequence-major scales (L, S, 1, BH): chunk slices the S axis
+            # (third-from-last — legal at any offset), singleton indexed away
             copies.append(pltpu.make_async_copy(
-                ks_out.at[li, :, pl.ds(c * chunk, chunk)], ks_buf.at[slot], c_sems.at[slot, 2]
+                ks_out.at[li, pl.ds(c * chunk, chunk), 0], ks_buf.at[slot], c_sems.at[slot, 2]
             ))
             copies.append(pltpu.make_async_copy(
-                vs_out.at[li, :, pl.ds(c * chunk, chunk)], vs_buf.at[slot], c_sems.at[slot, 3]
+                vs_out.at[li, pl.ds(c * chunk, chunk), 0], vs_buf.at[slot], c_sems.at[slot, 3]
             ))
         return copies
 
@@ -592,10 +592,12 @@ def _decode_block_int4_kernel(
             dma.wait()
         k = k_buf[slot].astype(jnp.float32)
         v = v_buf[slot].astype(jnp.float32)
-        s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (BH, C)
+        s_pre = jnp.sum(q[None, :, :] * k, axis=-1)  # (C, BH)
         if cache_int8:
             # fold K dequant into the scores: scores scale linearly in k
-            s = s * ks_buf[slot]
+            ks = ks_buf[slot]
+            s_pre = s_pre * (ks[:, :bh] if ks.shape[-1] > bh else ks)
+        s = s_pre.T  # (BH, C)
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
         s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
         m_prev = m_ref[:, :1]
@@ -603,10 +605,12 @@ def _decode_block_int4_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_ref[:] = jnp.broadcast_to(l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+        pt = p.T  # (C, BH)
         if cache_int8:
             # fold V dequant into the attention probabilities
-            p = p * vs_buf[slot]
-        acc_ref[:] = acc_ref[:] * alpha + jnp.sum(p.T[:, :, None] * v, axis=0)
+            vs = vs_buf[slot]
+            pt = pt * (vs[:, :bh] if vs.shape[-1] > bh else vs)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.sum(pt[:, :, None] * v, axis=0)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         return _
 
@@ -663,7 +667,7 @@ def decode_attention_block_int4(
     groupsize: int = 128,
     tile: int = W4_TILE,
     interpret: bool = False,
-    k_scale: jax.Array | None = None,  # (L, B*H, S) f32 for the int8 cache
+    k_scale: jax.Array | None = None,  # (L, S, 1, B*H) f32 for the int8 cache
     v_scale: jax.Array | None = None,
 ):
     """Fused int4 attention block for one decode layer (packed-weight variant
@@ -693,11 +697,6 @@ def decode_attention_block_int4(
     xones = group_ones(d, gp, groupsize)
 
     cache_int8 = k_scale is not None
-    if cache_int8 and chunk % 128 != 0:
-        raise ValueError(
-            f"int8 KV cache needs chunk % 128 == 0 (lane-axis scale DMAs); "
-            f"got chunk={chunk} for bh={bh}, dh={dh}"
-        )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x
         pl.BlockSpec(memory_space=pltpu.VMEM),  # xones
@@ -740,11 +739,17 @@ def decode_attention_block_int4(
             jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
             jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
         ]
+        bh_pad = k_scale.shape[-1]
+        if bh_pad % 128 != 0 or bh_pad < bh:
+            raise ValueError(
+                f"int8-cache scale tables must have a 128-aligned lane width "
+                f">= B*H (kv_scale_width); got {k_scale.shape} for bh={bh}"
+            )
         scratch += [
-            pltpu.VMEM((2, bh, chunk), jnp.float32),  # ks chunks (transposed)
-            pltpu.VMEM((2, bh, chunk), jnp.float32),  # vs chunks
-            pltpu.VMEM((bh, 128), jnp.float32),  # new-row k scale RMW block
-            pltpu.VMEM((bh, 128), jnp.float32),  # new-row v scale RMW block
+            pltpu.VMEM((2, chunk, bh_pad), jnp.float32),  # ks chunks (seq-major)
+            pltpu.VMEM((2, chunk, bh_pad), jnp.float32),  # vs chunks
+            pltpu.VMEM((1, bh_pad), jnp.float32),  # new-row k scale
+            pltpu.VMEM((1, bh_pad), jnp.float32),  # new-row v scale
         ]
         operands += [k_scale, v_scale]
         # aliases: inputs idx..v_flat = 0..9, k_scale=10, v_scale=11

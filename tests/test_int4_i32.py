@@ -182,6 +182,16 @@ def test_int4_i32_generate_end_to_end():
     assert all(0 <= t < 97 for t in out)
 
 
+def _pad_scales(s_arr, L, s, bh):
+    """(L, s, ..., 1) absmax scales -> the kernel's (L, s, 1, bh_pad) table."""
+    from metavoice_tpu.models import transformer as tfm
+
+    flat = np.asarray(s_arr).reshape(L, s, 1, bh)
+    out = np.zeros((L, s, 1, tfm.kv_scale_width(bh)), np.float32)
+    out[..., :bh] = flat
+    return jnp.asarray(out)
+
+
 @pytest.mark.parametrize("pos", [0, 300])
 def test_attention_block_int4_int8_cache_interpret(pos):
     """int8 KV cache: the kernel quantizes the new row in place and
@@ -212,8 +222,8 @@ def test_attention_block_int4_int8_cache_interpret(pos):
         qp["wqkv"]["pw"], qp["wqkv"]["sc"],
         qp["wo"]["pw"], qp["wo"]["sc"],
         k_q, v_q, layer, pos_a, n_head=h, tile=512, interpret=True,
-        k_scale=jnp.transpose(k_s.reshape(L, s, b * h), (0, 2, 1)),
-        v_scale=jnp.transpose(v_s.reshape(L, s, b * h), (0, 2, 1)),
+        k_scale=_pad_scales(k_s, L, s, b * h),
+        v_scale=_pad_scales(v_s, L, s, b * h),
     )
     y16, kc16, vc16, _, _ = A.decode_attention_block_int4(
         xa,
@@ -227,12 +237,56 @@ def test_attention_block_int4_int8_cache_interpret(pos):
     np.testing.assert_allclose(a8, a16, atol=0.04 * scale, rtol=0.1)
     # the new row was quantized and its scale written at (layer, pos)
     assert kc8.dtype == jnp.int8
-    new_scale = np.asarray(ks8)[1, :, pos].reshape(b * h)
+    new_scale = np.asarray(ks8)[1, pos, 0, : b * h]
     assert (new_scale > 0).all()
     # dequantized new row matches the bf16-kernel's written row
     row8 = np.asarray(kc8[1, pos]).astype(np.float32).reshape(b * h, dh) * new_scale[:, None]
     row16 = np.asarray(kc16[1, pos]).astype(np.float32).reshape(b * h, dh)
     np.testing.assert_allclose(row8, row16, atol=0.03 * np.abs(row16).max() + 1e-3)
+
+
+def test_attention_block_int4_int8_cache_large_batch_interpret():
+    """Batched-serving shape (16 CFG rows x 16 heads -> chunk 32): the
+    sequence-major scale tables must stream at arbitrary chunk offsets."""
+    from metavoice_tpu.models import transformer as tfm
+
+    rng = np.random.default_rng(7)
+    b, h, dh, s, L = 16, 16, 128, 128, 1
+    d = h * dh
+    assert A._chunk_for(b * h, dh) < 128  # the case the old layout rejected
+    xa = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.1)
+    wqkv = jnp.asarray(rng.normal(size=(L, d, 3 * d)).astype(np.float32) * 0.02)
+    wo = jnp.asarray(rng.normal(size=(L, d, d)).astype(np.float32) * 0.02)
+    qp = qz.quantize_params_int4_i32({"layers": {"wqkv": wqkv, "wo": wo}})["layers"]
+
+    kf = rng.normal(size=(L, s, b, h, dh)).astype(np.float32)
+    vf = rng.normal(size=(L, s, b, h, dh)).astype(np.float32)
+    k_q, k_s = tfm.quantize_kv_rows(jnp.asarray(kf))
+    v_q, v_s = tfm.quantize_kv_rows(jnp.asarray(vf))
+    k_deq = (k_q.astype(jnp.float32) * k_s).astype(jnp.bfloat16)
+    v_deq = (v_q.astype(jnp.float32) * v_s).astype(jnp.bfloat16)
+    pos_a = jnp.asarray(77, jnp.int32)  # mid-chunk, not 128-aligned
+    layer = jnp.asarray(0, jnp.int32)
+
+    y8, kc8, _, ks8, _ = A.decode_attention_block_int4(
+        xa,
+        qp["wqkv"]["pw"], qp["wqkv"]["sc"],
+        qp["wo"]["pw"], qp["wo"]["sc"],
+        k_q, v_q, layer, pos_a, n_head=h, tile=512, interpret=True,
+        k_scale=_pad_scales(k_s, L, s, b * h),
+        v_scale=_pad_scales(v_s, L, s, b * h),
+    )
+    y16, _, _, _, _ = A.decode_attention_block_int4(
+        xa,
+        qp["wqkv"]["pw"], qp["wqkv"]["sc"],
+        qp["wo"]["pw"], qp["wo"]["sc"],
+        k_deq, v_deq, layer, pos_a, n_head=h, tile=512, interpret=True,
+    )
+    a8, a16 = np.asarray(y8, dtype=np.float32), np.asarray(y16, dtype=np.float32)
+    scale = np.abs(a16).max() + 1e-6
+    np.testing.assert_allclose(a8, a16, atol=0.04 * scale, rtol=0.1)
+    new_scale = np.asarray(ks8)[0, 77, 0]
+    assert (new_scale > 0).all()
 
 
 def test_int8_kv_cache_generate_cpu():
@@ -248,7 +302,7 @@ def test_int8_kv_cache_generate_cpu():
     params = tfm.init_params(jax.random.PRNGKey(0), tiny)
     kv8 = tfm.KVCache.create(tiny, 2, 64, dtype=jnp.int8)
     assert kv8.quantized and kv8.k.dtype == jnp.int8
-    assert kv8.k_scale.shape == (2, 2 * 4, 64)
+    assert kv8.k_scale.shape == (2, 64, 1, 128)  # BH=8 lane-padded to 128
     out = fs.generate(
         params, tiny, np.arange(5) + 50, jnp.ones((256,)),
         key=jax.random.PRNGKey(3), max_new_tokens=8, end_of_audio_token=96,
