@@ -36,8 +36,9 @@ def _add_model_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument(
         "--kv_cache_dtype",
         choices=["int8"],
-        help="quantize the first-stage KV cache (halves cache HBM reads "
-        "at long context; pairs with --quantisation_mode int4)",
+        help="quantize the first-stage KV cache: halves cache memory "
+        "(capacity lever for large serving batches; ~20%% slower decode "
+        "than the bf16 default on v5e)",
     )
     ap.add_argument("--seed", type=int, default=1337)
     ap.add_argument("--output_dir", default="outputs")

@@ -51,10 +51,15 @@ class KVCache(NamedTuple):
     index it away so the VMEM chunk buffers are plain (chunk, B*H). The
     B*H lane axis is zero-padded to a multiple of 128 (Mosaic requires
     128-aligned slice widths on the tiled lane dim); see kv_scale_width.
-    Halves
-    the cache HBM read that dominates decode at long context and halves
-    cache memory for batched serving. ``k_scale is None`` means the plain
-    bf16 cache.
+
+    This is a MEMORY-capacity feature: it halves cache HBM footprint
+    (6.4 GB -> 3.2 GB for a batch-8 group at block 2048), roughly doubling
+    the serving batch that fits one v5e. It is NOT a decode-speed win on
+    this hardware generation: measured on chip, the int8 chunk loop is
+    ~20-25% slower than bf16 despite half the DMA bytes, because Mosaic's
+    i8->float conversions are relayout-bound on the VPU (see
+    scripts/diag_kv8_kernel.py; chunk size 32/64/128 made no difference).
+    ``k_scale is None`` means the plain bf16 cache (the speed default).
     """
 
     k: jax.Array

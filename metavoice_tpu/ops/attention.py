@@ -429,6 +429,7 @@ def _decode_block_int4_kernel(
     chunk: int,
     groupsize: int,
     cache_int8: bool,
+    kv8_mode: str,
     # scalar prefetch
     idx_ref,  # (2,) int32: [layer, pos]
     # inputs
@@ -510,6 +511,7 @@ def _decode_block_int4_kernel(
 
     # ---- phase 2: write new K/V row into the cache --------------------------
     q = qkv_scr[:b, :d].reshape(bh, dh) * (1.0 / np.sqrt(dh))
+    q_bf16 = q.astype(jnp.bfloat16) if (cache_int8 and kv8_mode == "bf16") else None
     k_row = qkv_scr[:b, d : 2 * d].reshape(bh, dh)
     v_row = qkv_scr[:b, 2 * d :].reshape(bh, dh)
     if cache_int8:
@@ -590,9 +592,23 @@ def _decode_block_int4_kernel(
 
         for dma in get_dma(slot, c):
             dma.wait()
-        k = k_buf[slot].astype(jnp.float32)
-        v = v_buf[slot].astype(jnp.float32)
-        s_pre = jnp.sum(q[None, :, :] * k, axis=-1)  # (C, BH)
+        if cache_int8 and kv8_mode == "i32":
+            # widen through i32 first (Mosaic lowers narrow-int -> float
+            # conversions poorly; see CLAUDE.md i8 relayout notes)
+            k = k_buf[slot].astype(jnp.int32).astype(jnp.float32)
+            v = v_buf[slot].astype(jnp.int32).astype(jnp.float32)
+        elif cache_int8 and kv8_mode == "bf16":
+            k = k_buf[slot].astype(jnp.int32).astype(jnp.bfloat16)
+            v = v_buf[slot].astype(jnp.int32).astype(jnp.bfloat16)
+        else:
+            k = k_buf[slot].astype(jnp.float32)
+            v = v_buf[slot].astype(jnp.float32)
+        if k.dtype == jnp.bfloat16:
+            s_pre = jnp.sum(
+                q_bf16[None, :, :] * k, axis=-1, dtype=jnp.float32
+            )  # (C, BH)
+        else:
+            s_pre = jnp.sum(q[None, :, :] * k, axis=-1)  # (C, BH)
         if cache_int8:
             # fold K dequant into the scores: scores scale linearly in k
             ks = ks_buf[slot]
@@ -610,7 +626,15 @@ def _decode_block_int4_kernel(
             # fold V dequant into the attention probabilities
             vs = vs_buf[slot]
             pt = pt * (vs[:, :bh] if vs.shape[-1] > bh else vs)
-        acc_ref[:] = acc_ref[:] * alpha + jnp.sum(pt[:, :, None] * v, axis=0)
+        if v.dtype == jnp.bfloat16:
+            # minor-dim insertion is only legal on 32-bit types: expand the
+            # f32 probabilities first, then narrow
+            pt3 = pt[:, :, None].astype(jnp.bfloat16)
+            acc_ref[:] = acc_ref[:] * alpha + jnp.sum(
+                pt3 * v, axis=0, dtype=jnp.float32
+            )
+        else:
+            acc_ref[:] = acc_ref[:] * alpha + jnp.sum(pt[:, :, None] * v, axis=0)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         return _
 
@@ -669,6 +693,8 @@ def decode_attention_block_int4(
     interpret: bool = False,
     k_scale: jax.Array | None = None,  # (L, S, 1, B*H) f32 for the int8 cache
     v_scale: jax.Array | None = None,
+    kv8_mode: str = "bf16",  # int8-cache convert strategy: f32 | i32 | bf16
+    chunk: int | None = None,  # cache-stream chunk length override
 ):
     """Fused int4 attention block for one decode layer (packed-weight variant
     of decode_attention_block_int8; weights stay STACKED across layers and
@@ -685,7 +711,8 @@ def decode_attention_block_int4(
     bh = b * n_head
     l, s = k_cache.shape[0], k_cache.shape[1]
     bpad = max(8, b)
-    chunk = _chunk_for(bh, dh)
+    if chunk is None:
+        chunk = _chunk_for(bh, dh)
     gp = wqkv_sc.shape[1] // 2
     x_pad = jnp.zeros((bpad, d), jnp.bfloat16).at[:b].set(xa.astype(jnp.bfloat16))
     if starts is None:
@@ -777,11 +804,15 @@ def decode_attention_block_int4(
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
-        partial(_decode_block_int4_kernel, dh, chunk, groupsize, cache_int8),
+        partial(_decode_block_int4_kernel, dh, chunk, groupsize, cache_int8, kv8_mode),
         out_shape=tuple(out_shape),
         grid_spec=grid_spec,
         input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # large-batch int8-cache shapes exceed the default 16 MB scoped limit
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
     if cache_int8:

@@ -151,9 +151,10 @@ class TTS:
             jnp.bfloat16 if self.runtime.dtype == "bfloat16" else jnp.float32
         )
         # persistent KV cache buffer (2 CFG rows), reused across calls.
-        # kv_cache_dtype="int8" halves the cache HBM read that dominates
-        # long-context decode (per-(position, head) absmax scales); pairs
-        # with the int4 weight megakernels for the fast serving config.
+        # kv_cache_dtype="int8" halves cache MEMORY (per-(position, head)
+        # absmax scales) — a capacity lever for large serving batches, not a
+        # speed win: measured ~20% slower than bf16 on v5e decode (Mosaic
+        # i8->float converts are VPU-relayout-bound; see KVCache docstring).
         self._cache_dtype = (
             jnp.int8 if self.runtime.kv_cache_dtype == "int8" else None
         )
