@@ -10,11 +10,18 @@ compiled engine, same effective behavior as the reference's single worker.
 
 Endpoints:
   GET  /health            -> {"status": "ok"}  (serving.py:54-56)
+  GET  /metrics           -> Prometheus text-format serving counters
+                             (requests/errors/audio-seconds/wall-seconds;
+                             beyond the reference, which has no metrics)
   POST /tts               -> audio/wav bytes   (serving.py:59-109)
        fields: text (required), speaker_ref_path | audiodata (one required),
                guidance (default 3.0, clamped to [0,5]),
                top_p (default 0.95, clamped to [0,1]),
-               temperature (default 1.0)
+               temperature (default 1.0),
+               stream (default false: with a truthy value the response is a
+               live PCM16 WAV written segment-by-segment from
+               TTS.synthesise_streaming — first audio in ~TTFA instead of
+               full-utterance latency; the reference has no streaming path)
        content types: multipart/form-data, application/x-www-form-urlencoded,
                or application/json
 """
@@ -27,6 +34,7 @@ import os
 import re
 import tempfile
 import threading
+import time
 import urllib.parse
 from dataclasses import dataclass
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -40,6 +48,11 @@ class ServingConfig:
     port: int = 58003
     seed: int = 1337
     output_dir: str = "outputs"
+
+
+def _chain_first(first, rest):
+    yield first
+    yield from rest
 
 
 def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes | str]:
@@ -188,13 +201,53 @@ $("go").onclick = async () => {
 }
 
 
-def make_handler(tts, config: ServingConfig, batching_engine=None):
+class ServingMetrics:
+    """Thread-safe serving counters, rendered in Prometheus text format."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._t0 = time.monotonic()
+        self.counters = {
+            "tts_requests_total": 0,
+            "tts_streaming_requests_total": 0,
+            "tts_errors_total": 0,
+            "tts_audio_seconds_total": 0.0,
+            "tts_wall_seconds_total": 0.0,
+        }
+
+    def observe(self, *, streaming: bool, audio_s: float, wall_s: float):
+        with self._lock:
+            self.counters["tts_requests_total"] += 1
+            if streaming:
+                self.counters["tts_streaming_requests_total"] += 1
+            self.counters["tts_audio_seconds_total"] += audio_s
+            self.counters["tts_wall_seconds_total"] += wall_s
+
+    def error(self):
+        with self._lock:
+            self.counters["tts_errors_total"] += 1
+
+    def render(self) -> str:
+        with self._lock:
+            lines = []
+            for name, val in self.counters.items():
+                lines.append(f"# TYPE {name} counter")
+                lines.append(f"{name} {val}")
+            lines.append("# TYPE tts_uptime_seconds gauge")
+            lines.append(f"tts_uptime_seconds {time.monotonic() - self._t0:.1f}")
+            return "\n".join(lines) + "\n"
+
+
+def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None):
     """Build the request handler bound to one TTS engine instance.
 
     With ``batching_engine`` (runtime/engine.BatchingEngine), concurrent
     requests share batched first-stage decodes instead of serializing.
+    Streaming requests always run on the direct engine (the batcher returns
+    whole files).
     """
     lock = threading.Lock()  # serialize synthesis on the single engine
+    metrics = metrics or ServingMetrics()
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "metavoice-tpu/0.1"
@@ -216,6 +269,8 @@ def make_handler(tts, config: ServingConfig, batching_engine=None):
         def do_GET(self):
             if self.path == "/health":
                 self._json(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                self._send(200, metrics.render().encode(), "text/plain; version=0.0.4")
             elif self.path in ("/", "/index.html"):
                 self._send(200, _INDEX_HTML.encode(), "text/html")
             else:
@@ -273,7 +328,17 @@ def make_handler(tts, config: ServingConfig, batching_engine=None):
                 guidance = min(max(float(fields.get("guidance", 3.0)), 0.0), 5.0)
                 top_p = min(max(float(fields.get("top_p", 0.95)), 0.0), 1.0)
                 temperature = float(fields.get("temperature", 1.0))
+                stream = str(fields.get("stream", "")).lower() in (
+                    "1", "true", "yes", "on",
+                )
 
+                if stream:
+                    self._stream_tts(
+                        str(text), str(ref_path), top_p, guidance, temperature
+                    )
+                    return
+
+                t_req = time.monotonic()
                 if batching_engine is not None:
                     wav_path = batching_engine.submit(
                         str(text),
@@ -292,14 +357,69 @@ def make_handler(tts, config: ServingConfig, batching_engine=None):
                             temperature=temperature,
                         )
                 with open(wav_path, "rb") as f:
-                    self._send(200, f.read(), "audio/wav")
+                    payload = f.read()
+                from metavoice_tpu.utils.audio_io import duration_s
+
+                metrics.observe(
+                    streaming=False,
+                    audio_s=duration_s(wav_path),
+                    wall_s=time.monotonic() - t_req,
+                )
+                self._send(200, payload, "audio/wav")
             except ValueError as e:
+                metrics.error()
                 self._json(400, {"detail": str(e)})
             except Exception as e:  # parity: 500 on engine errors (serving.py:98-106)
+                metrics.error()
                 self._json(500, {"detail": f"synthesis failed: {e}"})
             finally:
                 if tmp_upload and os.path.exists(tmp_upload):
                     os.unlink(tmp_upload)
+
+        def _stream_tts(self, text, ref_path, top_p, guidance, temperature):
+            """Live WAV response: PCM16 segments as synthesis progresses.
+
+            No Content-Length; RIFF sizes are 0xFFFFFFFF (live-stream
+            convention) and the client reads until close. First bytes reach
+            the client after one short first segment (the TTFA path) rather
+            than after the whole utterance.
+            """
+            from metavoice_tpu.utils.audio_io import (
+                float_to_pcm16,
+                wav_streaming_header,
+            )
+
+            t_req = time.monotonic()
+            sr = 24_000
+            n_samples = 0
+            with lock:
+                gen = tts.synthesise_streaming(
+                    text, ref_path, top_p=top_p, guidance_scale=guidance,
+                    temperature=temperature,
+                )
+                try:
+                    first = next(gen)
+                except StopIteration:
+                    metrics.error()
+                    self._json(500, {"detail": "synthesis produced no audio"})
+                    return
+                # headers only after the first segment exists, so engine
+                # errors before any audio still surface as HTTP 500
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                self.wfile.write(wav_streaming_header(sr))
+                for seg in _chain_first(first, gen):
+                    self.wfile.write(float_to_pcm16(seg))
+                    self.wfile.flush()
+                    n_samples += len(seg)
+            metrics.observe(
+                streaming=True,
+                audio_s=n_samples / sr,
+                wall_s=time.monotonic() - t_req,
+            )
 
     return Handler
 

@@ -67,6 +67,28 @@ def write_wav(path: str, wav: np.ndarray, sr: int) -> None:
         f.writeframes(pcm.tobytes())
 
 
+def wav_streaming_header(sr: int) -> bytes:
+    """RIFF/WAVE header for a PCM16 mono stream of unknown length.
+
+    The RIFF and data chunk sizes are set to 0xFFFFFFFF — the convention for
+    live WAV streams (players and decoders read until EOF). Used by the
+    server's chunked /tts?stream=true response.
+    """
+    import struct
+
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
+
+
+def float_to_pcm16(wav: np.ndarray) -> bytes:
+    """Float waveform in [-1, 1] -> little-endian PCM16 bytes."""
+    wav = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+    return (wav * 32767.0).astype("<i2").tobytes()
+
+
 def load_audio(path: str, target_sr: int | None = None) -> tuple[np.ndarray, int]:
     """Load any supported audio file as float32 mono; optional resample.
 

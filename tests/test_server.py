@@ -105,6 +105,58 @@ def test_unknown_route(server):
     assert exc.value.code == 404
 
 
+def test_tts_streaming(server, ref_wav):
+    """stream=true: live WAV (0xFFFFFFFF RIFF sizes), PCM arrives in pieces."""
+    with _post_json(
+        server + "/tts",
+        {"text": "Hello streaming.", "speaker_ref_path": ref_wav, "stream": "true"},
+    ) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        assert r.headers.get("Content-Length") is None
+        header = r.read(44)
+        assert header[:4] == b"RIFF" and header[8:12] == b"WAVE"
+        assert header[4:8] == b"\xff\xff\xff\xff"  # live-stream size
+        pcm = r.read()
+    assert len(pcm) > 2000 and len(pcm) % 2 == 0
+    wav = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+    assert np.isfinite(wav).all()
+
+
+def test_metrics_counts_requests(server, ref_wav):
+    def scrape():
+        with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        return {
+            line.split()[0]: float(line.split()[1])
+            for line in text.splitlines()
+            if line and not line.startswith("#")
+        }
+
+    before = scrape()
+    with _post_json(
+        server + "/tts",
+        {"text": "Metrics test.", "speaker_ref_path": ref_wav},
+    ) as r:
+        r.read()
+    after = scrape()
+    assert after["tts_requests_total"] == before["tts_requests_total"] + 1
+    assert after["tts_audio_seconds_total"] > before["tts_audio_seconds_total"]
+    assert after["tts_wall_seconds_total"] > before["tts_wall_seconds_total"]
+    # streaming requests are counted separately
+    with _post_json(
+        server + "/tts",
+        {"text": "Metrics stream.", "speaker_ref_path": ref_wav, "stream": "1"},
+    ) as r:
+        r.read()
+    final = scrape()
+    assert (
+        final["tts_streaming_requests_total"]
+        == after["tts_streaming_requests_total"] + 1
+    )
+    assert final["tts_errors_total"] == after["tts_errors_total"]
+
+
 def _post_multipart_upload(server, data: bytes, text="Upload test."):
     boundary = "testboundary42"
     body = (
