@@ -238,7 +238,25 @@ class TTS:
         """
         from metavoice_tpu.utils import checkpoint as ck
 
-        p1, cfg1, tok_info = ck.load_first_stage_pt(first_stage_path)
+        pre_quantised = None
+        if first_stage_path.endswith(".npz"):
+            # native checkpoint, possibly pre-quantized offline via the
+            # `quantize` CLI (utils/checkpoint.save_first_stage_quantized):
+            # packed int8/int4 arrays load directly, skipping the torch read
+            # and the load-time quantization pass
+            p1, cfg1, tok_info, pre_quantised = ck.load_first_stage_npz(
+                first_stage_path
+            )
+            requested = kwargs.get("quantisation_mode")
+            if pre_quantised and requested not in (None, pre_quantised):
+                raise ValueError(
+                    f"checkpoint is pre-quantized as {pre_quantised!r}; "
+                    f"conflicting quantisation_mode={requested!r}"
+                )
+            if pre_quantised:
+                kwargs["quantisation_mode"] = None
+        else:
+            p1, cfg1, tok_info = ck.load_first_stage_pt(first_stage_path)
         p2, cfg2, tok_info2 = ck.load_second_stage_pt(second_stage_path)
         spk = ck.load_speaker_encoder_pt(speaker_encoder_path)
         tok_info = tok_info or tok_info2
@@ -261,8 +279,13 @@ class TTS:
                 "24 kHz EnCodec checkpoint for real audio."
             )
             eparams = ec.init_params(jax.random.PRNGKey(0), ecfg)
+        if pre_quantised:
+            # packed integer arrays + scale tables: preserve dtypes exactly
+            p1_dev = jax.tree.map(jnp.asarray, p1)
+        else:
+            p1_dev = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), p1)
         comps = TTSComponents(
-            first_stage_params=jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), p1),
+            first_stage_params=p1_dev,
             first_stage_cfg=cfg1,
             second_stage_params=jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), p2),
             second_stage_cfg=cfg2,

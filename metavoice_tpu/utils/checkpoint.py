@@ -280,3 +280,64 @@ def load_npz(path: str) -> tuple[Any, dict]:
     meta = json.loads(str(data["__meta__"])) if "__meta__" in data else {}
     flat = {k: data[k] for k in data.files if k != "__meta__"}
     return _unflatten(flat), meta
+
+
+def save_first_stage_quantized(
+    path: str,
+    params: Any,
+    cfg: TransformerConfig,
+    tokenizer_info: dict | None,
+    quantisation_mode: str,
+) -> None:
+    """Write a pre-quantized first-stage serving checkpoint (.npz).
+
+    Quantization (int8 per-channel / int4-in-int32 groupwise,
+    ops/quantized.py) runs once offline; `TTS.from_checkpoints` then loads
+    the packed arrays directly and skips the load-time torch read + quantize
+    pass. int4 shrinks the 4.97 GB f32 `.pt` to ~0.7 GB on disk. No
+    reference counterpart (its quantization always runs at load,
+    fam/llm/fast_inference_utils.py:284-299).
+    """
+    import dataclasses
+
+    flat = _flatten(params)
+    # .npy has no bfloat16: store those arrays as f32 and record which keys
+    # to narrow back on load
+    bf16_keys = sorted(k for k, v in flat.items() if v.dtype.name == "bfloat16")
+    flat = {
+        k: (v.astype(np.float32) if k in set(bf16_keys) else v)
+        for k, v in flat.items()
+    }
+    meta = {
+        "format": "first_stage_quantized",
+        "quantisation_mode": quantisation_mode,
+        "config": dataclasses.asdict(cfg),
+        "tokenizer": tokenizer_info or {},
+        "bf16_keys": bf16_keys,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, __meta__=json.dumps(meta), **flat)
+
+
+def load_first_stage_npz(path: str):
+    """Load a native .npz first-stage checkpoint (quantized or plain).
+
+    Returns (params, cfg, tokenizer_info, quantisation_mode|None).
+    """
+    import ml_dtypes
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"])) if "__meta__" in data else {}
+    bf16 = set(meta.get("bf16_keys") or [])
+    flat = {
+        k: (data[k].astype(ml_dtypes.bfloat16) if k in bf16 else data[k])
+        for k in data.files
+        if k != "__meta__"
+    }
+    params = _unflatten(flat)
+    cfg_dict = dict(meta.get("config") or {})
+    for key in ("vocab_sizes", "target_vocab_sizes"):
+        if cfg_dict.get(key) is not None:
+            cfg_dict[key] = tuple(cfg_dict[key])
+    cfg = TransformerConfig(**cfg_dict) if cfg_dict else first_stage_config()
+    return params, cfg, meta.get("tokenizer") or {}, meta.get("quantisation_mode")

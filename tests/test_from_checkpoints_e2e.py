@@ -182,3 +182,46 @@ def test_from_checkpoints_warns_without_encodec(tmp_path):
     _save_speaker_encoder(p3)
     with pytest.warns(UserWarning, match="RANDOM-weight"):
         TTS.from_checkpoints(p1, p2, p3, output_dir=str(tmp_path / "out"))
+
+
+def test_prequantized_npz_checkpoint_roundtrip(tmp_path):
+    """quantize CLI -> .npz -> TTS.from_checkpoints: packed arrays load
+    with dtypes intact, the load-time quantize pass is skipped, and the
+    pipeline synthesises."""
+    import jax.numpy as jnp
+
+    from metavoice_tpu.cli import cmd_quantize
+
+    p1 = str(tmp_path / "first_stage.pt")
+    p2 = str(tmp_path / "second_stage.pt")
+    p3 = str(tmp_path / "speaker_encoder.pt")
+    p4 = str(tmp_path / "encodec.pt")
+    _save_first_stage(p1)
+    _save_second_stage(p2)
+    _save_speaker_encoder(p3)
+    _save_encodec(p4)
+    q = str(tmp_path / "first_stage.int8.npz")
+    # dim=32 is below int4's group-packing minimum, so exercise int8 here
+    assert cmd_quantize(["--first_stage_path", p1, "--mode", "int8", "--out", q]) == 0
+
+    tts = TTS.from_checkpoints(
+        q, p2, p3, encodec_path=p4, encodec_cfg=ECFG,
+        output_dir=str(tmp_path / "out"), enforce_min_ref_duration=False,
+    )
+    w = tts.c.first_stage_params["layers"]["wqkv"]
+    assert isinstance(w, dict) and w["q"].dtype == jnp.int8
+
+    # conflicting quantisation mode is rejected
+    with pytest.raises(ValueError, match="pre-quantized"):
+        TTS.from_checkpoints(
+            q, p2, p3, encodec_path=p4, encodec_cfg=ECFG,
+            output_dir=str(tmp_path / "out2"), quantisation_mode="int4",
+        )
+
+    sr = 16000
+    t = np.arange(31 * sr) / sr
+    ref = str(tmp_path / "ref.wav")
+    aio.write_wav(ref, (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+    out = tts.synthesise("Pre-quantized checkpoint test.", ref)
+    wav, _ = aio.read_wav(out)
+    assert len(wav) > 0 and np.isfinite(wav).all()
