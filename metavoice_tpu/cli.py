@@ -139,7 +139,24 @@ def cmd_serve(argv: list[str]) -> int:
     cfg = ServingConfig(host=args.host, port=args.port)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(tts, cfg, engine))
     print(f"serving on {cfg.host}:{cfg.port}")
-    httpd.serve_forever()
+    # graceful shutdown: SIGTERM/SIGINT stop accepting, drain the batching
+    # engine (in-flight futures resolve), then exit
+    import signal
+
+    def _stop(signum, frame):
+        import threading
+
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
+    try:
+        httpd.serve_forever()
+    finally:
+        if engine is not None:
+            engine.shutdown()
+        httpd.server_close()
+        print("server stopped")
     return 0
 
 

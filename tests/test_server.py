@@ -105,6 +105,47 @@ def test_unknown_route(server):
     assert exc.value.code == 404
 
 
+def test_serve_cli_graceful_shutdown(tmp_path):
+    """SIGTERM on the serve CLI drains and exits cleanly (rc 0)."""
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "metavoice_tpu.cli", "serve", "--random_weights",
+         "--small", "--no_warmup", "--host", "127.0.0.1", "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=5
+                ) as r:
+                    assert json.loads(r.read())["status"] == "ok"
+                break
+            except Exception:
+                time.sleep(1.0)
+        else:
+            raise AssertionError("server never became healthy")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "server stopped" in out
+
+
 def test_tts_streaming(server, ref_wav):
     """stream=true: live WAV (0xFFFFFFFF RIFF sizes), PCM arrives in pieces."""
     with _post_json(
