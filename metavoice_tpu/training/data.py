@@ -17,6 +17,7 @@ Equivalent of the reference ``DynamicComputeDataset``
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -64,8 +65,16 @@ class DynamicComputeDataset:
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         audio_path, text = self.df.iloc[idx].values.tolist()[:2]
+        text = str(text)
+        # convenience beyond the reference (which tokenizes the second
+        # column verbatim): a row whose caption field is a path to an
+        # existing .txt file — the layout of the reference's own
+        # datasets/sample_dataset.csv — reads the caption from that file
+        if text.endswith(".txt") and os.path.exists(text):
+            with open(text, encoding="utf-8") as f:
+                text = f.read().strip()
         text_tokens = np.asarray(
-            self.tokenizer.encode(normalize_text(str(text))), np.int64
+            self.tokenizer.encode(normalize_text(text)), np.int64
         )
 
         wav, sr = aio.load_audio(str(audio_path))

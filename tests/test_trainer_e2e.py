@@ -58,6 +58,22 @@ def test_dataset_item_layout(dataset):
     assert (toks == 2048).any()  # padding present for a 0.5 s clip
 
 
+def test_caption_file_rows(dataset_csv, tmp_path, dataset):
+    """A caption field pointing at a .txt file (the reference's
+    sample_dataset.csv layout) reads the caption from that file."""
+    cap = tmp_path / "caption.txt"
+    cap.write_text("hello number 0\n")
+    audio = dataset_csv.rsplit("/", 1)[0] + "/utt0.wav"
+    csv = tmp_path / "filecap.csv"
+    csv.write_text(f"audio_files|captions\n{audio}|{cap}")
+    ds = DynamicComputeDataset.from_csv(
+        str(csv), dataset.encodec_params, dataset.encodec_cfg,
+        dataset.tokenizer, dataset.spk_params,
+        num_max_audio_tokens_timesteps=TINY.block_size // 2,
+    )
+    np.testing.assert_array_equal(ds[0]["tokens"], dataset[0]["tokens"])
+
+
 def test_training_batch_shapes(dataset):
     batch = next(training_batches(dataset, 2, epochs=1))
     assert batch["x"].shape == (2, TINY.block_size)
