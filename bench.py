@@ -204,6 +204,50 @@ def main():
     except Exception as e:  # batched path must not break the headline metric
         log(f"batched measurement skipped: {e}")
 
+    # ---- batch-16 capacity (int8 KV cache) -------------------------------------
+    # 32 CFG rows only fit one v5e with the quantized cache (the bf16 cache
+    # alone is 12.9 GB); this is the serving-capacity lever kv_cache_dtype
+    # exists for. See scripts/diag_batch16_capacity.py for the full diag.
+    batch16_tps = None
+    try:
+        import gc
+
+        b16 = 16
+        prompts16 = [
+            list(np.random.default_rng(i).integers(2049, cfg.vocab_size, size=40 + 3 * i))
+            for i in range(b16)
+        ]
+        spk16 = jax.random.normal(key, (b16, cfg.speaker_emb_dim), jnp.bfloat16)
+        padded16, lens16 = fs.left_pad_prompts(prompts16, bucket=128)
+        kv16 = tfm.KVCache.create(cfg, 2 * b16, cfg.block_size, dtype=jnp.int8)
+        first16, kv16 = fs.prefill_batch(
+            params, cfg, jnp.asarray(padded16), jnp.asarray(lens16), spk16, kv16,
+            key, temperature, top_p, guidance,
+        )
+
+        def run16(n, pos, kvb):
+            buf, lens, kvb = fs.decode_batch(
+                params, cfg, first16, jnp.asarray(pos, jnp.int32), jnp.asarray(lens16),
+                spk16, kvb, jax.random.PRNGKey(7), temperature, top_p, guidance,
+                jnp.asarray(n, jnp.int32), cfg.block_size, never_eoa, jnp.bfloat16,
+            )
+            np.asarray(lens)
+            return kvb
+
+        kv16 = run16(4, 128, kv16)  # compile
+        t0 = time.perf_counter()
+        kv16 = run16(8, 132, kv16)
+        ta16 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        kv16 = run16(104, 140, kv16)
+        tb16 = time.perf_counter() - t0
+        batch16_tps = b16 * 96 / (tb16 - ta16)
+        log(f"batch-16 decode (int8 KV cache): {batch16_tps:.0f} aggregate tok/s")
+        del kv16, first16
+        gc.collect()
+    except Exception as e:
+        log(f"batch-16 measurement skipped: {e}")
+
     # ---- streaming TTFA: time to the FIRST audible segment out of the real
     # public streaming path (north star: p50 < 500 ms). Speaker embedding is
     # md5-cached as in real serving (the reference caches it the same way,
@@ -271,6 +315,9 @@ def main():
         "ttfa_s": round(ttfa_p50, 3) if ttfa_p50 else None,
         "ttfa_note": "p50 of 5 runs, time to first synthesise_streaming segment (40-token first segment), cached speaker emb",
         "batch8_aggregate_tokens_per_sec": round(batch_tps, 1) if batch_tps else None,
+        "batch16_int8kv_aggregate_tokens_per_sec": (
+            round(batch16_tps, 1) if batch16_tps else None
+        ),
         "achieved_bandwidth_gb_s": round(bandwidth_gbs, 1),
         "params_b": round(n_params / 1e9, 3),
         "tokens_per_sec_int8": round(tps_int8, 2),

@@ -143,6 +143,7 @@ Gradio app, app.py.)</p>
  <input type="file" id="upload" accept="audio/*" disabled>
 </fieldset>
 
+<label><input type="checkbox" id="stream" checked> Stream (start playing at first audio, ~0.4 s)</label>
 <button id="go">Generate Speech</button> <span id="status"></span>
 <p><audio id="out" controls style="width:100%%;display:none"></audio></p>
 
@@ -183,6 +184,7 @@ $("go").onclick = async () => {
   }
   status.textContent = "Synthesising…";
   try {
+    if ($("stream").checked) { await streamPlay(fd, status); return; }
     const resp = await fetch("/tts", { method: "POST", body: fd });
     if (!resp.ok) { throw new Error((await resp.json()).detail || resp.statusText); }
     const blob = await resp.blob();
@@ -190,6 +192,59 @@ $("go").onclick = async () => {
     out.style.display = "block"; out.play(); status.textContent = "";
   } catch (e) { status.className = "err"; status.textContent = "Something went wrong. Reason: " + e.message; }
 };
+
+// live playback: PCM16 chunks from the streaming endpoint scheduled
+// back-to-back through WebAudio — audio starts at time-to-first-segment
+async function streamPlay(fd, status) {
+  fd.append("stream", "true");
+  const resp = await fetch("/tts", { method: "POST", body: fd });
+  if (!resp.ok) { throw new Error((await resp.json()).detail || resp.statusText); }
+  const SR = 24000;
+  const ctx = new (window.AudioContext || window.webkitAudioContext)({ sampleRate: SR });
+  const reader = resp.body.getReader();
+  let playhead = ctx.currentTime + 0.05, carry = new Uint8Array(0), header = 44, total = 0;
+  const chunks = [];
+  status.textContent = "Streaming…";
+  for (;;) {
+    const { done, value } = await reader.read();
+    if (done) break;
+    let buf = new Uint8Array(carry.length + value.length);
+    buf.set(carry); buf.set(value, carry.length);
+    if (header > 0) { const drop = Math.min(header, buf.length); buf = buf.slice(drop); header -= drop; }
+    const usable = buf.length - (buf.length %% 2);
+    carry = buf.slice(usable);
+    if (!usable) continue;
+    const pcm = new Int16Array(buf.buffer.slice(0, usable));
+    const f32 = Float32Array.from(pcm, v => v / 32768);
+    chunks.push(f32); total += f32.length;
+    const ab = ctx.createBuffer(1, f32.length, SR);
+    ab.getChannelData(0).set(f32);
+    const src = ctx.createBufferSource();
+    src.buffer = ab; src.connect(ctx.destination);
+    playhead = Math.max(playhead, ctx.currentTime + 0.02);
+    src.start(playhead); playhead += ab.duration;
+  }
+  status.textContent = "";
+  // also expose the finished take in the player for replay
+  const all = new Float32Array(total); let o = 0;
+  for (const c of chunks) { all.set(c, o); o += c.length; }
+  const wav = encodeWav(all, SR);
+  const out = $("out");
+  out.src = URL.createObjectURL(new Blob([wav], { type: "audio/wav" }));
+  out.style.display = "block";
+}
+
+function encodeWav(f32, sr) {
+  const n = f32.length, buf = new ArrayBuffer(44 + n * 2), v = new DataView(buf);
+  const w = (o, s) => { for (let i = 0; i < s.length; i++) v.setUint8(o + i, s.charCodeAt(i)); };
+  w(0, "RIFF"); v.setUint32(4, 36 + n * 2, true); w(8, "WAVE"); w(12, "fmt ");
+  v.setUint32(16, 16, true); v.setUint16(20, 1, true); v.setUint16(22, 1, true);
+  v.setUint32(24, sr, true); v.setUint32(28, sr * 2, true);
+  v.setUint16(32, 2, true); v.setUint16(34, 16, true);
+  w(36, "data"); v.setUint32(40, n * 2, true);
+  for (let i = 0; i < n; i++) v.setInt16(44 + i * 2, Math.max(-1, Math.min(1, f32[i])) * 32767, true);
+  return buf;
+}
 </script>
 </body></html>""" % {
     "presets_json": json.dumps(PRESET_VOICES),

@@ -252,3 +252,5 @@ def test_index_page_has_ui_parity_controls(server):
     assert "denormTopP" in html and "denormGuidance" in html
     assert 'type="range"' in html
     assert "50 MB" in html or "50 * 1024" in html
+    # streaming playback controls (beyond the reference app)
+    assert 'id="stream"' in html and "streamPlay" in html and "AudioContext" in html
