@@ -339,7 +339,19 @@ class TTS:
             key=key,
             compute_dtype=self._compute_dtype,
         )
-        np.asarray(ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, codes))
+        # precompile the vocoder at the short-segment bucket (25 frames,
+        # the streaming first segment) and the steady-state bucket (75)
+        codes = np.asarray(codes)
+        for bucket in (25, 75):
+            if codes.shape[1] > bucket:
+                continue
+            padded_codes = np.pad(codes, ((0, 0), (0, bucket - codes.shape[1])))
+            np.asarray(
+                ec.decode_codes(
+                    self.c.encodec_params, self.c.encodec_cfg,
+                    jnp.asarray(padded_codes),
+                )
+            )
 
     # ------------------------------------------------------------------ speaker embedding
     def _get_speaker_embedding(self, spk_ref_path: str) -> np.ndarray:
@@ -384,9 +396,14 @@ class TTS:
         )  # (8, T_audio)
 
         # bucket the code length so the vocoder compiles once per bucket,
-        # not once per utterance length (75 frames = 1 s granularity)
+        # not once per utterance length: 1/3 s granularity under 1 s (the
+        # streaming FIRST segment is ~0.27 s — decoding a full 75-frame
+        # bucket for it measured 139 ms of a 385 ms TTFA), 1 s above
         t_audio = full_codes.shape[1]
-        bucket = max(75, -(-t_audio // 75) * 75)
+        if t_audio <= 75:
+            bucket = max(25, -(-t_audio // 25) * 25)
+        else:
+            bucket = -(-t_audio // 75) * 75
         if bucket != t_audio:
             full_codes = np.pad(full_codes, ((0, 0), (0, bucket - t_audio)))
         if self.c.vocoder == "mbd" and self.c.mbd_params is not None:
