@@ -320,9 +320,13 @@ def save_first_stage_quantized(
 
 
 def load_first_stage_npz(path: str):
-    """Load a native .npz first-stage checkpoint (quantized or plain).
+    """Load a native .npz first-stage checkpoint.
 
-    Returns (params, cfg, tokenizer_info, quantisation_mode|None).
+    Accepts both layouts: the quantize CLI's serving checkpoints (full
+    ``config`` dict + ``quantisation_mode``) and the finetune trainer's
+    reference-schema checkpoints (``model_args`` with n_embd-style names,
+    training/trainer.py save_checkpoint). Returns
+    (params, cfg, tokenizer_info, quantisation_mode|None).
     """
     import ml_dtypes
 
@@ -335,9 +339,38 @@ def load_first_stage_npz(path: str):
         if k != "__meta__"
     }
     params = _unflatten(flat)
-    cfg_dict = dict(meta.get("config") or {})
-    for key in ("vocab_sizes", "target_vocab_sizes"):
-        if cfg_dict.get(key) is not None:
-            cfg_dict[key] = tuple(cfg_dict[key])
-    cfg = TransformerConfig(**cfg_dict) if cfg_dict else first_stage_config()
-    return params, cfg, meta.get("tokenizer") or {}, meta.get("quantisation_mode")
+    tok_info = meta.get("tokenizer") or (meta.get("meta") or {}).get("tokenizer") or {}
+    if meta.get("config") and "n_layer" in meta["config"]:
+        cfg_dict = dict(meta["config"])
+        for key in ("vocab_sizes", "target_vocab_sizes"):
+            if cfg_dict.get(key) is not None:
+                cfg_dict[key] = tuple(cfg_dict[key])
+        cfg = TransformerConfig(**cfg_dict)
+    elif meta.get("model_args"):
+        # reference-style names (finetuned checkpoint must not silently load
+        # with the stock architecture — same contract as load_first_stage_pt)
+        args = meta["model_args"]
+        inner = meta.get("meta") or {}
+        overrides = {}
+        for src, dst in (
+            ("block_size", "block_size"),
+            ("n_layer", "n_layer"),
+            ("n_head", "n_head"),
+            ("n_embd", "dim"),
+            ("causal", "causal"),
+            ("norm_type", "norm_type"),
+            ("nonlinearity_type", "nonlinearity_type"),
+            ("bias", "bias"),
+            ("spkemb_dropout", "spkemb_dropout"),
+            ("spk_emb_on_text", "spk_emb_on_text"),
+        ):
+            if src in args:
+                overrides[dst] = args[src]
+        if args.get("vocab_sizes"):
+            overrides["vocab_sizes"] = tuple(args["vocab_sizes"])
+        if inner.get("speaker_emb_size"):
+            overrides["speaker_emb_dim"] = inner["speaker_emb_size"]
+        cfg = first_stage_config(**overrides)
+    else:
+        cfg = first_stage_config()
+    return params, cfg, tok_info, meta.get("quantisation_mode")

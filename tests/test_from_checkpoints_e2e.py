@@ -184,6 +184,33 @@ def test_from_checkpoints_warns_without_encodec(tmp_path):
         TTS.from_checkpoints(p1, p2, p3, output_dir=str(tmp_path / "out"))
 
 
+def test_finetuned_npz_honors_model_args(tmp_path):
+    """A trainer-saved .npz (reference-style model_args meta) loads with its
+    own architecture, not the stock 1B config."""
+    import dataclasses as _dc
+
+    import jax as _jax
+
+    from metavoice_tpu.models import transformer as _tfm
+    from metavoice_tpu.training import finetune as ft
+    from metavoice_tpu.training.trainer import save_checkpoint
+    from metavoice_tpu.utils import checkpoint as ck
+
+    params = _tfm.init_params(_jax.random.PRNGKey(0), FIRST)
+    state = ft.TrainState(params=params, opt_state=None, step=7)
+    path = save_checkpoint(
+        str(tmp_path), "ft", state, FIRST, ft.FinetuneConfig(),
+        best_val_loss=1.5, tokenizer_info={},
+    )
+    loaded, cfg, _tok, qmode = ck.load_first_stage_npz(path)
+    assert qmode is None
+    assert cfg.n_layer == FIRST.n_layer and cfg.dim == FIRST.dim
+    assert cfg.block_size == FIRST.block_size
+    np.testing.assert_array_equal(
+        np.asarray(loaded["wtes"][0]), np.asarray(params["wtes"][0])
+    )
+
+
 def test_prequantized_npz_checkpoint_roundtrip(tmp_path):
     """quantize CLI -> .npz -> TTS.from_checkpoints: packed arrays load
     with dtypes intact, the load-time quantize pass is skipped, and the
