@@ -90,3 +90,37 @@ def test_get_cached_file_uri_cache_key(tmp_path, monkeypatch):
     p1 = aio.get_cached_file(uri, cache_dir=str(tmp_path))
     p2 = aio.get_cached_file(uri, cache_dir=str(tmp_path))
     assert p1 == p2 and p1.endswith(".mp3") and len(calls) == 1
+
+
+def test_wav_streaming_header_and_pcm16(tmp_path):
+    """Live-stream header + PCM16 payload parse back as a normal WAV once
+    the sizes are patched (the stream_client recipe)."""
+    import struct
+
+    from metavoice_tpu.utils.audio_io import (
+        float_to_pcm16,
+        read_wav,
+        wav_streaming_header,
+    )
+
+    sr = 24000
+    wav = (0.5 * np.sin(2 * np.pi * 440 * np.arange(2400) / sr)).astype(np.float32)
+    header = wav_streaming_header(sr)
+    assert len(header) == 44
+    assert header[:4] == b"RIFF" and header[8:12] == b"WAVE"
+    assert header[4:8] == b"\xff\xff\xff\xff" and header[40:44] == b"\xff\xff\xff\xff"
+    pcm = float_to_pcm16(wav)
+    assert len(pcm) == 2 * len(wav)
+
+    body = header + pcm
+    data_len = len(pcm)
+    fixed = (
+        body[:4] + struct.pack("<I", 36 + data_len) + body[8:40]
+        + struct.pack("<I", data_len) + body[44:]
+    )
+    path = str(tmp_path / "stream.wav")
+    with open(path, "wb") as f:
+        f.write(fixed)
+    out, out_sr = read_wav(path)
+    assert out_sr == sr and len(out) == len(wav)
+    np.testing.assert_allclose(out, wav, atol=1.0 / 16000)
