@@ -669,17 +669,24 @@ def generate_segments(
         spk_emb, kv, kp, t1, tp, g, compute_dtype=compute_dtype,
         cfg_rows=cfg_rows, prompt_guidance_scale=pg, end_of_text_token=eot,
     )
+    # The prefill token is NOT read back here: on the tunneled backend every
+    # host round-trip costs dispatch latency, so the first decode runs
+    # speculatively and one fused transfer returns [seed, n, tokens...].
+    # (If the prefill token was already EOA we discard the speculative
+    # decode on the host — rare, and correctness is unaffected.)
     pos = t_true
-    pending = [int(np.asarray(cur)[0])]
+    pending: list[int] = []
+    seed_pending = 1  # the unread prefill token logically heads `pending`
     emitted = 1
-    if pending[0] == end_of_audio_token:
-        yield np.asarray(pending, np.int32)
-        return
-
+    first_iter = True
     target_tokens = first_segment_tokens  # ramps to segment_tokens after seg 1
     while emitted < budget and pos < cfg.block_size:
         key, kd = jax.random.split(key)
-        step_budget = min(target_tokens - len(pending), budget - emitted, cfg.block_size - pos)
+        step_budget = min(
+            target_tokens - len(pending) - seed_pending,
+            budget - emitted,
+            cfg.block_size - pos,
+        )
         if step_budget <= 0:
             break
         buf, lens, kv = decode(
@@ -687,8 +694,24 @@ def generate_segments(
             t1, tp, g, jnp.asarray(step_budget, jnp.int32), cfg.block_size,
             end_of_audio_token, compute_dtype, cfg_rows, pg, eot,
         )
-        n = int(np.asarray(lens)[0])
-        toks = np.asarray(buf)[0, :n]
+        # next seed stays on device; one fused host transfer per step
+        next_cur = buf[:, jnp.maximum(lens[0] - 1, 0)]
+        fetch = np.asarray(
+            jnp.concatenate([
+                cur.reshape(-1).astype(jnp.int32),
+                lens.reshape(-1).astype(jnp.int32),
+                buf[0].astype(jnp.int32),
+            ])
+        )
+        seed_tok, n = int(fetch[0]), int(fetch[1])
+        toks = fetch[2 : 2 + n]
+        if first_iter:
+            if seed_tok == end_of_audio_token:
+                yield np.asarray([seed_tok], np.int32)
+                return
+            pending.append(seed_tok)
+            seed_pending = 0
+            first_iter = False
         pending.extend(int(t) for t in toks)
         emitted += n
         pos += n
@@ -699,6 +722,9 @@ def generate_segments(
             target_tokens = segment_tokens
         if done or n == 0:
             return
-        cur = jnp.asarray([int(toks[-1])], jnp.int32)
+        cur = next_cur
+    if seed_pending:
+        # loop never ran (budget exhausted at 1): surface the prefill token
+        pending = [int(np.asarray(cur)[0])] + pending
     if pending:
         yield np.asarray(pending, np.int32)
