@@ -378,10 +378,19 @@ def generate(
         eot,
     )
 
-    first = np.asarray(first_token)
-    n = int(np.asarray(out_len)[0])
-    gen = np.asarray(out_buf)[0, :n]
-    return np.concatenate([np.asarray(prompt_tokens, np.int32), first.astype(np.int32), gen])
+    # single fused host transfer: [first, n, tokens...] (each np.asarray is
+    # its own dispatch round-trip on the tunneled backend)
+    fetch = np.asarray(
+        jnp.concatenate([
+            first_token.reshape(-1).astype(jnp.int32),
+            out_len.reshape(-1).astype(jnp.int32),
+            out_buf[0].astype(jnp.int32),
+        ])
+    )
+    n = int(fetch[1])
+    return np.concatenate(
+        [np.asarray(prompt_tokens, np.int32), fetch[:1], fetch[2 : 2 + n]]
+    )
 
 
 # --------------------------------------------------------------------------------------
@@ -591,11 +600,20 @@ def generate_batch(
         jnp.asarray(max_steps - 1, jnp.int32), cfg.block_size,
         end_of_audio_token, compute_dtype,
     )
-    first_np = np.asarray(first)
-    buf_np = np.asarray(buf)
-    lens_np = np.asarray(lens)
+    # one fused host transfer for the whole batch (per-array np.asarray
+    # costs a dispatch round-trip each on the tunneled backend)
+    fetch = np.asarray(
+        jnp.concatenate(
+            [
+                first.reshape(b, 1).astype(jnp.int32),
+                lens.reshape(b, 1).astype(jnp.int32),
+                buf.astype(jnp.int32),
+            ],
+            axis=1,
+        )
+    )
     return [
-        np.concatenate([[first_np[i]], buf_np[i, : lens_np[i]]]).astype(np.int32)
+        np.concatenate([fetch[i, :1], fetch[i, 2 : 2 + fetch[i, 1]]]).astype(np.int32)
         for i in range(b)
     ]
 
