@@ -72,6 +72,52 @@ class TTSComponents:
     mbd_cfg: object | None = None
 
 
+from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=("cfg2", "ecfg", "bucket", "top_k", "compute_dtype"),
+)
+def _stage2_vocode_jit(
+    params2,
+    eparams,
+    cfg2,
+    ecfg,
+    idx,  # (1, 2, ctx) second-stage input (text+h0 / pad+h1)
+    spk,  # (1, spk_dim)
+    key,
+    n_text,  # traced scalar: text prefix length
+    n_audio,  # traced scalar: valid audio frames
+    coarse_pad,  # (2, bucket) int32, the true coarse rows
+    *,
+    bucket: int,
+    top_k: int = 200,
+    compute_dtype=jnp.bfloat16,
+):
+    """Stage 2 + EnCodec vocoder as one XLA program (streaming fast path).
+
+    Replicates second_stage.complete_hierarchies' host post-processing
+    on-device: stack [inputs; sampled], slice the audio region at the text
+    offset, restore the true coarse rows, zero past n_audio, clip to the
+    codebook, decode. One dispatch round-trip instead of two.
+    """
+    sampled = ss.non_causal_sample(
+        params2, cfg2, idx, spk, key, jnp.asarray(1.0, jnp.float32),
+        top_k=top_k, compute_dtype=compute_dtype,
+    )  # (1, C_out, ctx)
+    full = jnp.concatenate([idx[0], sampled[0]], axis=0)  # (8, ctx)
+    full = jnp.pad(full, ((0, 0), (0, bucket)))  # keep the slice un-clamped
+    region = jax.lax.dynamic_slice(
+        full, (jnp.asarray(0, n_text.dtype), n_text), (full.shape[0], bucket)
+    )
+    region = region.at[0:2].set(coarse_pad)
+    mask = jnp.arange(bucket) < n_audio
+    region = jnp.where(mask[None, :], region, 0)
+    region = jnp.clip(region, 0, T.CODEBOOK_SIZE - 1)
+    return ec.decode_codes(eparams, ecfg, region)
+
+
 class TTS:
     """Text-to-speech with zero-shot voice cloning.
 
@@ -352,6 +398,15 @@ class TTS:
                     jnp.asarray(padded_codes),
                 )
             )
+        # and the streaming fused stage2+vocoder programs for those buckets
+        if self.c.vocoder == "encodec":
+            for n_audio in (4, 30, 75):
+                np.asarray(
+                    self._stage2_vocode_fused(
+                        prompt, [list(range(n_audio)), list(range(n_audio))],
+                        np.asarray(spk[0]), key,
+                    )
+                )
 
     # ------------------------------------------------------------------ speaker embedding
     def _get_speaker_embedding(self, spk_ref_path: str) -> np.ndarray:
@@ -374,14 +429,29 @@ class TTS:
         token_stream,
         spk_emb: np.ndarray,
         key: jax.Array,
+        fused: bool = False,
     ) -> np.ndarray:
         """First-stage token stream -> waveform (stages 3-5: split, second
-        stage, vocoder, enhancer)."""
+        stage, vocoder, enhancer).
+
+        ``fused=True`` (the streaming path) runs stage 2 + the EnCodec
+        vocoder as ONE jitted program — one host round-trip instead of two,
+        which is the dominant cost of short segments on the tunneled
+        backend. Only taken for short buckets (<= 75 frames) with the
+        encodec vocoder; everything else falls through to the two-call path.
+        """
         _text_ids, coarse = T.split_flattened_interleaved(
             token_stream, self.END_OF_AUDIO_TOKEN
         )
         if len(coarse[0]) == 0:
             raise RuntimeError(f"first stage produced no audio tokens for: {text!r}")
+
+        if fused and self.c.vocoder == "encodec":
+            wav = self._stage2_vocode_fused(prompt_tokens, coarse, spk_emb, key)
+            if wav is not None:
+                if self.c.enhancer is not None:
+                    wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
+                return wav.astype(np.float32)
 
         full_codes = ss.complete_hierarchies(
             self.c.second_stage_params,
@@ -425,6 +495,37 @@ class TTS:
         if self.c.enhancer is not None:
             wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
         return wav.astype(np.float32)
+
+    def _stage2_vocode_fused(
+        self, prompt_tokens: list, coarse: list, spk_emb: np.ndarray, key: jax.Array
+    ) -> np.ndarray | None:
+        """Stage 2 + EnCodec decode in one jit; None if out of fused range."""
+        ctx = self.c.second_stage_cfg.block_size
+        n_text = len(prompt_tokens)
+        n_audio = min(len(coarse[0]), ctx - n_text)
+        if n_audio <= 0 or n_audio > 75:
+            return None
+        bucket = 25 if n_audio <= 25 else (50 if n_audio <= 50 else 75)
+        x = T.build_second_stage_input(prompt_tokens, coarse, ctx)
+        coarse_pad = np.zeros((2, bucket), np.int32)
+        coarse_pad[0, :n_audio] = np.asarray(coarse[0][:n_audio])
+        coarse_pad[1, :n_audio] = np.asarray(coarse[1][:n_audio])
+        wav = _stage2_vocode_jit(
+            self.c.second_stage_params,
+            self.c.encodec_params,
+            self.c.second_stage_cfg,
+            self.c.encodec_cfg,
+            jnp.asarray(x, jnp.int32)[None],
+            jnp.asarray(spk_emb).reshape(1, -1),
+            key,
+            jnp.asarray(n_text, jnp.int32),
+            jnp.asarray(n_audio, jnp.int32),
+            jnp.asarray(coarse_pad),
+            bucket=bucket,
+            compute_dtype=self._compute_dtype,
+        )
+        wav = np.asarray(wav).reshape(-1)
+        return wav[: n_audio * self.c.encodec_cfg.hop_length]
 
     def render_tokens(
         self, text: str, prompt_tokens: list, generated, spk_emb: np.ndarray
@@ -518,7 +619,9 @@ class TTS:
             ):
                 self._key, k2 = jax.random.split(self._key)
                 try:
-                    wav = self._tokens_to_wav(chunk, prompt, segment, spk_emb, k2)
+                    wav = self._tokens_to_wav(
+                        chunk, prompt, segment, spk_emb, k2, fused=True
+                    )
                 except RuntimeError:
                     continue  # segment held only the end-of-audio token
                 yield wav

@@ -85,6 +85,27 @@ def test_invalid_quantisation_mode(tmp_path):
         )
 
 
+def test_fused_stage2_vocode_matches_two_call(tts, ref_wav):
+    """The streaming fused stage2+vocoder jit produces the same waveform as
+    the two-call path for the same key (one host round-trip saved, zero
+    semantic change)."""
+    import jax as _jax
+
+    spk = tts._get_speaker_embedding(ref_wav)
+    prompt = tts.c.tokenizer.encode("Fused parity.")
+    # a plausible first-stage stream: text echo + interleaved audio + EOA
+    h0 = list(range(10))
+    h1 = [900 + i for i in range(10)]
+    stream = [t for pair in zip(h0, [v + 1024 for v in h1]) for t in pair]
+    stream = np.asarray(stream + [2048], np.int32)
+    key = _jax.random.PRNGKey(42)
+
+    fused = tts._tokens_to_wav("x", prompt, stream, spk, key, fused=True)
+    plain = tts._tokens_to_wav("x", prompt, stream, spk, key, fused=False)
+    assert fused.shape == plain.shape
+    np.testing.assert_allclose(fused, plain, atol=2e-3)
+
+
 def test_int8_kv_cache_tts(tmp_path, ref_wav):
     """kv_cache_dtype='int8' rides the constructor down to the cache buffer
     and the full pipeline still synthesises."""
