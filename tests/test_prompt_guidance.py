@@ -73,6 +73,26 @@ def test_three_row_generation_runs(params):
     assert (np.asarray(out) >= 0).all() and (np.asarray(out) < 121).all()
 
 
+def test_three_row_streaming_segments(params):
+    """generate_segments with double guidance (3-row CFG) yields valid
+    segments (the streaming path builds the same uncond rows)."""
+    prompt = list(range(97, 105)) + [EOT]
+    spk = jnp.ones((256,))
+    segs = list(
+        fs.generate_segments(
+            params, TINY, prompt, spk, guidance_scale=(3.0, 2.0),
+            end_of_text_token=EOT, key=jax.random.PRNGKey(5),
+            segment_tokens=6, first_segment_tokens=4, max_new_tokens=14,
+            end_of_audio_token=EOA, prompt_pad_multiple=16,
+            compute_dtype=jnp.float32,
+        )
+    )
+    assert len(segs) >= 1
+    joined = np.concatenate(segs)
+    assert 1 <= len(joined) <= 15
+    assert (joined >= 0).all() and (joined < 121).all()
+
+
 def test_three_row_requires_eot(params):
     with pytest.raises(ValueError, match="end_of_text_token"):
         fs.generate(
