@@ -50,11 +50,6 @@ class ServingConfig:
     output_dir: str = "outputs"
 
 
-def _chain_first(first, rest):
-    yield first
-    yield from rest
-
-
 def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes | str]:
     m = re.search(r"boundary=([^;]+)", content_type)
     if not m:
@@ -321,6 +316,11 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
         def _json(self, code: int, obj: dict):
             self._send(code, json.dumps(obj).encode(), "application/json")
 
+        def _bad(self, detail: str):
+            """400 + error-counter (all client errors count consistently)."""
+            metrics.error()
+            self._json(400, {"detail": detail})
+
         def do_GET(self):
             if self.path == "/health":
                 self._json(200, {"status": "ok"})
@@ -340,16 +340,13 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
                 fields = _parse_request_fields(self)
                 text = fields.get("text")
                 if not text or not isinstance(text, str):
-                    self._json(400, {"detail": "field 'text' is required"})
+                    self._bad("field 'text' is required")
                     return
                 ref_path = fields.get("speaker_ref_path")
                 audiodata = fields.get("audiodata")
                 # exactly one speaker source (serving.py:67-72)
                 if (ref_path is None) == (audiodata is None):
-                    self._json(
-                        400,
-                        {"detail": "provide exactly one of speaker_ref_path | audiodata"},
-                    )
+                    self._bad("provide exactly one of speaker_ref_path | audiodata")
                     return
                 if audiodata is not None:
                     # transcode (ffmpeg when present) + 2-minute cap, the
@@ -368,11 +365,10 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
                         else audiodata.encode()
                     )
                     if len(raw) >= MAX_UPLOAD_MB * 1024 * 1024:
-                        self._json(
-                            400,
-                            {"detail": f"Please upload a sample smaller than "
-                             f"{MAX_UPLOAD_MB} MB for voice cloning. Provided: "
-                             f"{len(raw) >> 20} MB"},
+                        self._bad(
+                            f"Please upload a sample smaller than "
+                            f"{MAX_UPLOAD_MB} MB for voice cloning. Provided: "
+                            f"{len(raw) >> 20} MB"
                         )
                         return
                     fd, tmp_upload = tempfile.mkstemp(suffix=".wav")
@@ -444,8 +440,10 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
                 wav_streaming_header,
             )
 
+            import itertools
+
             t_req = time.monotonic()
-            sr = 24_000
+            sr = tts.c.encodec_cfg.sample_rate
             n_samples = 0
             with lock:
                 gen = tts.synthesise_streaming(
@@ -459,17 +457,31 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
                     self._json(500, {"detail": "synthesis produced no audio"})
                     return
                 # headers only after the first segment exists, so engine
-                # errors before any audio still surface as HTTP 500
+                # errors before any audio still surface as HTTP 500. Once
+                # they are sent, errors must NOT fall through to do_POST's
+                # JSON handler (it would splice JSON into the audio stream
+                # or write on a broken socket) — contain them here.
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Access-Control-Allow-Origin", "*")
                 self.send_header("Connection", "close")
                 self.end_headers()
-                self.wfile.write(wav_streaming_header(sr))
-                for seg in _chain_first(first, gen):
-                    self.wfile.write(float_to_pcm16(seg))
-                    self.wfile.flush()
-                    n_samples += len(seg)
+                try:
+                    self.wfile.write(wav_streaming_header(sr))
+                    for seg in itertools.chain((first,), gen):
+                        self.wfile.write(float_to_pcm16(seg))
+                        self.wfile.flush()
+                        n_samples += len(seg)
+                except (BrokenPipeError, ConnectionResetError):
+                    gen.close()  # client went away mid-stream: not an error
+                except Exception:
+                    metrics.error()
+                    gen.close()
+                    try:
+                        self.wfile.close()  # truncate: client sees EOF
+                    except Exception:
+                        pass
+                    return
             metrics.observe(
                 streaming=True,
                 audio_s=n_samples / sr,

@@ -204,6 +204,19 @@ class TTS:
         self._cache_dtype = (
             jnp.int8 if self.runtime.kv_cache_dtype == "int8" else None
         )
+        if (
+            self._cache_dtype is not None
+            and mode != "int4"
+            and jax.default_backend() == "tpu"
+        ):
+            import warnings
+
+            warnings.warn(
+                "kv_cache_dtype='int8' without quantisation_mode='int4' has "
+                "no fused decode kernel on TPU: every step dequantizes the "
+                "full cache in XLA (order-of-magnitude slower). Pair it with "
+                "quantisation_mode='int4' for the supported fast path."
+            )
         self._kv_cache = tfm.KVCache.create(
             self.c.first_stage_cfg, 2, self.c.first_stage_cfg.block_size,
             dtype=self._cache_dtype or self._compute_dtype,
@@ -293,14 +306,22 @@ class TTS:
             p1, cfg1, tok_info, pre_quantised = ck.load_first_stage_npz(
                 first_stage_path
             )
-            requested = kwargs.get("quantisation_mode")
+            runtime_arg = kwargs.get("runtime")
+            requested = kwargs.get("quantisation_mode") or (
+                runtime_arg.quantisation_mode if runtime_arg else None
+            )
             if pre_quantised and requested not in (None, pre_quantised):
                 raise ValueError(
                     f"checkpoint is pre-quantized as {pre_quantised!r}; "
                     f"conflicting quantisation_mode={requested!r}"
                 )
             if pre_quantised:
+                # __init__ must not re-quantize the already-packed arrays
                 kwargs["quantisation_mode"] = None
+                if runtime_arg and runtime_arg.quantisation_mode:
+                    kwargs["runtime"] = dataclasses.replace(
+                        runtime_arg, quantisation_mode=None
+                    )
         else:
             p1, cfg1, tok_info = ck.load_first_stage_pt(first_stage_path)
         p2, cfg2, tok_info2 = ck.load_second_stage_pt(second_stage_path)

@@ -43,6 +43,7 @@ class DynamicComputeDataset:
     tokenizer: TrainedBPETokeniser
     spk_params: se.SpeakerEncoderParams
     mode_params: T.AudioTokenModeParams
+    base_dir: str = ""  # CSV's directory: relative row paths resolve here
 
     @classmethod
     def from_csv(
@@ -58,7 +59,17 @@ class DynamicComputeDataset:
         mode = T.get_params_for_mode(
             "flattened_interleaved", num_max_audio_tokens_timesteps
         )
-        return cls(df, encodec_params, encodec_cfg, tokenizer, spk_params, mode)
+        return cls(
+            df, encodec_params, encodec_cfg, tokenizer, spk_params, mode,
+            base_dir=os.path.dirname(os.path.abspath(csv_path)),
+        )
+
+    def _resolve(self, path: str) -> str:
+        """Relative row paths resolve against the CSV's directory (the
+        reference's sample dataset uses ./data/... paths)."""
+        if os.path.isabs(path) or os.path.exists(path):
+            return path
+        return os.path.join(self.base_dir, path)
 
     def __len__(self) -> int:
         return len(self.df)
@@ -67,17 +78,24 @@ class DynamicComputeDataset:
         audio_path, text = self.df.iloc[idx].values.tolist()[:2]
         text = str(text)
         # convenience beyond the reference (which tokenizes the second
-        # column verbatim): a row whose caption field is a path to an
-        # existing .txt file — the layout of the reference's own
-        # datasets/sample_dataset.csv — reads the caption from that file
-        if text.endswith(".txt") and os.path.exists(text):
-            with open(text, encoding="utf-8") as f:
+        # column verbatim): a row whose caption field is a .txt path — the
+        # layout of the reference's own datasets/sample_dataset.csv — reads
+        # the caption from that file (resolved against the CSV's directory).
+        # A missing caption file raises rather than silently training on the
+        # tokenized path string.
+        if text.endswith(".txt"):
+            cap_path = self._resolve(text)
+            if not os.path.exists(cap_path):
+                raise FileNotFoundError(
+                    f"caption file not found: {text!r} (resolved {cap_path!r})"
+                )
+            with open(cap_path, encoding="utf-8") as f:
                 text = f.read().strip()
         text_tokens = np.asarray(
             self.tokenizer.encode(normalize_text(text)), np.int64
         )
 
-        wav, sr = aio.load_audio(str(audio_path))
+        wav, sr = aio.load_audio(self._resolve(str(audio_path)))
         wav24 = np.asarray(resample(wav, sr, MBD_SAMPLE_RATE)) if sr != MBD_SAMPLE_RATE else wav
         codes = np.asarray(
             ec.encode_codes(self.encodec_params, self.encodec_cfg, wav24[None])

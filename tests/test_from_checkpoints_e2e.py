@@ -238,12 +238,28 @@ def test_prequantized_npz_checkpoint_roundtrip(tmp_path):
     w = tts.c.first_stage_params["layers"]["wqkv"]
     assert isinstance(w, dict) and w["q"].dtype == jnp.int8
 
-    # conflicting quantisation mode is rejected
+    # conflicting quantisation mode is rejected — via kwarg or RuntimeConfig
     with pytest.raises(ValueError, match="pre-quantized"):
         TTS.from_checkpoints(
             q, p2, p3, encodec_path=p4, encodec_cfg=ECFG,
             output_dir=str(tmp_path / "out2"), quantisation_mode="int4",
         )
+    from metavoice_tpu.core.config import RuntimeConfig
+
+    with pytest.raises(ValueError, match="pre-quantized"):
+        TTS.from_checkpoints(
+            q, p2, p3, encodec_path=p4, encodec_cfg=ECFG,
+            output_dir=str(tmp_path / "out3"),
+            runtime=RuntimeConfig(quantisation_mode="int4"),
+        )
+    # a runtime carrying the MATCHING mode must not re-quantize
+    t2 = TTS.from_checkpoints(
+        q, p2, p3, encodec_path=p4, encodec_cfg=ECFG,
+        output_dir=str(tmp_path / "out4"),
+        runtime=RuntimeConfig(quantisation_mode="int8"),
+    )
+    assert isinstance(t2.c.first_stage_params["layers"]["wqkv"], dict)
+    assert t2.c.first_stage_params["layers"]["wqkv"]["q"].dtype == jnp.int8
 
     sr = 16000
     t = np.arange(31 * sr) / sr
