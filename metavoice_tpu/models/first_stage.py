@@ -86,11 +86,15 @@ def _normalize_guidance(
         return 1.0, 1.0, 2
     if isinstance(guidance_scale, (tuple, list)):
         spk_g, prompt_g = float(guidance_scale[0]), float(guidance_scale[1])
-    else:
-        spk_g, prompt_g = float(guidance_scale), 1.0
-    if spk_g < 1.0 or prompt_g < 1.0:
-        raise ValueError("guidance scales must be >= 1 (reference causal.py:90-92)")
-    return spk_g, prompt_g, 3 if prompt_g > 1.0 else 2
+        # only the tuple (double-guidance) form asserts >= 1, matching the
+        # reference's slow path (causal.py:90-92); a plain float rides the
+        # fast path, which accepts any value the server clamps into [0, 5]
+        if spk_g < 1.0 or prompt_g < 1.0:
+            raise ValueError(
+                "guidance scales must be >= 1 (reference causal.py:90-92)"
+            )
+        return spk_g, prompt_g, 3 if prompt_g > 1.0 else 2
+    return float(guidance_scale), 1.0, 2
 
 
 def make_spk_cond_mask(batch_size: int, cfg_rows: int = 2) -> jax.Array:
@@ -136,10 +140,11 @@ def prefill(
     with text tokens replaced by ``end_of_text_token``.
     """
     b = prompt.shape[0]
-    idx2 = _cfg_rows(prompt, cfg_rows)
     if cfg_rows == 3:
         uncond = _uncond_prompt_rows(prompt, end_of_text_token)
         idx2 = jnp.concatenate([prompt, prompt, uncond], axis=0)
+    else:
+        idx2 = _cfg_rows(prompt, cfg_rows)
     spk2 = _cfg_rows(spk_emb, cfg_rows)
     mask2 = make_spk_cond_mask(b, cfg_rows)
 

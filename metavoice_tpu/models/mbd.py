@@ -446,6 +446,12 @@ def schedule_betas(cfg: ScheduleConfig) -> np.ndarray:
 
 def _subsampled_constants(cfg: ScheduleConfig, step_list) -> dict[str, np.ndarray]:
     """Host-side precompute of the per-iteration sampling constants."""
+    if max(step_list) >= cfg.num_steps:
+        raise ValueError(
+            f"step_list max {max(step_list)} out of range for a "
+            f"{cfg.num_steps}-step schedule; derive the list from num_steps "
+            "(see convert_mbd_checkpoint)"
+        )
     betas = schedule_betas(cfg)
     alpha_bars = np.cumprod(1.0 - betas)
     asc = list(reversed(step_list))  # ascending step ids
@@ -458,9 +464,13 @@ def _subsampled_constants(cfg: ScheduleConfig, step_list) -> dict[str, np.ndarra
     alpha_bar_i = np.empty(n_iter)
     prev_alpha_bar_i = np.empty(n_iter)
     sigma2_i = np.empty(n_iter)
-    alpha_bar = alpha_bars[cfg.num_steps - 1]
     for idx in range(n_iter):
         beta_i[idx] = betas_sub[-1 - idx]
+        # audiocraft indexes alpha_bars[step] per iteration
+        # (diffusion_schedule.py generate_subsampled); seeding a running
+        # product from num_steps-1 diverges whenever step_list[0] is not
+        # the final step
+        alpha_bar = alpha_bars[step_list[idx]]
         alpha_bar_i[idx] = alpha_bar
         prev_ab = alpha_bars[step_list[idx + 1]]
         if idx == n_iter - 1:  # step == step_list[-2]: final denoise
@@ -471,7 +481,6 @@ def _subsampled_constants(cfg: ScheduleConfig, step_list) -> dict[str, np.ndarra
         else:
             raise ValueError(f"unknown variance {cfg.variance!r}")
         prev_alpha_bar_i[idx] = prev_ab
-        alpha_bar = prev_ab
     return {
         "steps": np.asarray(step_list[:-1], np.int32),
         "beta": beta_i.astype(np.float32),

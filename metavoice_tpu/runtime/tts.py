@@ -221,6 +221,22 @@ class TTS:
             self.c.first_stage_cfg, 2, self.c.first_stage_cfg.block_size,
             dtype=self._cache_dtype or self._compute_dtype,
         )
+        # lazily-created 3-row buffer for double (speaker+prompt) guidance —
+        # without it every tuple-guidance synthesise would allocate and drop
+        # a fresh ~1.8 GB cache
+        self._kv_cache3: tfm.KVCache | None = None
+
+    def _persistent_kv_cache(self, guidance_scale) -> tfm.KVCache:
+        """The reusable cache matching the CFG row count of this request."""
+        rows = fs._normalize_guidance(guidance_scale)[2]
+        if rows == 2:
+            return self._kv_cache
+        if self._kv_cache3 is None:
+            self._kv_cache3 = tfm.KVCache.create(
+                self.c.first_stage_cfg, rows, self.c.first_stage_cfg.block_size,
+                dtype=self._cache_dtype or self._compute_dtype,
+            )
+        return self._kv_cache3
 
     # ------------------------------------------------------------------ constructors
     @classmethod
@@ -587,7 +603,7 @@ class TTS:
             guidance_scale=guidance_scale,
             end_of_text_token=self.c.tokenizer.eot_token,
             prompt_pad_multiple=self.runtime.prompt_pad_multiple,
-            kv_cache=self._kv_cache,
+            kv_cache=self._persistent_kv_cache(guidance_scale),
             compute_dtype=self._compute_dtype,
             cache_dtype=self._cache_dtype,
         )

@@ -148,8 +148,15 @@ def get_cached_file(file_or_uri: str, cache_dir: str | None = None) -> str:
 
 
 def duration_s(path: str) -> float:
-    wav, sr = load_audio(path)
-    return len(wav) / sr
+    """Audio duration; header-only for WAV (no PCM decode — this runs per
+    serving request for the >=30 s gate and the audio-seconds metric)."""
+    try:
+        with wave.open(path, "rb") as f:
+            rate = f.getframerate()
+            return f.getnframes() / rate if rate else 0.0
+    except (wave.Error, EOFError):
+        wav, sr = load_audio(path)
+        return len(wav) / sr
 
 
 def transcode_upload_to_wav(

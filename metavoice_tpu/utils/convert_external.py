@@ -329,12 +329,19 @@ def convert_mbd_checkpoint(pkg: dict):
                 sched_kwargs[dst] = sch[src]
 
     proc_bands = processes[0]["processor"]["sum_x"].shape[0]
+    schedule = ScheduleConfig(**sched_kwargs)
+    # the default subsampled step list assumes num_steps=1000; rescale it to
+    # the checkpoint's schedule so alpha_bars indexing stays in range
+    n_steps = schedule.num_steps
+    stride = max(1, n_steps // 20)
+    step_list = tuple(range(n_steps - 1, 0, -stride)) + (0,)
     cfg = MBDConfig(
         sample_rate=pkg.get("sample_rate", 24_000),
         n_processes=n,
         unet=UNetConfig(**unet_kwargs),
-        schedule=ScheduleConfig(**sched_kwargs),
+        schedule=schedule,
         processor_bands=proc_bands,
+        step_list=step_list,
     )
     return {"processes": processes}, cfg
 

@@ -234,9 +234,12 @@ def _oracle_subsampled_constants(betas: np.ndarray, step_list, variance="beta"):
     betas_sub = 1 - alphas
 
     out = []
-    alpha_bar = get_alpha_bar(len(betas) - 1)
     for idx, step in enumerate(step_list[:-1]):
         beta = betas_sub[-1 - idx]
+        # the DDPM posterior uses the CURRENT step's cumulative alpha
+        # (identical to a running carry for the default step list, which
+        # starts at num_steps-1, but correct for any custom list)
+        alpha_bar = get_alpha_bar(step)
         prev_ab = get_alpha_bar(step_list[idx + 1])
         if step == step_list[-2]:
             sigma2 = 0.0
@@ -244,13 +247,20 @@ def _oracle_subsampled_constants(betas: np.ndarray, step_list, variance="beta"):
         elif variance == "beta":
             sigma2 = (1 - prev_ab) / (1 - alpha_bar) * beta
         out.append((step, beta, alpha_bar, np.sqrt(sigma2)))
-        alpha_bar = prev_ab
     return out
 
 
-def test_schedule_constants_match_oracle():
+@pytest.mark.parametrize(
+    "step_list",
+    [
+        (99, 66, 33, 0),
+        # starts BELOW num_steps-1: regression for the carry-seeded
+        # alpha_bar bug (first iteration must use alpha_bars[step_list[0]])
+        (15, 7, 0),
+    ],
+)
+def test_schedule_constants_match_oracle(step_list):
     sched = mbd.ScheduleConfig(beta_t0=1e-4, beta_t1=0.02, num_steps=100, beta_exp=1.0)
-    step_list = (99, 66, 33, 0)
     consts = mbd._subsampled_constants(sched, step_list)
     oracle_consts = _oracle_subsampled_constants(mbd.schedule_betas(sched), step_list)
     for i, (step, beta, alpha_bar, sigma) in enumerate(oracle_consts):

@@ -27,6 +27,12 @@ def test_normalize_guidance():
     assert fs._normalize_guidance((3.0, 1.0)) == (3.0, 1.0, 2)
     assert fs._normalize_guidance((3.0, 2.0)) == (3.0, 2.0, 3)
     assert fs._normalize_guidance(None) == (1.0, 1.0, 2)
+    # a plain float rides the FAST path, which accepts the server's whole
+    # [0, 5] clamp range (only the tuple/slow path asserts >= 1, reference
+    # causal.py:90-92) — guidance=0.5 was valid before 3-row CFG landed
+    assert fs._normalize_guidance(0.5) == (0.5, 1.0, 2)
+    with pytest.raises(ValueError):
+        fs._normalize_guidance((0.5, 1.0))
     with pytest.raises(ValueError):
         fs._normalize_guidance((0.5, 1.0))
     with pytest.raises(ValueError):
