@@ -163,6 +163,50 @@ def test_tts_streaming(server, ref_wav):
     assert np.isfinite(wav).all()
 
 
+def test_streaming_client_disconnect_is_contained(server, ref_wav):
+    """A client that drops mid-stream must not crash the handler, splice a
+    JSON error into the audio, or count as a synthesis error."""
+    import http.client
+    import time as _time
+    import urllib.parse
+
+    host = urllib.parse.urlparse(server).netloc
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        errors_before = [
+            line for line in r.read().decode().splitlines()
+            if line.startswith("tts_errors_total")
+        ][0]
+
+    conn = http.client.HTTPConnection(host, timeout=300)
+    body = json.dumps(
+        {"text": "Disconnect test.", "speaker_ref_path": ref_wav, "stream": "1"}
+    )
+    conn.request("POST", "/tts", body=body, headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    resp.read(44)  # just the header, then hang up mid-stream
+    conn.close()
+    _time.sleep(1.0)
+
+    # server is still healthy and the disconnect did not count as an error.
+    # A follow-up synthesis serializes behind the disconnected handler via
+    # the engine lock — draining it so its metrics don't land mid-window in
+    # later tests.
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with _post_json(
+        server + "/tts",
+        {"text": "After disconnect.", "speaker_ref_path": ref_wav},
+    ) as r:
+        assert r.read()[:4] == b"RIFF"
+    with urllib.request.urlopen(server + "/metrics", timeout=60) as r:
+        errors_after = [
+            line for line in r.read().decode().splitlines()
+            if line.startswith("tts_errors_total")
+        ][0]
+    assert errors_after == errors_before
+
+
 def test_metrics_counts_requests(server, ref_wav):
     def scrape():
         with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
