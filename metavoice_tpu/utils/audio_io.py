@@ -100,7 +100,10 @@ def load_audio(path: str, target_sr: int | None = None) -> tuple[np.ndarray, int
     else:
         ffmpeg = shutil.which("ffmpeg")
         if ffmpeg is None:
-            raise RuntimeError(
+            # ValueError: it's a bad-input condition, and the server maps
+            # ValueError to HTTP 400 (a .mp3 preset/reference on an
+            # ffmpeg-less host is a client-fixable problem, not a crash)
+            raise ValueError(
                 f"Cannot decode {ext} without ffmpeg; provide a .wav file instead"
             )
         with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
