@@ -179,6 +179,10 @@ def cmd_quantize(argv: list[str]) -> int:
     from metavoice_tpu.ops import quantized as qz
     from metavoice_tpu.utils import checkpoint as ck
 
+    # np.savez silently appends ".npz" to extension-less paths; normalize up
+    # front so the size report below stats the file that was actually written
+    if not args.out.endswith(".npz"):
+        args.out += ".npz"
     params, cfg, tok_info = ck.load_first_stage_pt(args.first_stage_path)
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
     if args.mode == "int8":

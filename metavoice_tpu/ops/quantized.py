@@ -448,7 +448,7 @@ def ffn_int8_reference(x, w1, s1, w3, s3, w2, s2):
 #   x_g @ W_g = s_g * (x_g @ nib_g) + (sum x_g) * c_g,   c_g := z_g - 7.5*s_g
 #
 # so scales/offsets land in a per-group epilogue using precomputed per-group
-# row-sums of x. s and c are stored stacked as one (2*Gp, N) f32 "sc" array
+# row-sums of x. s and c are stored stacked as one (2*Gp, N) bf16 "sc" array
 # (Gp = n_groups padded to a multiple of 8 for aligned DMA slices; pad rows
 # are zero and therefore inert in the epilogue).
 #
@@ -486,7 +486,7 @@ def quantize_int4_i32(
 ) -> tuple[jax.Array, jax.Array]:
     """Quantize (in, out) weights to the packed serving format.
 
-    Returns (pw (Kp/8, N) int32, sc (2*Gp, N) f32) where Kp = in padded to a
+    Returns (pw (Kp/8, N) int32, sc (2*Gp, N) bf16) where Kp = in padded to a
     multiple of 8*groupsize, Gp = Kp/groupsize padded to a multiple of 8, and
     sc rows [0, Gp) are the scales, [Gp, 2*Gp) the constants c = z - 7.5*s.
     Pad rows/groups carry s = c = 0 and contribute nothing.
@@ -544,7 +544,7 @@ def quantize_params_int4_i32(params: dict, groupsize: int = I32_GROUPSIZE) -> di
     """Param-tree quantizer for the fast int4 serving config.
 
     Quantized (L, in, out) leaves become {"pw": (L, Kp/8, out) int32,
-    "sc": (L, 2*Gp, out) f32}. The FFN hidden dim is zero-padded inside the
+    "sc": (L, 2*Gp, out) bf16}. The FFN hidden dim is zero-padded inside the
     packed tensors (w1/w3 along out, w2 along in) so all kernels see
     8*groupsize-aligned contractions; the padding is numerically inert.
     """
@@ -590,7 +590,7 @@ def _int4_group_matmul(x, xsum, w_words, sc, groupsize):
     """In-kernel helper: (Bpad, K) x packed (K/8, tile) -> (Bpad, tile) f32.
 
     x: (Bpad, K) bf16, xsum: (Bpad, Gp) f32 per-group row sums,
-    w_words: (K/8, tile) i32, sc: (2*Gp, tile) f32 (scales then constants).
+    w_words: (K/8, tile) i32, sc: (2*Gp, tile) bf16 (scales then constants).
 
     Per-weight work is one arithmetic shift + mask + bf16 cast; slab j
     covers original rows [j*K/8, (j+1)*K/8) so each 128-row dot block sits
@@ -633,21 +633,21 @@ def _ffn_int4_kernel(
     xones_ref,  # (D, G1p) bf16 VMEM block-diagonal group-sum matrix
     hones_ref,  # (Ip, G2p) bf16 VMEM
     pw1_hbm,  # (L, D/8, Ip) i32
-    sc1_hbm,  # (L, 2*G1p, Ip) f32
+    sc1_hbm,  # (L, 2*G1p, Ip) bf16
     pw3_hbm,
     sc3_hbm,
     pw2_hbm,  # (L, Ip/8, D) i32
-    sc2_hbm,  # (L, 2*G2p, D) f32
+    sc2_hbm,  # (L, 2*G2p, D) bf16
     # outputs
     o_ref,  # (Bpad, D) f32 VMEM
     # scratch
     w1_buf,  # (2, D/8, tile) i32
     w3_buf,
-    sc1_buf,  # (2, 2*G1p, tile) f32
+    sc1_buf,  # (2, 2*G1p, tile) bf16
     sc3_buf,
     h_scr,  # (Bpad, Ip) bf16
     w2_buf,  # (2, Ip/8, tile) i32
-    sc2_buf,  # (2, 2*G2p, tile) f32
+    sc2_buf,  # (2, 2*G2p, tile) bf16
     sems,  # DMA (2, 4)
     sems2,  # DMA (2, 2)
 ):
@@ -719,11 +719,11 @@ def _ffn_int4_kernel(
 def decode_ffn_int4(
     x: jax.Array,  # (B, D) normed input
     pw1: jax.Array,  # (L, D/8, Ip) i32
-    sc1: jax.Array,  # (L, 2*G1p, Ip) f32
+    sc1: jax.Array,  # (L, 2*G1p, Ip) bf16
     pw3: jax.Array,
     sc3: jax.Array,
     pw2: jax.Array,  # (L, Ip/8, D) i32
-    sc2: jax.Array,  # (L, 2*G2p, D) f32
+    sc2: jax.Array,  # (L, 2*G2p, D) bf16
     layer: jax.Array,  # () int32
     *,
     groupsize: int = I32_GROUPSIZE,

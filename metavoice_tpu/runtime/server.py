@@ -263,6 +263,7 @@ class ServingMetrics:
             "tts_errors_total": 0,
             "tts_audio_seconds_total": 0.0,
             "tts_wall_seconds_total": 0.0,
+            "tts_client_disconnects_total": 0,
         }
 
     def observe(self, *, streaming: bool, audio_s: float, wall_s: float):
@@ -276,6 +277,10 @@ class ServingMetrics:
     def error(self):
         with self._lock:
             self.counters["tts_errors_total"] += 1
+
+    def disconnect(self):
+        with self._lock:
+            self.counters["tts_client_disconnects_total"] += 1
 
     def render(self) -> str:
         with self._lock:
@@ -382,10 +387,18 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
                 stream = str(fields.get("stream", "")).lower() in (
                     "1", "true", "yes", "on",
                 )
+                # streaming granularity knobs (synthesise_streaming defaults;
+                # clamped so a client can't force degenerate 1-token segments)
+                seg_tokens = int(fields.get("segment_tokens", 150))
+                seg_tokens = min(max(seg_tokens, 20), 600)
+                first_seg_tokens = int(fields.get("first_segment_tokens", 40))
+                first_seg_tokens = min(max(first_seg_tokens, 10), seg_tokens)
 
                 if stream:
                     self._stream_tts(
-                        str(text), str(ref_path), top_p, guidance, temperature
+                        str(text), str(ref_path), top_p, guidance, temperature,
+                        segment_tokens=seg_tokens,
+                        first_segment_tokens=first_seg_tokens,
                     )
                     return
 
@@ -427,7 +440,10 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
                 if tmp_upload and os.path.exists(tmp_upload):
                     os.unlink(tmp_upload)
 
-        def _stream_tts(self, text, ref_path, top_p, guidance, temperature):
+        def _stream_tts(
+            self, text, ref_path, top_p, guidance, temperature,
+            segment_tokens=150, first_segment_tokens=40,
+        ):
             """Live WAV response: PCM16 segments as synthesis progresses.
 
             No Content-Length; RIFF sizes are 0xFFFFFFFF (live-stream
@@ -448,6 +464,8 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
             with lock:
                 gen = tts.synthesise_streaming(
                     text, ref_path, top_p=top_p, guidance_scale=guidance,
+                    segment_tokens=segment_tokens,
+                    first_segment_tokens=first_segment_tokens,
                     temperature=temperature,
                 )
                 try:
@@ -473,7 +491,12 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
                         self.wfile.flush()
                         n_samples += len(seg)
                 except (BrokenPipeError, ConnectionResetError):
-                    gen.close()  # client went away mid-stream: not an error
+                    # client went away mid-stream: not an error, but also not
+                    # a completed request — count it separately so partial
+                    # streams don't inflate the success/audio-seconds totals
+                    gen.close()
+                    metrics.disconnect()
+                    return
                 except Exception:
                     metrics.error()
                     gen.close()

@@ -25,6 +25,7 @@ for development/benchmarking (``from_random``).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import hashlib
 import os
@@ -134,6 +135,7 @@ class TTS:
         output_dir: str = "outputs",
         runtime: RuntimeConfig | None = None,
         enforce_min_ref_duration: bool = True,
+        enforce_min_output_duration: bool = True,
         quantisation_mode: str | None = None,
         kv_cache_dtype: str | None = None,
         telemetry_origin: str | None = None,
@@ -191,8 +193,17 @@ class TTS:
         self._telemetry = telemetry_client or tele.default_client
         self._telemetry_origin = telemetry_origin
         self._key = jax.random.PRNGKey(seed)
-        self._emb_cache: dict[str, np.ndarray] = {}
+        # LRU-bounded: a long-lived server seeing many distinct reference
+        # clips must not grow this without limit (~1 KB/entry, but the md5
+        # keys also pin the dict itself)
+        self._emb_cache: "collections.OrderedDict[str, np.ndarray]" = (
+            collections.OrderedDict()
+        )
+        self._emb_cache_max = 256
         self._enforce_min_ref = enforce_min_ref_duration
+        # reference fam/llm/decoders.py:88-91: an MBD-decoded wav under
+        # 400 ms signals degenerate token output and is rejected outright
+        self._min_output_s = 0.4 if enforce_min_output_duration else 0.0
         self._compute_dtype = (
             jnp.bfloat16 if self.runtime.dtype == "bfloat16" else jnp.float32
         )
@@ -204,9 +215,17 @@ class TTS:
         self._cache_dtype = (
             jnp.int8 if self.runtime.kv_cache_dtype == "int8" else None
         )
+        # "int4" may arrive either via quantisation_mode or as a pre-quantized
+        # .npz (from_checkpoints resets the mode to None after loading packed
+        # arrays) — probe the params for packed {"pw", "sc"} leaves so the
+        # warning below doesn't misfire on pre-quantized checkpoints.
+        _layer_p = self.c.first_stage_params.get("layers", {})
+        _has_int4 = mode == "int4" or any(
+            isinstance(v, dict) and "pw" in v for v in _layer_p.values()
+        )
         if (
             self._cache_dtype is not None
-            and mode != "int4"
+            and not _has_int4
             and jax.default_backend() == "tpu"
         ):
             import warnings
@@ -291,6 +310,9 @@ class TTS:
             mbd_cfg=mbd_cfg,
         )
         kwargs.setdefault("enforce_min_ref_duration", False)
+        # random weights routinely produce sub-400 ms streams; the output
+        # reject guard is for real checkpoints, not smoke tests
+        kwargs.setdefault("enforce_min_output_duration", False)
         return cls(comps, **kwargs)
 
     @classmethod
@@ -451,12 +473,34 @@ class TTS:
         with open(spk_ref_path, "rb") as f:
             cache_key = hashlib.md5(f.read(1 << 20)).hexdigest() + f":{os.path.getsize(spk_ref_path)}"
         if cache_key in self._emb_cache:
+            self._emb_cache.move_to_end(cache_key)
             return self._emb_cache[cache_key]
         wav, _ = aio.load_audio(spk_ref_path, target_sr=se.SAMPLING_RATE)
         wav = se.trim_silence(wav, top_db=20.0)
         emb = se.embed_utterance(self.c.spk_params, wav)
         self._emb_cache[cache_key] = emb
+        while len(self._emb_cache) > self._emb_cache_max:
+            self._emb_cache.popitem(last=False)
         return emb
+
+    # ------------------------------------------------------------------ token utilities
+    def get_tokens(self, audio_path: str) -> list[list[int]]:
+        """EnCodec-tokenize an audio file (reference fam/llm/decoders.py:49-64).
+
+        Useful for reconstruction experiments: limited-codebook decoding or
+        sampling from the second stage only. Returns the (n_q, T) code grid
+        as nested lists, codebook-major — the reference's ``get_tokens``.
+        """
+        wav, _ = aio.load_audio(
+            audio_path, target_sr=self.c.encodec_cfg.sample_rate
+        )
+        hop = self.c.encodec_cfg.hop_length
+        if len(wav) >= hop:  # trim to a whole number of frames
+            wav = wav[: len(wav) // hop * hop]
+        codes = ec.encode_codes(
+            self.c.encodec_params, self.c.encodec_cfg, jnp.asarray(wav)[None]
+        )
+        return np.asarray(codes)[0].tolist()
 
     # ------------------------------------------------------------------ synthesis
     def _tokens_to_wav(
@@ -524,6 +568,10 @@ class TTS:
                     encodec_cfg=self.c.encodec_cfg,
                 )
             )[0]
+            # reference decoders.py:88-91 rejects MBD output < 9600 samples
+            # (400 ms @ 24 kHz) as degenerate, pre-trim — mirror that here
+            if wav.shape[-1] < self._min_output_s * self.c.encodec_cfg.sample_rate:
+                raise RuntimeError("wav predicted is shorter than 400ms!")
         else:
             wav = np.asarray(
                 ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, full_codes)

@@ -298,3 +298,41 @@ def test_index_page_has_ui_parity_controls(server):
     assert "50 MB" in html or "50 * 1024" in html
     # streaming playback controls (beyond the reference app)
     assert 'id="stream"' in html and "streamPlay" in html and "AudioContext" in html
+
+
+def test_disconnect_counter_exposed(server):
+    """Partial streams are tracked separately from successful requests."""
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        text = r.read().decode()
+    assert "tts_client_disconnects_total" in text
+
+
+def test_streaming_segment_params(server, ref_wav):
+    """segment_tokens / first_segment_tokens ride /tts to the streamer
+    (values outside [20,600] / [10,segment] are clamped, not errors)."""
+    with _post_json(
+        server + "/tts",
+        {
+            "text": "Segment parameter test.",
+            "speaker_ref_path": ref_wav,
+            "stream": "1",
+            "segment_tokens": 60,
+            "first_segment_tokens": 20,
+        },
+    ) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        pcm = r.read()
+    assert pcm[:4] == b"RIFF" and len(pcm) > 44
+
+    # degenerate values clamp instead of crashing
+    with _post_json(
+        server + "/tts",
+        {
+            "text": "Clamped segments.",
+            "speaker_ref_path": ref_wav,
+            "stream": "1",
+            "segment_tokens": 1,
+            "first_segment_tokens": 0,
+        },
+    ) as r:
+        assert r.read()[:4] == b"RIFF"

@@ -196,3 +196,58 @@ def test_telemetry_disabled_under_pytest_by_default(tmp_path, ref_wav):
 
     client = TelemetryClient(spool_dir=str(tmp_path / "tele2"))
     assert not client.enabled  # auto-disable under pytest
+
+
+def test_emb_cache_lru_bounded(tts, tmp_path):
+    """The speaker-embedding cache is LRU-bounded for long-lived servers."""
+    tts._emb_cache.clear()
+    tts._emb_cache_max = 2
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"spk{i}.wav")
+        rng = np.random.default_rng(i)
+        aio.write_wav(p, rng.standard_normal(16000 * 31).astype(np.float32) * 0.1, 16000)
+        paths.append(p)
+        tts._get_speaker_embedding(p)
+    assert len(tts._emb_cache) == 2
+    # oldest entry was evicted; newest two are hits
+    e2 = tts._get_speaker_embedding(paths[2])
+    assert tts._get_speaker_embedding(paths[2]) is e2
+    tts._emb_cache_max = 256
+
+
+def test_get_tokens_roundtrip(tts, ref_wav):
+    """TTS.get_tokens EnCodec-tokenizes audio (reference decoders.py:49-64)."""
+    codes = tts.get_tokens(ref_wav)
+    n_q = tts.c.encodec_cfg.n_q
+    assert len(codes) == n_q
+    t = len(codes[0])
+    assert t > 0 and all(len(row) == t for row in codes)
+    flat = [c for row in codes for c in row]
+    assert all(0 <= c < tts.c.encodec_cfg.codebook_size for c in flat)
+
+
+def test_min_output_duration_guard(tmp_path, ref_wav):
+    """MBD output under 400 ms is rejected (reference decoders.py:88-91)."""
+    import jax as _jax
+
+    t = TTS.from_random(
+        _jax.random.PRNGKey(7), small=True, vocoder="mbd",
+        output_dir=str(tmp_path), enforce_min_output_duration=True,
+    )
+    spk = t._get_speaker_embedding(ref_wav)
+    prompt = t.c.tokenizer.encode("Too short.")
+    # a 10-frame stream -> 3200 samples @24 kHz, far under the 9600 gate
+    h0 = list(range(10))
+    stream = np.asarray(
+        [v for pair in zip(h0, [i + 1024 for i in h0]) for v in pair] + [2048],
+        np.int32,
+    )
+    with pytest.raises(RuntimeError, match="400ms"):
+        t._tokens_to_wav("x", prompt, stream, spk, _jax.random.PRNGKey(0))
+    # the same stream passes with the guard off (from_random default)
+    t2 = TTS.from_random(
+        _jax.random.PRNGKey(7), small=True, vocoder="mbd", output_dir=str(tmp_path)
+    )
+    wav = t2._tokens_to_wav("x", prompt, stream, spk, _jax.random.PRNGKey(0))
+    assert wav.shape[-1] > 0
