@@ -53,16 +53,29 @@ def top_p_mask(logits: jax.Array, top_p: jax.Array | float) -> jax.Array:
     highest-probability token is always kept.
     """
     top_p = jnp.asarray(top_p, dtype=jnp.float32)
-    # Descending sort. f32 for the softmax/cumsum to keep thresholds exact.
-    sorted_logits = jnp.sort(logits.astype(jnp.float32), axis=-1)[..., ::-1]
+    # ONE descending sort (argsort), then gather values by it; f32 for the
+    # softmax/cumsum to keep thresholds exact. (A previous version used
+    # jnp.sort + argsort + an inverse argsort — three full-vocab sorts; on
+    # TPU this dominated the whole sampling epilogue at ~0.2 ms/step.)
     order = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits.astype(jnp.float32), order, axis=-1)
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum_excl = jnp.cumsum(probs, axis=-1) - probs
     keep_sorted = cum_excl < top_p
     keep_sorted = keep_sorted.at[..., 0].set(True)
-    # Scatter keep flags back to vocabulary order via the inverse permutation.
-    inv = jnp.argsort(order, axis=-1)
-    keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+    # Scatter keep flags back to vocabulary order (position j in the sorted
+    # view is vocab id order[j] — bit-identical to gathering through the
+    # inverse permutation, without materializing it via a second argsort).
+    shape = logits.shape
+    v = shape[-1]
+    order2 = order.reshape(-1, v)
+    rows = jnp.arange(order2.shape[0])[:, None]
+    keep = (
+        jnp.zeros(order2.shape, jnp.bool_)
+        .at[rows, order2]
+        .set(keep_sorted.reshape(-1, v))
+        .reshape(shape)
+    )
     return jnp.where(keep, logits, jnp.asarray(NEG_INF, logits.dtype))
 
 

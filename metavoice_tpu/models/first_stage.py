@@ -751,3 +751,58 @@ def generate_segments(
         pending = [int(np.asarray(cur)[0])] + pending
     if pending:
         yield np.asarray(pending, np.int32)
+
+
+# --------------------------------------------------------------------------------------
+# Mid-flight batch joining (continuous serving)
+# --------------------------------------------------------------------------------------
+#
+# The slot-pool serving engine (runtime/engine.py) decodes a fixed batch in
+# lockstep at one shared PHYSICAL cache position while each row keeps its own
+# LOGICAL timeline (wpe positions are computed as `pos - pad_len` per row,
+# _decode_batch_fn above). A request can therefore join a group mid-decode:
+# prefill its prompt into a small 2-row temp cache, copy those rows into the
+# big cache so the prompt ENDS at the group's current position P, and set the
+# row's pad_len to P - len(prompt). Its attention window [pad_len, pos] and
+# logical positions come out exactly as a fresh decode's would — the physical
+# offset is invisible to the model.
+
+
+@partial(jax.jit, donate_argnames=("k", "v"))
+def merge_slot_cache(
+    k: jax.Array,  # (L, S, 2B, H, Dh) big cache
+    v: jax.Array,
+    tk: jax.Array,  # (L, Tpad, 2, H, Dh) temp cache (rows: cond, uncond)
+    tv: jax.Array,
+    phys_start: jax.Array,  # () int32 — P - Tpad
+    row_c: jax.Array,  # () int32 — slot index (conditioned row)
+    row_u: jax.Array,  # () int32 — n_slots + slot (unconditioned row)
+) -> tuple[jax.Array, jax.Array]:
+    """Copy a joining request's prefilled KV rows into the shared cache."""
+    z = jnp.asarray(0, jnp.int32)
+    k = jax.lax.dynamic_update_slice(k, tk[:, :, 0:1], (z, phys_start, row_c, z, z))
+    k = jax.lax.dynamic_update_slice(k, tk[:, :, 1:2], (z, phys_start, row_u, z, z))
+    v = jax.lax.dynamic_update_slice(v, tv[:, :, 0:1], (z, phys_start, row_c, z, z))
+    v = jax.lax.dynamic_update_slice(v, tv[:, :, 1:2], (z, phys_start, row_u, z, z))
+    return k, v
+
+
+@partial(jax.jit, static_argnames=("n_head",), donate_argnames=("ks", "vs"))
+def merge_slot_scales(
+    ks: jax.Array,  # (L, S, 1, BHpad) f32 big int8-cache scale tables
+    vs: jax.Array,
+    tks: jax.Array,  # (L, Tpad, 1, bhpad_temp) temp tables (2 rows of heads)
+    tvs: jax.Array,
+    phys_start: jax.Array,
+    row_c: jax.Array,
+    row_u: jax.Array,
+    n_head: int,
+) -> tuple[jax.Array, jax.Array]:
+    """int8-cache variant: also land the per-(position, head) scale columns."""
+    z = jnp.asarray(0, jnp.int32)
+    h = n_head
+    ks = jax.lax.dynamic_update_slice(ks, tks[:, :, :, 0:h], (z, phys_start, z, row_c * h))
+    ks = jax.lax.dynamic_update_slice(ks, tks[:, :, :, h : 2 * h], (z, phys_start, z, row_u * h))
+    vs = jax.lax.dynamic_update_slice(vs, tvs[:, :, :, 0:h], (z, phys_start, z, row_c * h))
+    vs = jax.lax.dynamic_update_slice(vs, tvs[:, :, :, h : 2 * h], (z, phys_start, z, row_u * h))
+    return ks, vs

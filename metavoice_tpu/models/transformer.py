@@ -24,6 +24,7 @@ checkpoint converter — utils/checkpoint.py — transposes once at load time).
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -512,14 +513,51 @@ def apply_blocks(
             and "wqkv_b" not in lp_stack
         )
         if int4_mega:
-            # int4 serving path: TWO Pallas calls per layer (attention block
-            # + fused FFN), both DMA-slicing the STACKED packed weights by
-            # layer index — 4-bit HBM weight reads end to end
-            from metavoice_tpu.ops.attention import decode_attention_block_int4
-            from metavoice_tpu.ops.quantized import decode_ffn_int4
-
             big = {k: lp_stack[k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
             small = {k: v for k, v in lp_stack.items() if k not in big}
+
+            # whole-stack megakernel: ALL layers in ONE Pallas call
+            # (grid=(L,)) with the weight stream pipelined ACROSS layers —
+            # phase-boundary DMA stalls and 47 of the 48 per-token kernel
+            # launches disappear (ops/decode_stack.py). Conditions beyond
+            # int4_mega: bf16 cache (the int8-cache capacity path keeps the
+            # two-kernel route), rmsnorm without biases, tile-aligned dims.
+            ip = big["w1"]["pw"].shape[2]
+            use_stack = (
+                not quantized_cache
+                and cfg.norm_type == "rmsnorm"
+                and "attn_norm_b" not in lp_stack
+                and cfg.dim % 1024 == 0
+                and ip % 1024 == 0
+                and os.environ.get("MVTPU_STACK_KERNEL", "1") != "0"
+            )
+            if use_stack:
+                from metavoice_tpu.ops.decode_stack import decode_stack_int4
+
+                xo, k_new, v_new = decode_stack_int4(
+                    x[:, 0, :],
+                    lp_stack["attn_norm_w"],
+                    lp_stack["ffn_norm_w"],
+                    big["wqkv"]["pw"], big["wqkv"]["sc"],
+                    big["wo"]["pw"], big["wo"]["sc"],
+                    big["w1"]["pw"], big["w1"]["sc"],
+                    big["w3"]["pw"], big["w3"]["sc"],
+                    big["w2"]["pw"], big["w2"]["sc"],
+                    kv_cache.k, kv_cache.v,
+                    jnp.asarray(cache_pos, jnp.int32),
+                    cfg.n_head,
+                    starts=attn_starts,
+                    norm_eps=cfg.norm_eps,
+                )
+                x = xo[:, None, :].astype(x.dtype)
+                x = _norm(x, params["ln_f_w"], params.get("ln_f_b"), cfg.norm_type, cfg.norm_eps)
+                return x, KVCache(k=k_new, v=v_new, k_scale=None, v_scale=None)
+
+            # int4 serving fallback: TWO Pallas calls per layer (attention
+            # block + fused FFN), both DMA-slicing the STACKED packed
+            # weights by layer index — 4-bit HBM weight reads end to end
+            from metavoice_tpu.ops.attention import decode_attention_block_int4
+            from metavoice_tpu.ops.quantized import decode_ffn_int4
 
             def body4(carry, lp):
                 x, k_full, v_full, ks_full, vs_full, li = carry

@@ -1,23 +1,38 @@
-"""Continuous-batching synthesis engine for concurrent serving.
+"""Continuous-batching synthesis engine: mid-flight joins, per-slot streaming.
 
 The reference serves one request at a time through a global lock
-(serving.py:46-51 — a single TTS object, requests serialized). This engine
-is the TPU-native upgrade targeted at BASELINE config 5 (8-16 concurrent
-zero-shot-cloning requests): a background worker drains a request queue,
-groups up to ``max_batch`` requests inside a small batching window, and runs
-them through one ragged-batch first-stage decode
-(models/first_stage.generate_batch — left-padded prompts, per-row attention
-windows and EOA latches), then fans out to the second stage + vocoder per
-utterance. Callers block on futures; throughput scales with batch size while
-the per-step weight read is amortized across rows.
+(serving.py:46-51). Round 2 shipped a batch-collect engine (a 30 ms window,
+then the whole group decoded to completion) — a request arriving 50 ms late
+waited a full group decode (~0.5-2 s head-of-line blocking). This rebuild is
+TRUE continuous batching, targeted at BASELINE config 5 (8-16 concurrent
+zero-shot-cloning requests with continuous decode):
+
+  * a fixed SLOT POOL decodes in lockstep through one shared KV cache, in
+    short SEGMENTS (default 64 tokens ≈ 0.43 s of audio);
+  * between segments the worker admits queued requests into free slots —
+    joining mid-flight via `first_stage.merge_slot_cache`: the new prompt is
+    prefilled into a 2-row temp cache and its rows are copied into the big
+    cache so the prompt ends at the group's current physical position. Rows
+    keep their own logical timelines (wpe positions are `pos - pad_len` per
+    row), so a join is numerically identical to a fresh decode;
+  * rows that hit end-of-audio free their slot at the next boundary and
+    their render (stage 2 + vocoder + write) runs on a side thread while the
+    group keeps decoding;
+  * STREAMING requests ride the same batch: their new tokens fan out to the
+    fused stage2+vocoder each segment and stream out as wav chunks, instead
+    of bypassing the batcher entirely (round 2 serialized streams on a lock);
+  * an empty queue costs nothing: the worker blocks on the queue when idle —
+    no batching-window tax on solo requests.
+
+Sampling params stay per-row traced vectors, so mixed-settings groups share
+one compiled program.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import jax
@@ -26,6 +41,44 @@ import numpy as np
 
 from metavoice_tpu.core import tokens as T
 from metavoice_tpu.models import first_stage as fs
+from metavoice_tpu.models import transformer as tfm
+
+
+class StreamHandle:
+    """Iterator over wav segments of a streaming request.
+
+    Yields float32 24 kHz arrays as decode progresses; raises the request's
+    error (if any) from __next__. Obtained from ``submit(..., stream=True)``.
+    """
+
+    def __init__(self):
+        self._q: "queue.Queue[np.ndarray | None | Exception]" = queue.Queue()
+        self._closed = False
+
+    def close(self):
+        """Abandon the stream (e.g. client disconnected): the engine frees
+        the slot at the next segment boundary and stops rendering."""
+        self._closed = True
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    # engine-side
+    def _push(self, wav: np.ndarray):
+        self._q.put(wav)
+
+    def _finish(self, error: Exception | None = None):
+        if error is not None:
+            self._q.put(error)
+        self._q.put(None)
 
 
 @dataclass
@@ -36,33 +89,73 @@ class SynthesisRequest:
     top_p: float = 0.95
     guidance_scale: float = 3.0
     temperature: float = 1.0
+    stream: bool = False
     future: Future = field(default_factory=Future)
+    handle: StreamHandle | None = None
 
 
-class BatchingEngine:
-    """Queue + batch collector around a TTS instance.
+@dataclass
+class _Slot:
+    req: SynthesisRequest | None = None
+    tokens: list = field(default_factory=list)  # generated audio tokens (no EOA)
+    rendered: int = 0  # tokens already sent through the streaming vocoder
 
-    ``submit`` returns a Future resolving to the output wav path. Requests
-    arriving within ``batch_window_s`` of each other (up to ``max_batch``)
-    share one first-stage decode.
+    @property
+    def free(self) -> bool:
+        return self.req is None
+
+
+class ContinuousBatchingEngine:
+    """Slot-pool continuous-batching engine around a TTS instance.
+
+    ``submit`` returns a Future resolving to the output wav path, or (with
+    ``stream=True``) a StreamHandle yielding wav segments. Requests join the
+    running batch at the next segment boundary (~``segment_tokens`` decode
+    steps away at most) instead of waiting for the previous batch to finish.
     """
 
     def __init__(
         self,
         tts,
-        max_batch: int = 8,
-        batch_window_s: float = 0.03,
+        slots: int = 8,
+        segment_tokens: int = 64,
+        pad_multiple: int = 128,
+        min_decode_budget: int = 64,
     ):
+        if segment_tokens % 2 != 0:
+            raise ValueError("segment_tokens must be even (whole frames)")
         self.tts = tts
-        self.max_batch = max_batch
-        self.batch_window_s = batch_window_s
-        self._queue: queue.Queue[SynthesisRequest | None] = queue.Queue()
+        self.n_slots = slots
+        self.segment_tokens = segment_tokens
+        self.pad_multiple = pad_multiple
+        self.min_decode_budget = min_decode_budget
+        c = tts.c
+        self._cfg = c.first_stage_cfg
+        self._block = self._cfg.block_size
+        self._cache_dtype = tts._cache_dtype or tts._compute_dtype
+        self._kv = tfm.KVCache.create(
+            self._cfg, 2 * slots, self._block, dtype=self._cache_dtype
+        )
+        self._pos = 0
+        self._group_active = False
+        # per-slot host state
+        self._slots = [_Slot() for _ in range(slots)]
+        self._cur = np.full((slots,), T.END_OF_AUDIO_TOKEN, np.int32)
+        self._pad = np.zeros((slots,), np.int32)
+        self._spk = np.zeros((slots, 256), np.float32)
+        self._t = np.ones((slots, 1), np.float32)
+        self._p = np.full((slots, 1), 0.95, np.float32)
+        self._g = np.full((slots, 1), 3.0, np.float32)
         self._key = jax.random.PRNGKey(tts.runtime.seed + 1)
-        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._queue: "queue.Queue[SynthesisRequest | None]" = queue.Queue()
+        self._deferred: list[SynthesisRequest] = []
+        self._render_pool = ThreadPoolExecutor(max_workers=2)
         self._running = True
+        self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, text: str, spk_ref_path: str, **sampling) -> Future:
+    # ------------------------------------------------------------------ API
+    def submit(self, text: str, spk_ref_path: str, *, stream: bool = False, **sampling):
         from metavoice_tpu.core.text import normalize_text
         from metavoice_tpu.utils.audio_io import get_cached_file
 
@@ -72,116 +165,314 @@ class BatchingEngine:
         req = SynthesisRequest(
             text=text,
             prompt_tokens=self.tts.c.tokenizer.encode(text),
-            spk_emb=spk_emb,
+            spk_emb=np.asarray(spk_emb).reshape(-1),
+            stream=stream,
             **sampling,
         )
+        if stream:
+            req.handle = StreamHandle()
         self._queue.put(req)
-        return req.future
+        return req.handle if stream else req.future
 
     def shutdown(self):
         self._running = False
         self._queue.put(None)
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=10)
+        self._render_pool.shutdown(wait=False)
 
-    # ------------------------------------------------------------------ internals
-    def _collect_batch(self) -> list[SynthesisRequest]:
-        first = self._queue.get()
-        if first is None:
-            return []
-        batch = [first]
-        deadline = time.time() + self.batch_window_s
-        while len(batch) < self.max_batch:
-            timeout = deadline - time.time()
-            if timeout <= 0:
-                break
+    # ------------------------------------------------------------------ worker
+    def _actives(self) -> list[int]:
+        return [i for i, s in enumerate(self._slots) if not s.free]
+
+    def _worker(self):
+        while self._running:
+            if not self._actives():
+                # idle: block on the queue (no polling, no window tax)
+                req = self._queue.get()
+                if req is None:
+                    if not self._running:
+                        return
+                    continue
+                self._start_group(self._drain_queue(first=req))
+            else:
+                self._admit_joins()
+                try:
+                    self._step_segment()
+                except Exception as e:
+                    # device-level failure: fail every in-flight request
+                    for i in self._actives():
+                        self._fail(i, e)
+            if not self._running:
+                return
+
+    def _drain_queue(self, first=None) -> list[SynthesisRequest]:
+        out = ([first] if first is not None else []) + self._deferred
+        self._deferred = []
+        while len(out) < self.n_slots:
             try:
-                nxt = self._queue.get(timeout=timeout)
+                nxt = self._queue.get_nowait()
             except queue.Empty:
                 break
             if nxt is None:
                 self._queue.put(None)
                 break
-            batch.append(nxt)
-        return batch
+            out.append(nxt)
+        return out
 
-    def _worker(self):
-        while self._running:
-            batch = self._collect_batch()
-            if not batch:
-                if not self._running or self._queue.empty():
-                    if not self._running:
-                        return
-                continue
-            try:
-                self._process(batch)
-            except Exception as e:  # resolve all futures with the error
-                for req in batch:
-                    if not req.future.done():
-                        req.future.set_exception(e)
+    # ------------------------------------------------------------------ group start
+    def _bucket(self, n: int) -> int:
+        return max(self.pad_multiple, -(-n // self.pad_multiple) * self.pad_multiple)
 
-    def _process(self, batch: list[SynthesisRequest]):
+    def _start_group(self, reqs: list[SynthesisRequest]):
+        """Fresh group at physical position 0: one batched ragged prefill."""
         c = self.tts.c
-        self._key, sub = jax.random.split(self._key)
-
-        # Per-request sampling params: traced (B, 1) vectors broadcast
-        # through the temperature/top-p/CFG math, so mixed-settings batches
-        # share one compiled program.
-        spk = jnp.asarray(np.stack([r.spk_emb for r in batch]))
-        outs = fs.generate_batch(
-            c.first_stage_params,
-            c.first_stage_cfg,
-            [r.prompt_tokens for r in batch],
-            spk,
-            key=sub,
-            temperature=[r.temperature for r in batch],
-            top_p=[r.top_p for r in batch],
-            guidance_scale=[r.guidance_scale for r in batch],
-            prompt_pad_multiple=self.tts.runtime.prompt_pad_multiple,
+        reqs = reqs[: self.n_slots]
+        overflow = reqs[self.n_slots :]
+        self._deferred.extend(overflow)
+        bucket = self._bucket(max(len(r.prompt_tokens) for r in reqs))
+        prompts = []
+        for i in range(self.n_slots):
+            if i < len(reqs):
+                r = reqs[i]
+                self._slots[i] = _Slot(req=r)
+                self._spk[i] = r.spk_emb
+                self._t[i, 0] = r.temperature
+                self._p[i, 0] = r.top_p
+                self._g[i, 0] = r.guidance_scale
+                prompts.append(r.prompt_tokens[-bucket:])
+            else:
+                self._slots[i] = _Slot()
+                prompts.append([0])
+        padded, pad_lens = fs.left_pad_prompts(prompts, bucket)
+        self._key, kp = jax.random.split(self._key)
+        first, self._kv = fs.prefill_batch(
+            c.first_stage_params, self._cfg,
+            jnp.asarray(padded), jnp.asarray(pad_lens),
+            jnp.asarray(self._spk), self._kv, kp,
+            jnp.asarray(self._t), jnp.asarray(self._p), jnp.asarray(self._g),
             compute_dtype=self.tts._compute_dtype,
-            cache_dtype=self.tts._cache_dtype,
         )
+        first = np.asarray(first)
+        self._pos = bucket
+        self._pad = np.asarray(pad_lens, np.int32).copy()
+        for i in range(self.n_slots):
+            if i < len(reqs):
+                self._cur[i] = first[i]
+                self._note_tokens(i, [int(first[i])])
+            else:
+                self._cur[i] = T.END_OF_AUDIO_TOKEN
 
-        # stages 3-4 batched: one second-stage forward + one vocoder call
-        # for the whole group, then per-request enhancement + file write
-        from metavoice_tpu.models import encodec as ec
-        from metavoice_tpu.models import second_stage as ss
-
-        items, live = [], []
-        for req, seq in zip(batch, outs):
-            _t, coarse = T.split_flattened_interleaved(seq, T.HIERARCHY_EOA)
-            if len(coarse[0]) == 0:
-                req.future.set_exception(
-                    RuntimeError(f"first stage produced no audio tokens for: {req.text!r}")
-                )
-                continue
-            items.append((req.prompt_tokens, coarse))
-            live.append(req)
-        if not live:
+    # ------------------------------------------------------------------ joining
+    def _admit_joins(self):
+        if self._pos >= self._block - self.min_decode_budget:
+            return  # group near the block limit: no more admissions
+        free = [i for i, s in enumerate(self._slots) if s.free]
+        if not free:
             return
+        for req in self._drain_queue():
+            if not free:
+                self._deferred.append(req)
+                continue
+            bucket = self._bucket(len(req.prompt_tokens))
+            if bucket > self._pos:
+                # prompt longer than the elapsed physical timeline: it cannot
+                # be left-aligned into this group yet — defer (admitted a few
+                # segments later, or into the next fresh group)
+                self._deferred.append(req)
+                continue
+            self._join(free.pop(0), req, bucket)
 
-        self._key, k2 = jax.random.split(self._key)
-        codes_list = ss.complete_hierarchies_batch(
-            c.second_stage_params,
-            c.second_stage_cfg,
-            items,
-            jnp.asarray(np.stack([r.spk_emb for r in live])),
-            key=k2,
+    def _join(self, slot: int, req: SynthesisRequest, bucket: int):
+        """Prefill into a temp cache, then land the rows at [P-bucket, P)."""
+        c = self.tts.c
+        quantized = self._kv.quantized
+        temp = tfm.KVCache.create(self._cfg, 2, bucket, dtype=self._cache_dtype)
+        padded, pad_lens = fs.left_pad_prompts([req.prompt_tokens[-bucket:]], bucket)
+        self._key, kp = jax.random.split(self._key)
+        first, temp = fs.prefill_batch(
+            c.first_stage_params, self._cfg,
+            jnp.asarray(padded), jnp.asarray(pad_lens),
+            jnp.asarray(req.spk_emb)[None, :], temp, kp,
+            jnp.asarray(self._t[slot : slot + 1]),
+            jnp.asarray(self._p[slot : slot + 1]),
+            jnp.asarray(self._g[slot : slot + 1]),
             compute_dtype=self.tts._compute_dtype,
         )
-        t_max = max(cd.shape[1] for cd in codes_list)
-        padded = np.stack(
-            [np.pad(cd, ((0, 0), (0, t_max - cd.shape[1]))) for cd in codes_list]
+        phys_start = jnp.asarray(self._pos - bucket, jnp.int32)
+        row_c = jnp.asarray(slot, jnp.int32)
+        row_u = jnp.asarray(self.n_slots + slot, jnp.int32)
+        k, v = fs.merge_slot_cache(
+            self._kv.k, self._kv.v, temp.k, temp.v, phys_start, row_c, row_u
         )
-        wavs = np.asarray(
-            ec.decode_codes(c.encodec_params, c.encodec_cfg, jnp.asarray(padded))
-        )
-        hop = c.encodec_cfg.hop_length
+        if quantized:
+            ks, vs = fs.merge_slot_scales(
+                self._kv.k_scale, self._kv.v_scale,
+                temp.k_scale, temp.v_scale,
+                phys_start, row_c, row_u, self._cfg.n_head,
+            )
+        else:
+            ks = vs = None
+        self._kv = tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
+        self._slots[slot] = _Slot(req=req)
+        self._spk[slot] = req.spk_emb
+        self._t[slot, 0] = req.temperature
+        self._p[slot, 0] = req.top_p
+        self._g[slot, 0] = req.guidance_scale
+        # window start = P - len(prompt): logical positions continue the
+        # prompt's own timeline (decode embeds wpe[pos - pad])
+        self._pad[slot] = self._pos - min(len(req.prompt_tokens), bucket)
+        tok = int(np.asarray(first)[0])
+        self._cur[slot] = tok
+        self._note_tokens(slot, [tok])
 
-        for req, cd, wav in zip(live, codes_list, wavs):
-            try:
-                w = wav[: cd.shape[1] * hop].astype(np.float32)
-                if c.enhancer is not None:
-                    w = c.enhancer(w, c.encodec_cfg.sample_rate)
-                req.future.set_result(self.tts.write_wav_output(req.text, w))
-            except Exception as e:
-                req.future.set_exception(e)
+    # ------------------------------------------------------------------ decode segment
+    def _step_segment(self):
+        c = self.tts.c
+        if self._pos >= self._block:
+            # physical timeline exhausted: truncate whatever is still active
+            for i in self._actives():
+                self._complete(i)
+            return
+        self._key, kd = jax.random.split(self._key)
+        seg = min(self.segment_tokens, self._block - self._pos)
+        buf, lens, self._kv = fs.decode_batch(
+            c.first_stage_params, self._cfg,
+            jnp.asarray(self._cur), jnp.asarray(self._pos, jnp.int32),
+            jnp.asarray(self._pad), jnp.asarray(self._spk), self._kv, kd,
+            jnp.asarray(self._t), jnp.asarray(self._p), jnp.asarray(self._g),
+            jnp.asarray(seg, jnp.int32), self.segment_tokens,
+            T.END_OF_AUDIO_TOKEN, self.tts._compute_dtype,
+        )
+        fetch = np.asarray(
+            jnp.concatenate(
+                [lens.reshape(-1, 1).astype(jnp.int32), buf.astype(jnp.int32)], axis=1
+            )
+        )
+        lens_h = fetch[:, 0]
+        steps = int(lens_h.max()) if len(lens_h) else 0
+        if steps == 0:
+            # no row advanced (all done or at block limit): finish actives
+            for i in self._actives():
+                self._complete(i)
+            return
+        self._pos += steps
+        for i in self._actives():
+            n = int(lens_h[i])
+            if n == 0:
+                continue
+            toks = fetch[i, 1 : 1 + n].tolist()
+            self._cur[i] = toks[-1]
+            self._note_tokens(i, toks)
+
+    # ------------------------------------------------------------------ per-slot plumbing
+    def _note_tokens(self, slot: int, toks: list):
+        """Record newly decoded tokens; stream/complete as they land."""
+        s = self._slots[slot]
+        if s.req is not None and s.req.stream and s.req.handle._closed:
+            # client abandoned the stream: free the slot, stop decoding it
+            self._slots[slot] = _Slot()
+            self._cur[slot] = T.END_OF_AUDIO_TOKEN
+            s.req.handle._finish()
+            return
+        finished = False
+        for t in toks:
+            if t == T.END_OF_AUDIO_TOKEN:
+                finished = True
+                break
+            s.tokens.append(int(t))
+        if s.req is not None and s.req.stream and not finished:
+            self._stream_render(slot, final=False)
+        if finished:
+            self._complete(slot)
+
+    def _stream_render(self, slot: int, final: bool):
+        """Send this slot's un-rendered whole frames through stage2+vocoder."""
+        s = self._slots[slot]
+        req = s.req
+        avail = len(s.tokens) - s.rendered
+        if not final and avail < self.segment_tokens:
+            return  # accumulate a full segment before rendering
+        n = (avail // 2) * 2
+        if n <= 0:
+            return
+        chunk = np.asarray(s.tokens[s.rendered : s.rendered + n], np.int32)
+        s.rendered += n
+        self._key, kr = jax.random.split(self._key)
+        try:
+            wav = self.tts._tokens_to_wav(
+                req.text, req.prompt_tokens, chunk, req.spk_emb, kr, fused=True
+            )
+            req.handle._push(wav)
+        except RuntimeError:
+            pass  # chunk held no complete audio frame
+
+    def _complete(self, slot: int):
+        s = self._slots[slot]
+        req = s.req
+        self._slots[slot] = _Slot()  # free immediately; render off-thread
+        self._cur[slot] = T.END_OF_AUDIO_TOKEN
+        if req is None:
+            return
+        if req.stream:
+            # flush remaining frames inline (ordering), then close
+            self._slots_finalize_stream(s, req)
+            return
+        tokens = list(s.tokens)
+        self._key, kr = jax.random.split(self._key)
+        self._render_pool.submit(self._render_full, req, tokens, kr)
+
+    def _slots_finalize_stream(self, s: _Slot, req: SynthesisRequest):
+        try:
+            avail = len(s.tokens) - s.rendered
+            n = (avail // 2) * 2
+            if n > 0:
+                chunk = np.asarray(s.tokens[s.rendered : s.rendered + n], np.int32)
+                self._key, kr = jax.random.split(self._key)
+                try:
+                    wav = self.tts._tokens_to_wav(
+                        req.text, req.prompt_tokens, chunk, req.spk_emb, kr, fused=True
+                    )
+                    req.handle._push(wav)
+                except RuntimeError:
+                    pass
+            req.handle._finish()
+        except Exception as e:  # pragma: no cover
+            req.handle._finish(e)
+
+    def _render_full(self, req: SynthesisRequest, tokens: list, key):
+        try:
+            if not tokens:
+                raise RuntimeError(
+                    f"first stage produced no audio tokens for: {req.text!r}"
+                )
+            wav = self.tts._tokens_to_wav(
+                req.text, req.prompt_tokens, np.asarray(tokens, np.int32),
+                req.spk_emb, key,
+            )
+            req.future.set_result(self.tts.write_wav_output(req.text, wav))
+        except Exception as e:
+            req.future.set_exception(e)
+
+    def _fail(self, slot: int, e: Exception):
+        s = self._slots[slot]
+        self._slots[slot] = _Slot()
+        self._cur[slot] = T.END_OF_AUDIO_TOKEN
+        if s.req is None:
+            return
+        if s.req.stream:
+            s.req.handle._finish(e)
+        elif not s.req.future.done():
+            s.req.future.set_exception(e)
+
+
+class BatchingEngine(ContinuousBatchingEngine):
+    """Back-compat constructor shim over the continuous engine.
+
+    ``max_batch`` maps to the slot count; ``batch_window_s`` is obsolete
+    (the continuous engine admits at segment boundaries and never taxes a
+    solo request with a collection window).
+    """
+
+    def __init__(self, tts, max_batch: int = 8, batch_window_s: float = 0.03):
+        del batch_window_s
+        super().__init__(tts, slots=max_batch)

@@ -296,10 +296,13 @@ class ServingMetrics:
 def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None):
     """Build the request handler bound to one TTS engine instance.
 
-    With ``batching_engine`` (runtime/engine.BatchingEngine), concurrent
-    requests share batched first-stage decodes instead of serializing.
-    Streaming requests always run on the direct engine (the batcher returns
-    whole files).
+    With ``batching_engine`` (runtime/engine.ContinuousBatchingEngine),
+    concurrent requests share the slot-pool decode — including streaming
+    requests, whose wav segments fan out of the shared batch (round 2
+    serialized streams on the handler lock). Without an engine, streaming
+    falls back to the direct synthesise_streaming path under the lock; the
+    per-request segment_tokens knobs only apply on that direct path (the
+    engine's segment cadence is a batch-wide property).
     """
     lock = threading.Lock()  # serialize synthesis on the single engine
     metrics = metrics or ServingMetrics()
@@ -458,16 +461,30 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
 
             import itertools
 
+            import contextlib
+
             t_req = time.monotonic()
             sr = tts.c.encodec_cfg.sample_rate
             n_samples = 0
-            with lock:
-                gen = tts.synthesise_streaming(
-                    text, ref_path, top_p=top_p, guidance_scale=guidance,
-                    segment_tokens=segment_tokens,
-                    first_segment_tokens=first_segment_tokens,
-                    temperature=temperature,
+            if batching_engine is not None:
+                # streaming through the continuous batcher: no handler lock,
+                # the request joins the shared slot pool mid-flight
+                stream_ctx = contextlib.nullcontext()
+                gen = batching_engine.submit(
+                    text, ref_path, stream=True, top_p=top_p,
+                    guidance_scale=guidance, temperature=temperature,
                 )
+            else:
+                stream_ctx = lock
+                gen = None
+            with stream_ctx:
+                if gen is None:
+                    gen = tts.synthesise_streaming(
+                        text, ref_path, top_p=top_p, guidance_scale=guidance,
+                        segment_tokens=segment_tokens,
+                        first_segment_tokens=first_segment_tokens,
+                        temperature=temperature,
+                    )
                 try:
                     first = next(gen)
                 except StopIteration:

@@ -43,19 +43,20 @@ big = {k: L[k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
 small = {k: v for k, v in L.items() if k not in big}
 
 def timeit(f, *args, name=""):
-    out = f(*args)
+    out = f(params, *args)
     np.asarray(jax.tree.leaves(out)[0])
     t0 = time.perf_counter()
-    out = f(*args)
+    out = f(params, *args)
     np.asarray(jax.tree.leaves(out)[0])
     dt = (time.perf_counter() - t0) / ITERS
-    log(f"{name}: {dt*1e6:.1f} us/step  ({dt*24e6/24:.0f})")
+    log(f"{name}: {dt*1e6:.1f} us/step")
     return dt
 
 mask2 = fs.make_spk_cond_mask(1, 2)
 spk2 = fs._cfg_rows(spk, 2)
 
-def full_step(carry, _):
+def full_step(params, carry, _):
+    big = {k: params["layers"][k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
     tok, k_full, v_full, kkey = carry
     kkey, sub = jax.random.split(kkey)
     idx2 = tok[:, None]
@@ -69,24 +70,27 @@ def full_step(carry, _):
     return (tok, new_kv.k, new_kv.v, kkey), None
 
 @jax.jit
-def run_full(tok, k_full, v_full, kkey):
+def run_full(params, tok, k_full, v_full, kkey):
     (tok, k_full, v_full, kkey), _ = jax.lax.scan(
-        full_step, (tok, k_full, v_full, kkey), None, length=ITERS)
+        partial(full_step, params), (tok, k_full, v_full, kkey), None, length=ITERS)
     return tok, k_full
 
-def blocks_only_step(carry, _):
+def blocks_only_step(params, carry, _):
     x, k_full, v_full = carry
     kvv = tfm.KVCache(k=k_full, v=v_full, k_scale=None, v_scale=None)
     x, new_kv = tfm.apply_blocks(params, cfg, x, None, kvv, jnp.asarray(POS))
     return (x.astype(jnp.bfloat16), new_kv.k, new_kv.v), None
 
 @jax.jit
-def run_blocks(x, k_full, v_full):
+def run_blocks(params, x, k_full, v_full):
     (x, k_full, v_full), _ = jax.lax.scan(
-        blocks_only_step, (x, k_full, v_full), None, length=ITERS)
+        partial(blocks_only_step, params), (x, k_full, v_full), None, length=ITERS)
     return x
 
-def attn_layer_scan(x, k_full, v_full):
+def attn_layer_scan(params, x, k_full, v_full):
+    L = params["layers"]
+    big = {k: L[k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+    small = {k: v for k, v in L.items() if k not in big}
     def body(carry, lp):
         x, kf, vf, li = carry
         xa = tfm._norm(x, lp["attn_norm_w"], None, cfg.norm_type, cfg.norm_eps)
@@ -102,15 +106,18 @@ def attn_layer_scan(x, k_full, v_full):
     return x, k_full, v_full
 
 @jax.jit
-def run_attn(x, k_full, v_full):
+def run_attn(params, x, k_full, v_full):
     def step(carry, _):
         x, kf, vf = carry
-        x, kf, vf = attn_layer_scan(x, kf, vf)
+        x, kf, vf = attn_layer_scan(params, x, kf, vf)
         return (x.astype(jnp.bfloat16), kf, vf), None
     (x, k_full, v_full), _ = jax.lax.scan(step, (x, k_full, v_full), None, length=ITERS)
     return x
 
-def ffn_layer_scan(x):
+def ffn_layer_scan(params, x):
+    L = params["layers"]
+    big = {k: L[k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+    small = {k: v for k, v in L.items() if k not in big}
     def body(carry, lp):
         x, li = carry
         hn = tfm._norm(x, lp["ffn_norm_w"], None, cfg.norm_type, cfg.norm_eps)
@@ -126,14 +133,12 @@ def ffn_layer_scan(x):
     return x
 
 @jax.jit
-def run_ffn(x):
-    def step(carry, _):
-        return (ffn_layer_scan(carry).astype(jnp.bfloat16), None)
-    x, _ = jax.lax.scan(lambda c, _: (ffn_layer_scan(c).astype(jnp.bfloat16), None), x, None, length=ITERS)
+def run_ffn(params, x):
+    x, _ = jax.lax.scan(lambda c, _: (ffn_layer_scan(params, c).astype(jnp.bfloat16), None), x, None, length=ITERS)
     return x
 
 @jax.jit
-def run_head(x, kkey):
+def run_head(params, x, kkey):
     def step(carry, _):
         x, kkey = carry
         kkey, sub = jax.random.split(kkey)

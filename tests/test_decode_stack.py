@@ -1,0 +1,107 @@
+"""Whole-stack fused decode kernel vs the two-kernel path (interpret mode).
+
+The stack kernel (ops/decode_stack.py) must be numerically IDENTICAL to the
+per-layer route (decode_attention_block_int4 + decode_ffn_int4 with norms and
+residual adds in XLA): same matmul helper, same f32->bf16 rounding points.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metavoice_tpu.ops import attention as A
+from metavoice_tpu.ops import quantized as qz
+from metavoice_tpu.ops.decode_stack import decode_stack_int4
+
+L, H, DH, B, S = 3, 8, 128, 2, 512
+D = H * DH  # 1024
+IP = 2048
+EPS = 1e-5
+
+
+def _norm_bf16(x, w):
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + EPS)
+    return xf.astype(jnp.bfloat16) * w.astype(jnp.bfloat16)
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+
+    def w(*shape, s=0.05):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * s)
+
+    def q4(arr):  # (L, in, out) -> packed dict leaves
+        pw, sc = jax.vmap(qz.quantize_int4_i32)(arr)
+        return pw, sc
+
+    wqkv = q4(w(L, D, 3 * D))
+    wo = q4(w(L, D, D))
+    w1 = q4(w(L, D, IP))
+    w3 = q4(w(L, D, IP))
+    w2 = q4(w(L, IP, D))
+    n1 = jnp.asarray(1.0 + rng.normal(size=(L, D)).astype(np.float32) * 0.1, jnp.bfloat16)
+    n2 = jnp.asarray(1.0 + rng.normal(size=(L, D)).astype(np.float32) * 0.1, jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32) * 0.3, jnp.bfloat16)
+    k_cache = jnp.asarray(rng.normal(size=(L, S, B, H, DH)).astype(np.float32), jnp.bfloat16)
+    v_cache = jnp.asarray(rng.normal(size=(L, S, B, H, DH)).astype(np.float32), jnp.bfloat16)
+    return x, n1, n2, wqkv, wo, w1, w3, w2, k_cache, v_cache
+
+
+def _two_kernel_reference(x, n1, n2, wqkv, wo, w1, w3, w2, k_cache, v_cache, pos, starts=None):
+    """body4 from transformer.apply_blocks, via the per-layer kernels."""
+    kf, vf = k_cache, v_cache
+    for li in range(L):
+        lin = jnp.asarray(li, jnp.int32)
+        xa = _norm_bf16(x, n1[li])
+        y2, kf, vf, _, _ = A.decode_attention_block_int4(
+            xa, wqkv[0], wqkv[1], wo[0], wo[1], kf, vf, lin,
+            jnp.asarray(pos, jnp.int32), H, starts=starts, interpret=True,
+            tile=1024,
+        )
+        h = x + y2.astype(x.dtype)
+        hn = _norm_bf16(h, n2[li])
+        f = qz.decode_ffn_int4(
+            hn, w1[0], w1[1], w3[0], w3[1], w2[0], w2[1], lin,
+            interpret=True, tile=1024,
+        )
+        x = h + f.astype(x.dtype)
+    return x, kf, vf
+
+
+@pytest.mark.parametrize("pos", [0, 100, 300])
+def test_stack_matches_two_kernel(pos):
+    x, n1, n2, wqkv, wo, w1, w3, w2, k_cache, v_cache = _setup()
+    xs, ks, vs = decode_stack_int4(
+        x, n1, n2, wqkv[0], wqkv[1], wo[0], wo[1], w1[0], w1[1],
+        w3[0], w3[1], w2[0], w2[1], k_cache, v_cache,
+        jnp.asarray(pos, jnp.int32), H, norm_eps=EPS, interpret=True,
+    )
+    xr, kr, vr = _two_kernel_reference(
+        x, n1, n2, wqkv, wo, w1, w3, w2, k_cache, v_cache, pos
+    )
+    np.testing.assert_allclose(
+        np.asarray(xs, np.float32), np.asarray(xr, np.float32), atol=1e-2, rtol=1e-2
+    )
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(kr))
+    np.testing.assert_array_equal(np.asarray(vs), np.asarray(vr))
+
+
+def test_stack_respects_starts():
+    """Ragged windows: rows with starts > 0 ignore the early cache prefix."""
+    x, n1, n2, wqkv, wo, w1, w3, w2, k_cache, v_cache = _setup(seed=3)
+    pos = 200
+    starts = jnp.asarray([0, 150], jnp.int32)
+    xs, _, _ = decode_stack_int4(
+        x, n1, n2, wqkv[0], wqkv[1], wo[0], wo[1], w1[0], w1[1],
+        w3[0], w3[1], w2[0], w2[1], k_cache, v_cache,
+        jnp.asarray(pos, jnp.int32), H, starts=starts, norm_eps=EPS,
+        interpret=True,
+    )
+    xr, _, _ = _two_kernel_reference(
+        x, n1, n2, wqkv, wo, w1, w3, w2, k_cache, v_cache, pos, starts=starts
+    )
+    np.testing.assert_allclose(
+        np.asarray(xs, np.float32), np.asarray(xr, np.float32), atol=1e-2, rtol=1e-2
+    )
