@@ -41,7 +41,11 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 from metavoice_tpu.ops.attention import _chunk_for
-from metavoice_tpu.ops.quantized import _int4_group_matmul, group_ones
+from metavoice_tpu.ops.quantized import (
+    _int4_group_matmul,
+    _int4_group_matmul_scr,
+    group_ones,
+)
 
 STACK_TILE = 1024  # weight tile width (i32 words), matches W4_TILE
 
@@ -63,6 +67,7 @@ def _decode_stack_kernel(
     n_layers: int,
     b: int,
     norm_eps: float,
+    bigdot: bool,
     # scalar prefetch
     pos_ref,  # (1,) int32
     # VMEM inputs
@@ -106,6 +111,7 @@ def _decode_stack_kernel(
     acc_ref,  # (BH, Dh) f32
     m_ref,  # (BH, 128) f32
     l_ref,  # (BH, 128) f32
+    wd_scr,  # (Ip, tile) bf16 — big-dot dequantized-tile scratch (or None)
     w_sems,  # DMA (2, 2) — qkv/o weight tiles
     f_sems,  # DMA (2, 4) — ffn w1/w3 tiles
     f2_sems,  # DMA (2, 2) — ffn w2 tiles
@@ -116,6 +122,11 @@ def _decode_stack_kernel(
     pos = pos_ref[0]
     bpad, d = x_ref.shape
     bh = acc_ref.shape[0]
+
+    def matmul(x, xsum, w_words, sc):
+        if bigdot:
+            return _int4_group_matmul_scr(x, xsum, w_words, sc, groupsize, wd_scr)
+        return _int4_group_matmul(x, xsum, w_words, sc, groupsize)
 
     # ---- DMA descriptor helpers --------------------------------------------
     def qkv_dma(slot, j, layer):
@@ -179,7 +190,7 @@ def _decode_stack_kernel(
 
         for dma in qkv_dma(slot, j, li):
             dma.wait()
-        acc = _int4_group_matmul(xa_pad, xsum, w_buf[slot], sc_buf[slot], groupsize)
+        acc = matmul(xa_pad, xsum, w_buf[slot], sc_buf[slot])
         qkv_scr[:, pl.ds(j * tile, tile)] = acc
         return _
 
@@ -262,7 +273,7 @@ def _decode_stack_kernel(
 
         for dma in o_dma(slot, j):
             dma.wait()
-        acc = _int4_group_matmul(y_pad, ysum, w_buf[slot], sc_buf[slot], groupsize)
+        acc = matmul(y_pad, ysum, w_buf[slot], sc_buf[slot])
         sl = pl.ds(j * tile, tile)
         # h = x + attn_out, rounded to bf16 exactly like the two-kernel path
         x_scr[:, sl] = x_scr[:, sl] + acc.astype(jnp.bfloat16)
@@ -294,8 +305,8 @@ def _decode_stack_kernel(
 
         for dma in p1_dma(slot, j):
             dma.wait()
-        h1 = _int4_group_matmul(hn, hsum, w1_buf[slot], s1_buf[slot], groupsize)
-        h3 = _int4_group_matmul(hn, hsum, w3_buf[slot], s3_buf[slot], groupsize)
+        h1 = matmul(hn, hsum, w1_buf[slot], s1_buf[slot])
+        h3 = matmul(hn, hsum, w3_buf[slot], s3_buf[slot])
         h_scr[:, pl.ds(j * tile, tile)] = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)
         return _
 
@@ -317,7 +328,7 @@ def _decode_stack_kernel(
 
         for dma in p2_dma(slot, j):
             dma.wait()
-        acc = _int4_group_matmul(hh, hhsum, w2_buf[slot], s2_buf[slot], groupsize)
+        acc = matmul(hh, hhsum, w2_buf[slot], s2_buf[slot])
         sl = pl.ds(j * tile, tile)
         x_scr[:, sl] = x_scr[:, sl] + acc.astype(jnp.bfloat16)
         return _
@@ -353,6 +364,7 @@ def decode_stack_int4(
     groupsize: int = 128,
     tile: int = STACK_TILE,
     chunk: int | None = None,
+    bigdot: bool | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """All decode layers in one Pallas call (see module docstring).
@@ -389,6 +401,14 @@ def decode_stack_int4(
     xones = group_ones(d, gp, groupsize)
     hones = group_ones(ip, g2p, groupsize)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    if bigdot is None:
+        # measured on v5e: bigdot=True decodes at 333 tok/s vs 527 for the
+        # per-group small-dot path — the (K, tile) scratch round-trip and
+        # per-weight bf16 scaling cost far more than the small-dot dispatch
+        # overhead they remove. Kept as an experiment flag only.
+        import os
+
+        bigdot = os.environ.get("MVTPU_STACK_BIGDOT", "0") == "1"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -438,6 +458,7 @@ def decode_stack_int4(
             pltpu.VMEM((bh, dh), jnp.float32),  # acc
             pltpu.VMEM((bh, 128), jnp.float32),  # m
             pltpu.VMEM((bh, 128), jnp.float32),  # l
+            pltpu.VMEM((max(ip, d), tile), jnp.bfloat16),  # wd_scr (big-dot)
             pltpu.SemaphoreType.DMA((2, 2)),  # w_sems
             pltpu.SemaphoreType.DMA((2, 4)),  # f_sems
             pltpu.SemaphoreType.DMA((2, 2)),  # f2_sems
@@ -447,7 +468,8 @@ def decode_stack_int4(
     )
     xo, k_out, v_out = pl.pallas_call(
         partial(
-            _decode_stack_kernel, dh, chunk, groupsize, tile, l, b, norm_eps
+            _decode_stack_kernel, dh, chunk, groupsize, tile, l, b, norm_eps,
+            bigdot,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),

@@ -586,6 +586,40 @@ def quantize_params_int4_i32(params: dict, groupsize: int = I32_GROUPSIZE) -> di
 FFN_TILE = 1024  # intermediate/output tile width (measured best vs 512/2048)
 
 
+def _int4_group_matmul_scr(x, xsum, w_words, sc, groupsize, w_scr):
+    """Big-dot variant of _int4_group_matmul: one MXU dot per TILE.
+
+    The original issues one (Bpad, groupsize) x (groupsize, tile) dot per
+    (slab, group) — 16-48 tiny MXU dispatches per weight tile, whose fixed
+    dispatch cost dominates at decode batch sizes (the MACs themselves are
+    ~100x cheaper than the dispatch). Here every slab is unpacked AND scaled
+    by its per-group s rows into ``w_scr`` (a (K, tile) bf16 VMEM scratch),
+    then ONE (Bpad, K) x (K, tile) dot runs the whole contraction; the
+    group-affine c term stays a second small dot, exactly as before.
+
+    Numerics: the per-weight product nib * s rounds to bf16 before the MXU
+    (standard dequantized-weight semantics) where the original scaled the
+    f32 per-group partial dot — differences are ~1 bf16 ulp per weight.
+    """
+    k8 = w_words.shape[0]
+    gp = sc.shape[0] // 2
+    n_grp_slab = k8 // groupsize
+    for j8 in range(8):
+        nib = ((w_words >> (4 * j8)) & 0xF).astype(jnp.bfloat16)
+        srows = sc[j8 * n_grp_slab : (j8 + 1) * n_grp_slab, :].astype(jnp.bfloat16)
+        scaled = (
+            nib.reshape(n_grp_slab, groupsize, -1) * srows[:, None, :]
+        ).reshape(k8, -1)
+        w_scr[pl.ds(j8 * k8, k8), :] = scaled
+    k = 8 * k8
+    acc = jnp.dot(
+        xsum.astype(jnp.bfloat16), sc[gp:, :], preferred_element_type=jnp.float32
+    )
+    return acc + jnp.dot(
+        x, w_scr[pl.ds(0, k), :], preferred_element_type=jnp.float32
+    )
+
+
 def _int4_group_matmul(x, xsum, w_words, sc, groupsize):
     """In-kernel helper: (Bpad, K) x packed (K/8, tile) -> (Bpad, tile) f32.
 

@@ -76,7 +76,8 @@ def test_stack_matches_two_kernel(pos):
     xs, ks, vs = decode_stack_int4(
         x, n1, n2, wqkv[0], wqkv[1], wo[0], wo[1], w1[0], w1[1],
         w3[0], w3[1], w2[0], w2[1], k_cache, v_cache,
-        jnp.asarray(pos, jnp.int32), H, norm_eps=EPS, interpret=True,
+        jnp.asarray(pos, jnp.int32), H, norm_eps=EPS, bigdot=False,
+        interpret=True,
     )
     xr, kr, vr = _two_kernel_reference(
         x, n1, n2, wqkv, wo, w1, w3, w2, k_cache, v_cache, pos
@@ -97,7 +98,7 @@ def test_stack_respects_starts():
         x, n1, n2, wqkv[0], wqkv[1], wo[0], wo[1], w1[0], w1[1],
         w3[0], w3[1], w2[0], w2[1], k_cache, v_cache,
         jnp.asarray(pos, jnp.int32), H, starts=starts, norm_eps=EPS,
-        interpret=True,
+        bigdot=False, interpret=True,
     )
     xr, _, _ = _two_kernel_reference(
         x, n1, n2, wqkv, wo, w1, w3, w2, k_cache, v_cache, pos, starts=starts
@@ -105,3 +106,27 @@ def test_stack_respects_starts():
     np.testing.assert_allclose(
         np.asarray(xs, np.float32), np.asarray(xr, np.float32), atol=1e-2, rtol=1e-2
     )
+
+
+def test_stack_bigdot_close_to_exact():
+    """The big-dot serving mode (bf16 per-weight dequant before the MXU —
+    the reference's aten _weight_int4pack_mm semantics) stays within bf16
+    accumulation distance of the exact-group-scaling mode."""
+    x, n1, n2, wqkv, wo, w1, w3, w2, k_cache, v_cache = _setup(seed=1)
+    args = (
+        x, n1, n2, wqkv[0], wqkv[1], wo[0], wo[1], w1[0], w1[1],
+        w3[0], w3[1], w2[0], w2[1],
+    )
+    pos = jnp.asarray(120, jnp.int32)
+    exact, _, _ = decode_stack_int4(
+        *args, k_cache, v_cache, pos, H, norm_eps=EPS, bigdot=False,
+        interpret=True,
+    )
+    fast, _, _ = decode_stack_int4(
+        *args, k_cache, v_cache, pos, H, norm_eps=EPS, bigdot=True,
+        interpret=True,
+    )
+    e = np.asarray(exact, np.float32)
+    f = np.asarray(fast, np.float32)
+    scale = np.abs(e).max() + 1e-6
+    assert np.abs(e - f).max() / scale < 0.08, (e[:, :4], f[:, :4])

@@ -124,3 +124,63 @@ def test_sharded_cached_decode_matches_single(params):
     sharded = psh.shard_params(params, TINY, m)
     out = run(sharded)
     np.testing.assert_allclose(out, ref, atol=3e-3, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: full-scale sharded compile evidence + multi-host topology math
+# ---------------------------------------------------------------------------
+
+from metavoice_tpu.parallel import aot
+
+
+def test_full_scale_sharded_decode_aot_compiles():
+    """The REAL 24L/16H/2048d decode step compiles under DP x TP shardings
+    (abstract params -> zero weight memory; compilation is the assertion)."""
+    m = pmesh.make_mesh(8, tensor_parallel=2)
+    ex = aot.compile_sharded_decode_step(m)
+    assert ex is not None
+
+
+def test_full_scale_sharded_train_aot_compiles():
+    """The REAL-scale finetune train step (Adam state sharded like params)
+    compiles under DP x TP."""
+    m = pmesh.make_mesh(8, tensor_parallel=2)
+    ex = aot.compile_sharded_train_step(m, batch=4, seq=2048)
+    assert ex is not None
+
+
+def test_multihost_mesh_topology_math():
+    """Process-aware mesh construction (mocked process counts: real
+    multi-host is untestable on this single-host image — see mesh.py)."""
+    devs = jax.devices()[:8]
+    # 2 hosts x 4 local devices: TP up to 4 legal, TP 8 must refuse (DCN)
+    m = pmesh.make_multihost_mesh(
+        4, devices=devs, process_count=2, local_device_count=4
+    )
+    assert m.shape == {"data": 2, "tensor": 4}
+    with pytest.raises(ValueError, match="cross DCN"):
+        pmesh.make_multihost_mesh(
+            8, devices=devs, process_count=2, local_device_count=4
+        )
+    with pytest.raises(ValueError, match="does not divide"):
+        pmesh.make_multihost_mesh(
+            3, devices=devs, process_count=2, local_device_count=4
+        )
+
+
+def test_process_batch_slice_math():
+    assert pmesh.process_batch_slice(16, process_index=0, process_count=4) == (0, 4)
+    assert pmesh.process_batch_slice(16, process_index=3, process_count=4) == (12, 16)
+    with pytest.raises(ValueError, match="not divisible"):
+        pmesh.process_batch_slice(10, process_index=0, process_count=4)
+
+
+def test_local_batch_to_global_single_process():
+    """Single-process path: device_put with the data sharding (the code path
+    is identical from 1 host to N; N-host needs a real DCN backend)."""
+    m = pmesh.make_mesh(8, tensor_parallel=2)
+    rows = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    arr = pmesh.local_batch_to_global(m, rows, rank=2)
+    assert arr.shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(arr), rows)
+    assert arr.sharding.shard_shape(arr.shape)[0] == 2  # 8 rows / data=4
