@@ -118,13 +118,21 @@ def init_df_params(key: jax.Array, cfg: DFConfig = DFConfig(), dtype=jnp.float32
         return (jax.random.normal(next(ki), (i, o)) / np.sqrt(i)).astype(dtype)
 
     h = cfg.gru_dim
+    # identity-biased heads: gains start near 1 (sigmoid(3) ~ 0.95) and the
+    # deep-filter taps start as a unit impulse at order 0, so the untrained
+    # net is near-transparent and training learns the *deviation* — the
+    # standard residual-init trick for enhancement nets
+    df_b = np.zeros((cfg.df_order, cfg.df_bins, 2), np.float32)
+    df_b[0, :, 0] = 1.0
     return {
         "enc_in": dense(cfg.n_erb, cfg.conv_ch),
         "gru_w_ih": dense(cfg.conv_ch, 3 * h),
         "gru_w_hh": dense(h, 3 * h),
         "gru_b": jnp.zeros((3 * h,), dtype),
         "gain_out": dense(h, cfg.n_erb),
-        "df_out": dense(h, cfg.df_bins * cfg.df_order * 2),
+        "gain_b": jnp.full((cfg.n_erb,), 2.0, dtype),
+        "df_out": dense(h, cfg.df_bins * cfg.df_order * 2) * 0.1,
+        "df_b": jnp.asarray(df_b.reshape(-1), dtype),
     }
 
 
@@ -156,13 +164,18 @@ def df_enhance_spec(params: Params, cfg: DFConfig, spec: jax.Array) -> jax.Array
     h = jax.nn.relu(feat @ params["enc_in"])
     h = _gru(h, params["gru_w_ih"], params["gru_w_hh"], params["gru_b"])
 
-    gains = jax.nn.sigmoid(h @ params["gain_out"])  # (B, T, E)
-    bin_gains = jnp.einsum("xte,eb->xtb", gains, fb * (fb > 0) * fb.shape[1])
-    bin_gains = jnp.clip(bin_gains, 0.0, 1.0)
+    gains = jax.nn.sigmoid(
+        h @ params["gain_out"] + params.get("gain_b", 0.0)
+    )  # (B, T, E)
+    # band MEMBERSHIP (0/1), not the normalized analysis rows: every bin of
+    # band e gets gain_e directly in [0, 1]. (A previous version scaled by
+    # n_bins/band_width, which forced the sigmoid into its saturated tail
+    # before any bin gain could drop below 1 — gains never learned.)
+    bin_gains = jnp.einsum("xte,eb->xtb", gains, (fb > 0).astype(gains.dtype))
     out = spec * bin_gains
 
     # deep filtering: complex taps over df_order past frames for low bins
-    df = (h @ params["df_out"]).reshape(
+    df = (h @ params["df_out"] + params.get("df_b", 0.0)).reshape(
         h.shape[0], h.shape[1], cfg.df_order, cfg.df_bins, 2
     )
     taps = df[..., 0] + 1j * df[..., 1]  # (B, T, O, df_bins)
@@ -196,15 +209,39 @@ class DFEnhancer:
         return istft_np(out[0], self.cfg.n_fft, self.cfg.hop, length=len(wav))
 
 
-def get_enhancer(enhancer_name: str = "spectral_gate", key: jax.Array | None = None) -> Callable:
+def get_enhancer(
+    enhancer_name: str = "spectral_gate",
+    key: jax.Array | None = None,
+    params: Params | None = None,
+    cfg: "DFConfig | None" = None,
+) -> Callable:
     """Factory, parity with reference get_enhancer (fam/llm/enhancers.py:86).
 
-    "df" returns the DFN-STYLE neural enhancer (train in-repo; real
-    DeepFilterNet weights do not load — see module docstring);
-    "spectral_gate" (default) works untrained; "none" is identity.
+    "df" returns the DFN-STYLE neural enhancer (train via
+    training/df_trainer; real DeepFilterNet weights do not load — see module
+    docstring); "spectral_gate" (default) works untrained; "none" is
+    identity. Pass trained ``params`` (and their ``cfg``) for "df" —
+    without them the network is RANDOM and actively corrupts audio, so the
+    factory warns loudly (mirroring the random-EnCodec warning in
+    runtime/tts.py).
     """
     if enhancer_name == "df":
-        return DFEnhancer(init_df_params(key if key is not None else jax.random.PRNGKey(0)))
+        dcfg = cfg or DFConfig()
+        if params is None:
+            params = init_df_params(
+                key if key is not None else jax.random.PRNGKey(0), dcfg
+            )
+        if "trained_iters" not in params:
+            import warnings
+
+            warnings.warn(
+                "get_enhancer('df') was given UNTRAINED weights: a random "
+                "GRU corrupts audio instead of enhancing it. Train via "
+                "metavoice_tpu.training.df_trainer.train_df (stamps "
+                "'trained_iters') or use enhancer='spectral_gate', which "
+                "needs no training."
+            )
+        return DFEnhancer(params, dcfg)
     if enhancer_name == "spectral_gate":
         return SpectralGateEnhancer()
     if enhancer_name == "none":

@@ -230,8 +230,12 @@ def _decode_fn(
         positions = s.pos[None]  # (1,)
         x = tfm.embed_inputs(params, cfg, idx2, positions, spk2, mask2, compute_dtype)
         attn_mask = tfm.causal_mask_for(positions, s.kv.max_seq_len)[None, None]
-        x, new_kv = tfm.apply_blocks(params, cfg, x, attn_mask, s.kv, s.pos)
-        logits = tfm.output_logits(params, cfg, x)[0][:, 0, :]  # (cfg_rows*B, V)
+        out, new_kv, head_done = tfm.apply_blocks(
+            params, cfg, x, attn_mask, s.kv, s.pos, fused_head=True
+        )
+        # head_done: the stack kernel fused final norm + int4 tied head and
+        # `out` is already (cfg_rows*B, V) f32 logits
+        logits = out if head_done else tfm.output_logits(params, cfg, out)[0][:, 0, :]
         if cfg_rows == 3:
             sampled = S.sample_cfg3(
                 sub, logits, guidance_scale, prompt_guidance_scale,
@@ -516,10 +520,11 @@ def _decode_batch_fn(
         attn_mask = (
             (kv_pos[None, :] <= s.pos) & (kv_pos[None, :] >= pad2[:, None])
         )[:, None, None, :]
-        x, new_kv = tfm.apply_blocks(
-            params, cfg, x, attn_mask, s.kv, s.pos, attn_starts=pad2
+        out, new_kv, head_done = tfm.apply_blocks(
+            params, cfg, x, attn_mask, s.kv, s.pos, attn_starts=pad2,
+            fused_head=True,
         )
-        logits = tfm.output_logits(params, cfg, x)[0][:, 0, :]
+        logits = out if head_done else tfm.output_logits(params, cfg, out)[0][:, 0, :]
         sampled = S.sample_cfg(
             sub, logits, guidance_scale, temperature=temperature, top_p=top_p
         )

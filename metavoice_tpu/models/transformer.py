@@ -234,11 +234,16 @@ def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
         if int4_large_m:
             on_tpu = False
         if "pw" in w:  # int4-in-int32 serving format (ops/quantized.py)
-            # prefill / CPU / training-free path: XLA dense dequant. The hot
-            # decode loop never lands here — apply_blocks routes single-token
-            # steps to the int4 megakernels instead.
+            # prefill path: the M-tiled Pallas kernel keeps the weight read
+            # 4-bit (round 2 fell back to XLA dense dequant here, which
+            # rematerialized the bf16 weights per prompt bucket). The hot
+            # decode loop never lands here — apply_blocks routes
+            # single-token steps to the fused megakernels instead.
             n = w["pw"].shape[-1]
-            y2 = qz.matmul_int4_i32_reference(x2, w["pw"], w["sc"])
+            if on_tpu and n % 128 == 0:
+                y2 = qz.matmul_int4_i32(x2, w["pw"], w["sc"])
+            else:
+                y2 = qz.matmul_int4_i32_reference(x2, w["pw"], w["sc"])
             y = y2.reshape(*lead, n).astype(x.dtype)
             if b is not None:
                 y = y + b.astype(x.dtype)
@@ -442,8 +447,16 @@ def apply_blocks(
     cache_pos: jax.Array | None = None,
     attn_starts: jax.Array | None = None,
     dropout_key: jax.Array | None = None,
+    fused_head: bool = False,
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the L-layer block stack as one ``lax.scan``.
+
+    ``fused_head=True`` (decode callers only) returns a THREE-tuple
+    (x_or_logits, new_kv, head_done): when the whole-stack kernel runs with
+    packed lm-head weights (params["lm_head_q"]), the final norm + tied
+    head are fused into its last grid step and ``x_or_logits`` is the (B, V)
+    f32 logits (head_done=True); otherwise x is the normed hidden state as
+    usual (head_done=False) and the caller applies output_logits.
 
     Hot-loop note: the KV cache rides in the scan *carry*, updated with
     ``dynamic_update_slice`` at (layer, .., cache_pos) — XLA aliases loop
@@ -534,7 +547,18 @@ def apply_blocks(
             if use_stack:
                 from metavoice_tpu.ops.decode_stack import decode_stack_int4
 
-                xo, k_new, v_new = decode_stack_int4(
+                head = params.get("lm_head_q") if fused_head else None
+                do_head = head is not None and "ln_f_b" not in params
+                head_kwargs = (
+                    dict(
+                        ln_f_w=params["ln_f_w"],
+                        head_pw=head["pw"],
+                        head_sc=head["sc"],
+                    )
+                    if do_head
+                    else {}
+                )
+                outs = decode_stack_int4(
                     x[:, 0, :],
                     lp_stack["attn_norm_w"],
                     lp_stack["ffn_norm_w"],
@@ -548,10 +572,19 @@ def apply_blocks(
                     cfg.n_head,
                     starts=attn_starts,
                     norm_eps=cfg.norm_eps,
+                    **head_kwargs,
                 )
-                x = xo[:, None, :].astype(x.dtype)
+                new_kv = KVCache(k=outs[1], v=outs[2], k_scale=None, v_scale=None)
+                if do_head:
+                    # fused final norm + int4 tied head: slice off the vocab
+                    # padding columns (their sc rows are zeroed -> logits 0)
+                    logits = outs[3][:, : cfg.vocab_sizes[0]]
+                    return logits, new_kv, True
+                x = outs[0][:, None, :].astype(x.dtype)
                 x = _norm(x, params["ln_f_w"], params.get("ln_f_b"), cfg.norm_type, cfg.norm_eps)
-                return x, KVCache(k=k_new, v=v_new, k_scale=None, v_scale=None)
+                if fused_head:
+                    return x, new_kv, False
+                return x, new_kv
 
             # int4 serving fallback: TWO Pallas calls per layer (attention
             # block + fused FFN), both DMA-slicing the STACKED packed
@@ -592,7 +625,10 @@ def apply_blocks(
                 small,
             )
             x = _norm(x, params["ln_f_w"], params.get("ln_f_b"), cfg.norm_type, cfg.norm_eps)
-            return x, KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
+            kv_out = KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
+            if fused_head:
+                return x, kv_out, False
+            return x, kv_out
 
         def body(carry, lp):
             x, k_full, v_full, ks_full, vs_full, li = carry
@@ -731,6 +767,8 @@ def apply_blocks(
         new_kv = None
 
     x = _norm(x, params["ln_f_w"], params.get("ln_f_b"), cfg.norm_type, cfg.norm_eps)
+    if fused_head:
+        return x, new_kv, False
     return x, new_kv
 
 

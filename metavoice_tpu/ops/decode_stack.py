@@ -68,6 +68,7 @@ def _decode_stack_kernel(
     b: int,
     norm_eps: float,
     bigdot: bool,
+    with_head: bool,
     # scalar prefetch
     pos_ref,  # (1,) int32
     # VMEM inputs
@@ -77,6 +78,7 @@ def _decode_stack_kernel(
     xones_ref,  # (D, Gp) bf16
     hones_ref,  # (Ip, G2p) bf16
     starts_ref,  # (BH, 1) int32
+    lnf_ref,  # (1, D) final-norm weight (dummy (1, 8) when with_head=False)
     # HBM inputs (stacked over layers; manual DMA)
     wqkv_hbm,  # (L, D/8, 3D) i32
     sqkv_hbm,  # (L, 2*Gp, 3D) bf16
@@ -90,10 +92,13 @@ def _decode_stack_kernel(
     s2_hbm,  # (L, 2*G2p, D) bf16
     k_hbm,  # (L, S, BH, Dh) — aliased out
     v_hbm,
+    hpw_hbm,  # (D/8, Vp) i32 packed tied lm head (dummy when no head)
+    hsc_hbm,  # (2*Gp, Vp) bf16
     # outputs
     xo_ref,  # (Bpad, D) bf16 — residual stream after the last layer
     k_out,
     v_out,
+    lg_ref,  # (Bpad, Vp) f32 logits (dummy (Bpad, 128) when no head)
     # scratch (persists across grid steps)
     x_scr,  # (Bpad, D) bf16 residual carry
     w_buf,  # (2, D/8, tile) i32 — qkv + o tiles
@@ -157,6 +162,13 @@ def _decode_stack_kernel(
         return (
             pltpu.make_async_copy(w2_hbm.at[li, :, sl], w2_buf.at[slot], f2_sems.at[slot, 0]),
             pltpu.make_async_copy(s2_hbm.at[li, :, sl], s2_buf.at[slot], f2_sems.at[slot, 1]),
+        )
+
+    def head_dma(slot, j):
+        sl = pl.ds(j * tile, tile)
+        return (
+            pltpu.make_async_copy(hpw_hbm.at[:, sl], w_buf.at[slot], w_sems.at[slot, 0]),
+            pltpu.make_async_copy(hsc_hbm.at[:, sl], sc_buf.at[slot], w_sems.at[slot, 1]),
         )
 
     def chunk_dma(slot, c):
@@ -281,11 +293,18 @@ def _decode_stack_kernel(
 
     jax.lax.fori_loop(0, n_o_tiles, o_body, None)
 
-    # layer li+1's qkv tile 0 can stream during our entire FFN
+    # layer li+1's qkv tile 0 can stream during our entire FFN; on the LAST
+    # layer the fused lm head's first tile streams instead
     @pl.when(li + 1 < n_layers)
     def _():
         for dma in qkv_dma(0, 0, li + 1):
             dma.start()
+
+    if with_head:
+        @pl.when(li + 1 == n_layers)
+        def _():
+            for dma in head_dma(0, 0):
+                dma.start()
 
     # ---- phase 4: FFN (SwiGLU, int4 weight stream) -------------------------
     h = x_scr[:]
@@ -339,6 +358,31 @@ def _decode_stack_kernel(
     # either flush-once or flush-per-step output semantics
     xo_ref[:] = x_scr[:]
 
+    # ---- phase 5 (last layer only): final norm + int4 tied lm head ---------
+    if with_head:
+        n_h_tiles = lg_ref.shape[1] // tile
+
+        @pl.when(li + 1 == n_layers)
+        def _():
+            xf = _rmsnorm(x_scr[:].astype(jnp.float32), lnf_ref[0, :], norm_eps)
+            xfsum = jnp.dot(xf, xones_ref[:], preferred_element_type=jnp.float32)
+
+            def h_body(j, _):
+                slot = jax.lax.rem(j, 2)
+
+                @pl.when(j + 1 < n_h_tiles)
+                def _():
+                    for dma in head_dma(jax.lax.rem(j + 1, 2), j + 1):
+                        dma.start()
+
+                for dma in head_dma(slot, j):
+                    dma.wait()
+                acc = matmul(xf, xfsum, w_buf[slot], sc_buf[slot])
+                lg_ref[:, pl.ds(j * tile, tile)] = acc
+                return _
+
+            jax.lax.fori_loop(0, n_h_tiles, h_body, None)
+
 
 def decode_stack_int4(
     x: jax.Array,  # (B, D) residual stream (NOT normed), bf16
@@ -365,14 +409,20 @@ def decode_stack_int4(
     tile: int = STACK_TILE,
     chunk: int | None = None,
     bigdot: bool | None = None,
+    ln_f_w: jax.Array | None = None,  # (D,) — enables the fused head
+    head_pw: jax.Array | None = None,  # (D/8, Vp) i32 packed wte^T
+    head_sc: jax.Array | None = None,  # (2*Gp, Vp) bf16
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+):
     """All decode layers in one Pallas call (see module docstring).
 
     Returns (x_out (B, D) bf16 residual stream after the last layer,
-    k_cache, v_cache). Final norm + lm head stay outside. Requires MHA,
-    Dh % 128 == 0, D % tile == 0, bf16 cache (the int8-cache serving path
-    keeps the two-kernel route).
+    k_cache, v_cache) — and, when ``ln_f_w``/``head_pw``/``head_sc`` are
+    given, a fourth element: (B, Vp) f32 logits from a FUSED final
+    norm + int4 tied-lm-head phase on the last grid step (the bf16 tied
+    head read was the last non-4-bit weight stream in the decode path).
+    Requires MHA, Dh % 128 == 0, D % tile == 0, bf16 cache (the int8-cache
+    serving path keeps the two-kernel route).
     """
     b, d = x.shape
     dh = d // n_head
@@ -385,6 +435,11 @@ def decode_stack_int4(
     bpad = max(8, b)
     if chunk is None:
         chunk = _chunk_for(bh, dh)
+    import os as _os
+
+    # experiment knobs (documented in docs/PERFORMANCE.md)
+    tile = int(_os.environ.get("MVTPU_STACK_TILE", tile))
+    chunk = int(_os.environ.get("MVTPU_STACK_CHUNK", chunk))
     gp = wqkv_sc.shape[1] // 2
     g1p = w1_sc.shape[1] // 2
     g2p = w2_sc.shape[1] // 2
@@ -401,6 +456,18 @@ def decode_stack_int4(
     xones = group_ones(d, gp, groupsize)
     hones = group_ones(ip, g2p, groupsize)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    with_head = head_pw is not None
+    if with_head:
+        assert ln_f_w is not None and head_sc is not None
+        vp = head_pw.shape[1]
+        assert vp % tile == 0 and head_pw.shape[0] * 8 == d
+        assert head_sc.shape[0] == 2 * gp
+        lnf = ln_f_w.reshape(1, d)
+    else:
+        vp = 128
+        lnf = jnp.zeros((1, 8), jnp.bfloat16)
+        head_pw = jnp.zeros((1, 8), jnp.int32)
+        head_sc = jnp.zeros((1, 8), jnp.bfloat16)
     if bigdot is None:
         # measured on v5e: bigdot=True decodes at 333 tok/s vs 527 for the
         # per-group small-dot path — the (K, tile) scratch round-trip and
@@ -423,6 +490,7 @@ def decode_stack_int4(
             pl.BlockSpec((d, gp), lambda i, *_: (0, 0)),  # xones
             pl.BlockSpec((ip, g2p), lambda i, *_: (0, 0)),  # hones
             pl.BlockSpec((bh, 1), lambda i, *_: (0, 0)),  # starts
+            pl.BlockSpec(lnf.shape, lambda i, *_: (0, 0)),  # ln_f (or dummy)
             pl.BlockSpec(memory_space=pltpu.HBM),  # wqkv
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # wo
@@ -435,11 +503,14 @@ def decode_stack_int4(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # k cache
             pl.BlockSpec(memory_space=pltpu.HBM),  # v cache
+            pl.BlockSpec(memory_space=pltpu.HBM),  # head pw (or dummy)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # head sc (or dummy)
         ],
         out_specs=(
             pl.BlockSpec((bpad, d), lambda i, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((bpad, vp), lambda i, *_: (0, 0)),  # logits (or dummy)
         ),
         scratch_shapes=[
             pltpu.VMEM((bpad, d), jnp.bfloat16),  # x_scr
@@ -466,20 +537,21 @@ def decode_stack_int4(
             pltpu.SemaphoreType.DMA((2, 2)),  # cache chunks
         ],
     )
-    xo, k_out, v_out = pl.pallas_call(
+    xo, k_out, v_out, lg = pl.pallas_call(
         partial(
             _decode_stack_kernel, dh, chunk, groupsize, tile, l, b, norm_eps,
-            bigdot,
+            bigdot, with_head,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),
             jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
             jax.ShapeDtypeStruct(v_flat.shape, v_flat.dtype),
+            jax.ShapeDtypeStruct((bpad, vp), jnp.float32),
         ),
         grid_spec=grid_spec,
-        # operands: [scalars, x, n1, n2, xones, hones, starts, 10 weights,
-        # k, v] -> k at index 17, v at 18 (scalar prefetch counts as 0)
-        input_output_aliases={17: 1, 18: 2},
+        # operands: [scalars, x, n1, n2, xones, hones, starts, lnf,
+        # 10 weights, k, v, hpw, hsc] -> k at index 18, v at 19
+        input_output_aliases={18: 1, 19: 2},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -487,11 +559,14 @@ def decode_stack_int4(
         interpret=interpret,
     )(
         pos_arr, x_pad, norm1_w.reshape(l, 1, d), norm2_w.reshape(l, 1, d), xones, hones, starts_bh,
-        wqkv_pw, wqkv_sc, wo_pw, wo_sc, w1_pw, w1_sc, w3_pw, w3_sc,
-        w2_pw, w2_sc, k_flat, v_flat,
+        lnf, wqkv_pw, wqkv_sc, wo_pw, wo_sc, w1_pw, w1_sc, w3_pw, w3_sc,
+        w2_pw, w2_sc, k_flat, v_flat, head_pw, head_sc,
     )
-    return (
+    out = (
         xo[:b],
         k_out.reshape(k_cache.shape),
         v_out.reshape(v_cache.shape),
     )
+    if with_head:
+        return out + (lg[:b],)
+    return out

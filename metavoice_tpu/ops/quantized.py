@@ -571,6 +571,26 @@ def quantize_params_int4_i32(params: dict, groupsize: int = I32_GROUPSIZE) -> di
             col = jnp.arange(sc.shape[2]) < n_real
             layers[key]["sc"] = jnp.where(col[None, None, :], sc, 0.0)
     out["layers"] = layers
+    # tied lm head (single-hierarchy, reference fam/llm/model.py:139-143):
+    # pack wte^T so the decode stack kernel can stream the head read in
+    # 4 bits too (the bf16 tied read was ~10.5 MB/token, ~1.5% of decode
+    # time). The bf16 wte stays for the embedding row-gather. The vocab dim
+    # is zero-padded to a tile multiple; pad columns carry s = c = 0 and
+    # their logits are sliced off before sampling.
+    if (
+        len(params.get("wtes", ())) == 1
+        and "lm_heads" not in params
+        and params["wtes"][0].shape[1] % (8 * groupsize) == 0
+    ):
+        wt = params["wtes"][0].T  # (D, V)
+        vp = _round_up(wt.shape[1], 1024)
+        if vp != wt.shape[1]:
+            wt = jnp.concatenate(
+                [wt, jnp.zeros((wt.shape[0], vp - wt.shape[1]), wt.dtype)], axis=1
+            )
+        hpw, hsc = quantize_int4_i32(wt, groupsize)
+        col = jnp.arange(vp) < params["wtes"][0].shape[0]
+        out["lm_head_q"] = {"pw": hpw, "sc": jnp.where(col[None, :], hsc, 0.0)}
     return out
 
 
@@ -825,3 +845,66 @@ def ffn_int4_i32_reference(x, pw1, sc1, pw3, sc3, pw2, sc2, groupsize=I32_GROUPS
     h3 = matmul_int4_i32_reference(x.astype(jnp.float32), pw3, sc3, groupsize)
     h = jax.nn.silu(h1) * h3
     return matmul_int4_i32_reference(h, pw2, sc2, groupsize)
+
+
+# --------------------------------------------------------------------------------------
+# M-tiled int4 prefill matmul: packed-weight reads for multi-token forwards
+# --------------------------------------------------------------------------------------
+#
+# Round 2 prefilled through matmul_int4_i32_reference — XLA dense dequant
+# that rematerializes the bf16 weights per prompt bucket (~45 ms/call on the
+# tunneled backend). This kernel runs prefill through the SAME packed
+# int4-in-int32 weights as decode: a (m_tiles, n_tiles) grid where each cell
+# computes a (256, tile) output block with in-register dequant; Pallas's
+# BlockSpec pipeline double-buffers the weight tiles automatically.
+# Reference analogue: prefill compiled through the quantized modules at
+# fam/llm/fast_inference_utils.py:283-308,363-368.
+
+PREFILL_M_TILE = 256
+
+
+def _prefill_int4_kernel(groupsize, x_ref, xones_ref, pw_ref, sc_ref, o_ref):
+    x = x_ref[:]
+    xsum = jnp.dot(x, xones_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = _int4_group_matmul(x, xsum, pw_ref[:], sc_ref[:], groupsize)
+
+
+def matmul_int4_i32(
+    x: jax.Array,  # (M, K) activations (any float dtype; computed in bf16)
+    pw: jax.Array,  # (K/8, N) int32 packed
+    sc: jax.Array,  # (2*Gp, N) bf16 scales/constants
+    groupsize: int = I32_GROUPSIZE,
+    interpret: bool = False,
+) -> jax.Array:
+    """(M, K) @ packed-int4 (K, N) -> (M, N) f32, M-tiled Pallas kernel."""
+    m, k = x.shape
+    n = pw.shape[1]
+    assert pw.shape[0] * 8 == k, (x.shape, pw.shape)
+    tile = next((t for t in (1024, 512, 256, 128) if n % t == 0), None)
+    if tile is None:
+        raise ValueError(f"N={n} not tileable")
+    mt = PREFILL_M_TILE
+    mpad = _round_up(max(m, 8), 8)
+    if mpad % mt != 0 and mpad > mt:
+        mpad = _round_up(mpad, mt)
+    mt = min(mt, mpad)
+    gp = sc.shape[0] // 2
+    xp = jnp.zeros((mpad, k), jnp.bfloat16).at[:m].set(x.astype(jnp.bfloat16))
+    xones = group_ones(k, gp, groupsize)
+    out = pl.pallas_call(
+        partial(_prefill_int4_kernel, groupsize),
+        grid=(mpad // mt, n // tile),
+        in_specs=[
+            pl.BlockSpec((mt, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, gp), lambda i, j: (0, 0)),
+            pl.BlockSpec((k // 8, tile), lambda i, j: (0, j)),
+            pl.BlockSpec((2 * gp, tile), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((mt, tile), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mpad, n), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, xones, pw, sc)
+    return out[:m]

@@ -290,20 +290,36 @@ def _convert_diffusion_unet(ms: dict) -> tuple[dict, dict]:
     return params, cfg_kwargs
 
 
-def convert_mbd_checkpoint(pkg: dict):
+def convert_mbd_checkpoint(pkg: dict, bottleneck: str = "auto"):
     """audiocraft MBD package -> (params, MBDConfig).
 
     ``pkg`` is the loaded torch pickle (or a same-shaped dict). Schedule
     hyperparameters come from the per-band ``cfg`` when it is a plain dict
     (omegaconf objects are read via dict access too); otherwise defaults.
+
+    ``bottleneck``: "auto" (default) refuses checkpoints with a recurrent
+    bottleneck core (keys are auto-detected; converting one silently would
+    drop weights) and otherwise uses the "zeroed" reading of unet.py's
+    LSTM-less bottleneck; pass "zeroed" or "passthrough" explicitly to
+    A/B a real checkpoint against both readings (models/mbd.UNetConfig).
     """
     from metavoice_tpu.models.mbd import MBDConfig, ScheduleConfig, UNetConfig
 
+    if bottleneck not in ("auto", "zeroed", "passthrough"):
+        raise ValueError(f"bottleneck must be auto|zeroed|passthrough, got {bottleneck!r}")
     n = pkg["n_bands"]
     processes = []
     unet_kwargs = None
     for i in range(n):
         ms = pkg[i]["model_state"]
+        lstm_keys = [k for k in ms if "lstm" in k.lower() or "transformer" in k.lower()]
+        if lstm_keys:
+            raise NotImplementedError(
+                "this MBD checkpoint has a recurrent/transformer bottleneck "
+                f"core (keys like {lstm_keys[:3]}); converting it would "
+                "silently drop those weights — file an issue / extend "
+                "_convert_diffusion_unet"
+            )
         unet_params, kw = _convert_diffusion_unet(ms)
         unet_kwargs = unet_kwargs or kw
         ps = pkg[i]["processor_state"]
@@ -338,7 +354,10 @@ def convert_mbd_checkpoint(pkg: dict):
     cfg = MBDConfig(
         sample_rate=pkg.get("sample_rate", 24_000),
         n_processes=n,
-        unet=UNetConfig(**unet_kwargs),
+        unet=UNetConfig(
+            **unet_kwargs,
+            bottleneck="zeroed" if bottleneck == "auto" else bottleneck,
+        ),
         schedule=schedule,
         processor_bands=proc_bands,
         step_list=step_list,
@@ -346,9 +365,9 @@ def convert_mbd_checkpoint(pkg: dict):
     return {"processes": processes}, cfg
 
 
-def load_mbd_pt(path: str):
+def load_mbd_pt(path: str, bottleneck: str = "auto"):
     """Load an audiocraft mbd_comp_*.pt checkpoint -> (params, MBDConfig)."""
     import torch
 
     pkg = torch.load(path, map_location="cpu", weights_only=False)
-    return convert_mbd_checkpoint(pkg)
+    return convert_mbd_checkpoint(pkg, bottleneck=bottleneck)

@@ -29,6 +29,20 @@ for k in data.files:
         d = d.setdefault(p, {})
     d[parts[-1]] = jnp.asarray(a)
 
+if "lm_head_q" not in params:
+    # cache predates the packed tied head: build it from the bf16 wte
+    from metavoice_tpu.ops import quantized as qz
+
+    wte = jnp.asarray(params["wtes"][0])
+    vp = -(-wte.shape[0] // 1024) * 1024
+    wt = jnp.concatenate(
+        [wte.T, jnp.zeros((wte.shape[1], vp - wte.shape[0]), wte.dtype)], axis=1
+    )
+    hpw, hsc = qz.quantize_int4_i32(wt)
+    col = jnp.arange(vp) < wte.shape[0]
+    params["lm_head_q"] = {"pw": hpw, "sc": jnp.where(col[None, :], hsc, 0.0)}
+    log("packed lm head built from cached wte")
+
 key = jax.random.PRNGKey(0)
 prompt_len = 64
 prompt = jax.random.randint(key, (1, 128), 2049, cfg.vocab_size)

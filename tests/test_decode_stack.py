@@ -130,3 +130,34 @@ def test_stack_bigdot_close_to_exact():
     f = np.asarray(fast, np.float32)
     scale = np.abs(e).max() + 1e-6
     assert np.abs(e - f).max() / scale < 0.08, (e[:, :4], f[:, :4])
+
+
+def test_stack_fused_head_matches_reference():
+    """Fused final-norm + int4 tied-head phase == jnp reference on the same
+    residual stream (exact-mode blocks, reference int4 matmul oracle)."""
+    x, n1, n2, wqkv, wo, w1, w3, w2, k_cache, v_cache = _setup(seed=7)
+    vocab, vp = 200, 1024
+    rng = np.random.default_rng(11)
+    wte = jnp.asarray(rng.normal(size=(vocab, D)).astype(np.float32) * 0.05)
+    wt = jnp.concatenate([wte.T, jnp.zeros((D, vp - vocab), jnp.float32)], axis=1)
+    hpw, hsc = qz.quantize_int4_i32(wt)
+    hsc = jnp.where((jnp.arange(vp) < vocab)[None, :], hsc, 0.0)
+    lnf = jnp.ones((D,), jnp.bfloat16)
+    pos = jnp.asarray(64, jnp.int32)
+
+    xs, _, _, lg = decode_stack_int4(
+        x, n1, n2, wqkv[0], wqkv[1], wo[0], wo[1], w1[0], w1[1],
+        w3[0], w3[1], w2[0], w2[1], k_cache, v_cache, pos, H,
+        norm_eps=EPS, bigdot=False, ln_f_w=lnf, head_pw=hpw, head_sc=hsc,
+        interpret=True,
+    )
+    # reference: same normed hidden through the jnp int4 oracle
+    xn = _norm_bf16(xs, lnf)
+    ref = qz.matmul_int4_i32_reference(xn.astype(jnp.float32), hpw, hsc)
+    np.testing.assert_allclose(
+        np.asarray(lg[:, :vocab], np.float32),
+        np.asarray(ref[:, :vocab], np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    # vocab padding columns carry zeroed scales -> exactly zero logits
+    np.testing.assert_array_equal(np.asarray(lg[:, vocab:]), 0.0)

@@ -340,3 +340,19 @@ def test_int8_kv_cache_forward_close_to_bf16():
     out8 = run(tfm.KVCache.create(tiny, 1, 64, dtype=jnp.int8))
     denom = np.abs(out16).max()
     assert np.abs(out16 - out8).max() / denom < 0.05
+
+
+@pytest.mark.parametrize("m", [1, 8, 200, 300])
+def test_prefill_matmul_matches_reference(m):
+    """M-tiled prefill kernel == jnp reference (packed weights, grid over
+    (m_tiles, n_tiles), in-register dequant)."""
+    rng = np.random.default_rng(m)
+    k, n = 1024, 512
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.1)
+    pw, sc = qz.quantize_int4_i32(w)
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32) * 0.5)
+    ref = qz.matmul_int4_i32_reference(x, pw, sc)
+    out = qz.matmul_int4_i32(x, pw, sc, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=0.05 * float(jnp.abs(ref).max()), rtol=0.05
+    )
