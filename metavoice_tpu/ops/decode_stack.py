@@ -529,7 +529,11 @@ def decode_stack_int4(
             pltpu.VMEM((bh, dh), jnp.float32),  # acc
             pltpu.VMEM((bh, 128), jnp.float32),  # m
             pltpu.VMEM((bh, 128), jnp.float32),  # l
-            pltpu.VMEM((max(ip, d), tile), jnp.bfloat16),  # wd_scr (big-dot)
+            # big-dot scratch only when that experiment flag is on — it is
+            # 12-25 MB of VMEM that otherwise just crowds the working set
+            pltpu.VMEM(
+                (max(ip, d), tile) if bigdot else (8, 128), jnp.bfloat16
+            ),  # wd_scr
             pltpu.SemaphoreType.DMA((2, 2)),  # w_sems
             pltpu.SemaphoreType.DMA((2, 4)),  # f_sems
             pltpu.SemaphoreType.DMA((2, 2)),  # f2_sems

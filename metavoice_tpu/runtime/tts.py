@@ -403,37 +403,59 @@ class TTS:
         return cls(comps, **kwargs)
 
     # ------------------------------------------------------------------ warmup
-    def warmup(self, prompt_buckets: tuple[int, ...] = (128, 256)) -> None:
-        """Precompile the hot programs so the first user request is fast.
+    def warmup(
+        self,
+        prompt_buckets: tuple[int, ...] = (128, 256),
+        vocoder_frame_buckets: tuple[int, ...] = (25, 50, 75, 150, 225, 300),
+        guidance_variants: tuple = (3.0, (2.0, 1.5)),
+    ) -> None:
+        """Precompile the FULL serving envelope so no real request compiles.
 
         The reference pays a lazy 30-90 s torch.compile warmup inside
         build_model (fam/llm/fast_inference_utils.py:354-390). Here warmup is
         explicit and, combined with the persistent XLA compile cache, a warm
-        process start compiles nothing: one prefill per prompt bucket, the
-        decode loop, the second stage, and the vocoder.
+        process start compiles nothing. Coverage (round 3 widened this from
+        the 2-bucket prefill + 75-frame vocoder of round 2, which still let
+        1-2 s chunks and 3-row-CFG requests compile at request time):
+
+          * first-stage prefill + decode per prompt bucket AND per CFG row
+            count (``guidance_variants``: plain speaker CFG and the
+            (spk, prompt) double-guidance triple);
+          * the second stage (one shape: it always pads to its context);
+          * the vocoder at every non-streaming chunk bucket up to
+            ``vocoder_frame_buckets[-1]`` frames (the _tokens_to_wav
+            bucketing: 1/3 s granularity under 1 s, 1 s above);
+          * the streaming fused stage2+vocoder programs.
+
+        tests/test_warmup_coverage.py pins "zero new compiles after warmup"
+        via the jax backend_compile monitoring event.
         """
         key = jax.random.PRNGKey(0)
         spk = jnp.zeros((1, self.c.first_stage_cfg.speaker_emb_dim))
+        eot = self.c.tokenizer.eot_token
         for bucket in prompt_buckets:
             bucket = min(bucket, self.c.first_stage_cfg.block_size // 2)
             prompt = list(range(T.TEXT_OFFSET, T.TEXT_OFFSET + min(bucket, 16)))
             padded = prompt + [0] * (bucket - len(prompt))
-            # default end_of_audio_token: static args must match serving or
-            # the decode program recompiles on the first real request
-            seq = fs.generate(
-                self.c.first_stage_params,
-                self.c.first_stage_cfg,
-                padded,
-                spk,
-                key=key,
-                max_new_tokens=4,
-                prompt_pad_multiple=bucket,
-                kv_cache=self._kv_cache,
-                compute_dtype=self._compute_dtype,
-                cache_dtype=self._cache_dtype,
-            )
-            del seq
-        # second stage + vocoder
+            for g in guidance_variants:
+                # default end_of_audio_token: static args must match serving
+                # or the decode program recompiles on the first real request
+                seq = fs.generate(
+                    self.c.first_stage_params,
+                    self.c.first_stage_cfg,
+                    padded,
+                    spk,
+                    key=key,
+                    max_new_tokens=4,
+                    guidance_scale=g,
+                    end_of_text_token=eot,
+                    prompt_pad_multiple=bucket,
+                    kv_cache=self._persistent_kv_cache(g),
+                    compute_dtype=self._compute_dtype,
+                    cache_dtype=self._cache_dtype,
+                )
+                del seq
+        # second stage (single shape — it pads to its full context)
         coarse = [[1, 2, 3, 4], [5, 6, 7, 8]]
         codes = ss.complete_hierarchies(
             self.c.second_stage_params,
@@ -444,10 +466,9 @@ class TTS:
             key=key,
             compute_dtype=self._compute_dtype,
         )
-        # precompile the vocoder at the short-segment bucket (25 frames,
-        # the streaming first segment) and the steady-state bucket (75)
+        # vocoder at every non-streaming bucket in the envelope
         codes = np.asarray(codes)
-        for bucket in (25, 75):
+        for bucket in vocoder_frame_buckets:
             if codes.shape[1] > bucket:
                 continue
             padded_codes = np.pad(codes, ((0, 0), (0, bucket - codes.shape[1])))
@@ -457,7 +478,7 @@ class TTS:
                     jnp.asarray(padded_codes),
                 )
             )
-        # and the streaming fused stage2+vocoder programs for those buckets
+        # and the streaming fused stage2+vocoder programs
         if self.c.vocoder == "encodec":
             for n_audio in (4, 30, 75):
                 np.asarray(
