@@ -180,3 +180,36 @@ def sample_cfg3(
     """Double-CFG merge then sample. ``logits``: (3B, V) -> (B,) int32."""
     merged = cfg_merge3(logits, spkemb_guidance_scale, prompt_guidance_scale)
     return sample_from_logits(key, merged, temperature=temperature, top_p=top_p, top_k=top_k)
+
+
+def top_p_probs(probs: jax.Array, top_p: jax.Array | float) -> jax.Array:
+    """PROB-space nucleus filter — the reference's slow-path variant
+    (fam/llm/mixins/causal.py:9-30), kept alongside the logit-space fast
+    variant (``top_p_mask``, fast_inference_utils.py:68-82) for full parity.
+
+    The two variants provably agree except at exact threshold ties: here a
+    token whose EXCLUSIVE cumulative probability equals ``top_p`` is KEPT
+    (the reference's shifted ``cum > top_p`` mask, i.e. ``<=``), while the
+    fast variant drops it (``<``). tests/test_sampling.py pins both the
+    agreement on generic inputs and the documented divergence at the tie.
+
+    probs: (..., V) normalized probabilities -> renormalized filtered probs.
+    """
+    top_p = jnp.asarray(top_p, jnp.float32)
+    order = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs.astype(jnp.float32), order, axis=-1)
+    cum_excl = jnp.cumsum(sorted_probs, axis=-1) - sorted_probs
+    keep_sorted = cum_excl <= top_p
+    keep_sorted = keep_sorted.at[..., 0].set(True)
+    kept_sorted = jnp.where(keep_sorted, sorted_probs, 0.0)
+    shape = probs.shape
+    v = shape[-1]
+    order2 = order.reshape(-1, v)
+    rows = jnp.arange(order2.shape[0])[:, None]
+    kept = (
+        jnp.zeros(order2.shape, jnp.float32)
+        .at[rows, order2]
+        .set(kept_sorted.reshape(-1, v))
+        .reshape(shape)
+    )
+    return kept / jnp.maximum(kept.sum(axis=-1, keepdims=True), 1e-30)

@@ -178,6 +178,21 @@ class ContinuousBatchingEngine:
         self._running = False
         self._queue.put(None)
         self._thread.join(timeout=10)
+        # fail anything still in flight or queued so no caller blocks forever
+        err = RuntimeError("engine shut down")
+        for i, s in enumerate(self._slots):
+            if not s.free:
+                self._fail(i, err)
+        for req in self._deferred:
+            self._fail_request(req, err)
+        self._deferred = []
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                self._fail_request(req, err)
         self._render_pool.shutdown(wait=False)
 
     # ------------------------------------------------------------------ worker
@@ -199,9 +214,16 @@ class ContinuousBatchingEngine:
                 try:
                     self._step_segment()
                 except Exception as e:
-                    # device-level failure: fail every in-flight request
+                    # device-level failure: fail every in-flight request and
+                    # rebuild the cache (decode_batch donates it — after an
+                    # aborted call the old buffers must not be reused)
                     for i in self._actives():
                         self._fail(i, e)
+                    self._kv = tfm.KVCache.create(
+                        self._cfg, 2 * self.n_slots, self._block,
+                        dtype=self._cache_dtype,
+                    )
+                    self._pos = 0
             if not self._running:
                 return
 
@@ -226,8 +248,8 @@ class ContinuousBatchingEngine:
     def _start_group(self, reqs: list[SynthesisRequest]):
         """Fresh group at physical position 0: one batched ragged prefill."""
         c = self.tts.c
-        reqs = reqs[: self.n_slots]
         overflow = reqs[self.n_slots :]
+        reqs = reqs[: self.n_slots]
         self._deferred.extend(overflow)
         bucket = self._bucket(max(len(r.prompt_tokens) for r in reqs))
         prompts = []
@@ -457,12 +479,15 @@ class ContinuousBatchingEngine:
         s = self._slots[slot]
         self._slots[slot] = _Slot()
         self._cur[slot] = T.END_OF_AUDIO_TOKEN
-        if s.req is None:
-            return
-        if s.req.stream:
-            s.req.handle._finish(e)
-        elif not s.req.future.done():
-            s.req.future.set_exception(e)
+        if s.req is not None:
+            self._fail_request(s.req, e)
+
+    @staticmethod
+    def _fail_request(req: SynthesisRequest, e: Exception):
+        if req.stream:
+            req.handle._finish(e)
+        elif not req.future.done():
+            req.future.set_exception(e)
 
 
 class BatchingEngine(ContinuousBatchingEngine):

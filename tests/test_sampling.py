@@ -139,3 +139,51 @@ def test_sample_cfg3_shape():
     tok = S.sample_cfg3(jax.random.PRNGKey(0), logits, 3.0, 2.0, top_p=0.95)
     assert tok.shape == (2,)
     assert tok.dtype == jnp.int32
+
+
+def test_top_p_probs_matches_torch_slow_path_oracle():
+    """Prob-space variant == a numpy transcription of mixins/causal.py:9-30."""
+    rng = np.random.default_rng(0)
+    probs = rng.dirichlet(np.ones(50), size=4).astype(np.float32)
+
+    def oracle(p, top_p):
+        order = np.argsort(-p, axis=-1, kind="stable")
+        sp = np.take_along_axis(p, order, axis=-1)
+        cum = np.cumsum(sp, axis=-1)
+        remove = cum > top_p
+        remove[:, 1:] = remove[:, :-1].copy()  # shift right: keep first above
+        remove[:, 0] = False
+        sp = np.where(remove, 0.0, sp)
+        inv = np.argsort(order, axis=-1, kind="stable")
+        out = np.take_along_axis(sp, inv, axis=-1)
+        return out / out.sum(axis=-1, keepdims=True)
+
+    for tp in (0.3, 0.75, 0.95):
+        ours = np.asarray(S.top_p_probs(jnp.asarray(probs), tp))
+        ref = oracle(probs, tp)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_top_p_variants_diverge_only_at_exact_ties():
+    """The logit-space fast variant (<) and prob-space slow variant (<=)
+    agree on generic inputs and differ exactly when a token's exclusive
+    cumulative probability EQUALS top_p (SURVEY hard-part #3)."""
+    # generic random inputs: identical keep sets
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(8, 40)).astype(np.float32) * 2
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    for tp in (0.5, 0.9):
+        fast_kept = np.asarray(S.top_p_mask(jnp.asarray(logits), tp)) > S.NEG_INF / 2
+        slow_kept = np.asarray(S.top_p_probs(jnp.asarray(probs), tp)) > 0
+        np.testing.assert_array_equal(fast_kept, slow_kept)
+
+    # crafted exact tie: probs (.5, .25, .125, .125), top_p = 0.75 — token 2
+    # has cum_excl == 0.75 exactly (powers of two, exact in f32)
+    p = jnp.asarray([[0.5, 0.25, 0.125, 0.125]], jnp.float32)
+    slow = np.asarray(S.top_p_probs(p, 0.75))[0]
+    assert slow[2] > 0, slow  # <= keeps the boundary token
+    assert slow[3] == 0
+    # the fast variant's rule on the same exact cumulative mass drops it:
+    # keep <=> cum_excl < top_p
+    cum_excl = np.asarray([0.0, 0.5, 0.75, 0.875], np.float32)
+    assert not (cum_excl[2] < 0.75)
