@@ -43,6 +43,10 @@ def __getattr__(name):
         from metavoice_tpu.runtime.engine import BatchingEngine
 
         return BatchingEngine
+    if name == "ContinuousBatchingEngine":
+        from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+
+        return ContinuousBatchingEngine
     if name == "TrainedBPETokeniser":
         from metavoice_tpu.tokenizer import TrainedBPETokeniser
 

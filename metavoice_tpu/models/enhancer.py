@@ -172,6 +172,10 @@ def df_enhance_spec(params: Params, cfg: DFConfig, spec: jax.Array) -> jax.Array
     # n_bins/band_width, which forced the sigmoid into its saturated tail
     # before any bin gain could drop below 1 — gains never learned.)
     bin_gains = jnp.einsum("xte,eb->xtb", gains, (fb > 0).astype(gains.dtype))
+    # erb_filterbank's empty-band fallback can assign one bin to two bands;
+    # clip so such bins attenuate (min of the two intents) instead of
+    # summing past unity and amplifying
+    bin_gains = jnp.clip(bin_gains, 0.0, 1.0)
     out = spec * bin_gains
 
     # deep filtering: complex taps over df_order past frames for low bins

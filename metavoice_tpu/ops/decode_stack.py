@@ -434,7 +434,11 @@ def decode_stack_int4(
     assert dh % 128 == 0 and bh % 8 == 0
     bpad = max(8, b)
     if chunk is None:
-        chunk = _chunk_for(bh, dh)
+        # cap at 128: the chunk loop reads whole chunks even when `pos` sits
+        # mid-chunk, and at serving positions (~64-500) the wasted tail read
+        # of a 256-chunk outweighs its lower per-chunk softmax overhead
+        # (measured: 527 tok/s at 256 vs 542 at 128 on the full model)
+        chunk = min(_chunk_for(bh, dh), 128)
     import os as _os
 
     # experiment knobs (documented in docs/PERFORMANCE.md)

@@ -92,12 +92,25 @@ def compile_sharded_train_step(
     cfg = cfg or first_stage_config()
     ft_cfg = ft.FinetuneConfig(batch_size=batch, max_iters=1)
     abs_params = abstract_params(cfg, mesh)
-    # shape -> spec lookup: Adam mu/nu mirror the param tree leaf-for-leaf
-    spec_by_shape: dict = {}
-    for sd, sp in zip(
-        jax.tree.leaves(abs_params), jax.tree.leaves(psh.param_specs(cfg))
-    ):
-        spec_by_shape.setdefault(sd.shape, sp)
+    # Adam mu/nu mirror the param tree leaf-for-leaf; map their specs by
+    # TREE-PATH SUFFIX + shape (a pure shape lookup silently mislabels two
+    # same-shaped params with different specs, e.g. a future square
+    # projection that is row- vs column-parallel)
+    from jax.tree_util import tree_flatten_with_path, tree_map_with_path
+
+    param_paths = tree_flatten_with_path(abs_params)[0]
+    spec_leaves = jax.tree.leaves(
+        jax.tree.map(
+            lambda sd, sp: (sp,), abs_params, psh.param_specs(cfg),
+            is_leaf=lambda x: isinstance(x, jax.ShapeDtypeStruct),
+        ),
+        is_leaf=lambda x: isinstance(x, tuple) and len(x) == 1,
+    )
+    spec_by_suffix: dict = {}
+    suffix_lens = set()
+    for (path, sd), (sp,) in zip(param_paths, spec_leaves):
+        spec_by_suffix[(tuple(path), sd.shape)] = sp
+        suffix_lens.add(len(path))
     opt = ft.make_optimizer(ft_cfg, abs_params)
     state_shapes = jax.eval_shape(
         lambda p: ft.TrainState(
@@ -106,11 +119,18 @@ def compile_sharded_train_step(
         abs_params,
     )
 
-    def attach(sd):
-        sp = spec_by_shape.get(sd.shape, P())
+    def attach(path, sd):
+        for n in sorted(suffix_lens, reverse=True):
+            sp = spec_by_suffix.get((tuple(path[-n:]), sd.shape))
+            if sp is not None:
+                break
+        else:
+            sp = P()
+        if sp is None:
+            sp = P()
         return jax.ShapeDtypeStruct(sd.shape, sd.dtype, sharding=NamedSharding(mesh, sp))
 
-    abs_state = jax.tree.map(attach, state_shapes)
+    abs_state = tree_map_with_path(attach, state_shapes)
     step_fn = ft.make_train_step(cfg, ft_cfg, opt)
     data2 = NamedSharding(mesh, psh.batch_spec(2))
     abs_batch = {

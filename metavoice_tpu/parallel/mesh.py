@@ -121,11 +121,12 @@ def make_multihost_mesh(
         if local_device_count is not None
         else max(1, n // max(procs, 1))
     )
-    if tensor_parallel > local:
+    if tensor_parallel > local or local % tensor_parallel != 0:
         raise ValueError(
-            f"tensor_parallel={tensor_parallel} exceeds the {local} devices "
-            "local to one host: TP collectives would cross DCN. Shard the "
-            "batch (data axis) across hosts instead."
+            f"tensor_parallel={tensor_parallel} does not pack into the "
+            f"{local} devices local to one host: TP groups would straddle "
+            "hosts and their collectives would cross DCN. Shard the batch "
+            "(data axis) across hosts instead."
         )
     if n % tensor_parallel != 0:
         raise ValueError(

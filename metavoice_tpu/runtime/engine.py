@@ -142,7 +142,7 @@ class ContinuousBatchingEngine:
         self._slots = [_Slot() for _ in range(slots)]
         self._cur = np.full((slots,), T.END_OF_AUDIO_TOKEN, np.int32)
         self._pad = np.zeros((slots,), np.int32)
-        self._spk = np.zeros((slots, 256), np.float32)
+        self._spk = np.zeros((slots, self._cfg.speaker_emb_dim), np.float32)
         self._t = np.ones((slots, 1), np.float32)
         self._p = np.full((slots, 1), 0.95, np.float32)
         self._g = np.full((slots, 1), 3.0, np.float32)
@@ -201,29 +201,36 @@ class ContinuousBatchingEngine:
 
     def _worker(self):
         while self._running:
-            if not self._actives():
-                # idle: block on the queue (no polling, no window tax)
-                req = self._queue.get()
-                if req is None:
-                    if not self._running:
-                        return
-                    continue
-                self._start_group(self._drain_queue(first=req))
-            else:
-                self._admit_joins()
-                try:
+            try:
+                if not self._actives():
+                    if self._deferred:
+                        # requests deferred from the last group (e.g. a
+                        # prompt too long to join mid-flight) must not wait
+                        # for an unrelated submit to wake the worker
+                        self._start_group(self._drain_queue())
+                    else:
+                        # idle: block on the queue (no polling, no window tax)
+                        req = self._queue.get()
+                        if req is None:
+                            if not self._running:
+                                return
+                            continue
+                        self._start_group(self._drain_queue(first=req))
+                else:
+                    self._admit_joins()
                     self._step_segment()
-                except Exception as e:
-                    # device-level failure: fail every in-flight request and
-                    # rebuild the cache (decode_batch donates it — after an
-                    # aborted call the old buffers must not be reused)
-                    for i in self._actives():
-                        self._fail(i, e)
-                    self._kv = tfm.KVCache.create(
-                        self._cfg, 2 * self.n_slots, self._block,
-                        dtype=self._cache_dtype,
-                    )
-                    self._pos = 0
+            except Exception as e:
+                # failure anywhere (prefill, join, decode): fail every
+                # in-flight request and rebuild the cache — prefill/decode
+                # DONATE it, so after an aborted call the old buffers must
+                # not be reused. The worker thread itself must survive.
+                for i in self._actives():
+                    self._fail(i, e)
+                self._kv = tfm.KVCache.create(
+                    self._cfg, 2 * self.n_slots, self._block,
+                    dtype=self._cache_dtype,
+                )
+                self._pos = 0
             if not self._running:
                 return
 
@@ -243,7 +250,14 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------------------ group start
     def _bucket(self, n: int) -> int:
-        return max(self.pad_multiple, -(-n // self.pad_multiple) * self.pad_multiple)
+        b = max(self.pad_multiple, -(-n // self.pad_multiple) * self.pad_multiple)
+        # cap so a group always keeps decode budget (over-long prompts are
+        # left-truncated to the bucket, reference inference.py:534-541 spirit)
+        cap = max(
+            self.pad_multiple,
+            (self._block - self.min_decode_budget) // self.pad_multiple * self.pad_multiple,
+        )
+        return min(b, cap)
 
     def _start_group(self, reqs: list[SynthesisRequest]):
         """Fresh group at physical position 0: one batched ragged prefill."""
@@ -308,6 +322,12 @@ class ContinuousBatchingEngine:
         """Prefill into a temp cache, then land the rows at [P-bucket, P)."""
         c = self.tts.c
         quantized = self._kv.quantized
+        # the slot's sampling params must be the JOINER's before its first
+        # token is sampled in prefill (a previous occupant's temperature /
+        # guidance must not leak into the new request's first sample)
+        self._t[slot, 0] = req.temperature
+        self._p[slot, 0] = req.top_p
+        self._g[slot, 0] = req.guidance_scale
         temp = tfm.KVCache.create(self._cfg, 2, bucket, dtype=self._cache_dtype)
         padded, pad_lens = fs.left_pad_prompts([req.prompt_tokens[-bucket:]], bucket)
         self._key, kp = jax.random.split(self._key)
@@ -337,9 +357,6 @@ class ContinuousBatchingEngine:
         self._kv = tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
         self._slots[slot] = _Slot(req=req)
         self._spk[slot] = req.spk_emb
-        self._t[slot, 0] = req.temperature
-        self._p[slot, 0] = req.top_p
-        self._g[slot, 0] = req.guidance_scale
         # window start = P - len(prompt): logical positions continue the
         # prompt's own timeline (decode embeds wpe[pos - pad])
         self._pad[slot] = self._pos - min(len(req.prompt_tokens), bucket)
@@ -418,15 +435,18 @@ class ContinuousBatchingEngine:
         if n <= 0:
             return
         chunk = np.asarray(s.tokens[s.rendered : s.rendered + n], np.int32)
-        s.rendered += n
         self._key, kr = jax.random.split(self._key)
         try:
             wav = self.tts._tokens_to_wav(
-                req.text, req.prompt_tokens, chunk, req.spk_emb, kr, fused=True
+                req.text, req.prompt_tokens, chunk, req.spk_emb, kr, fused=True,
+                streaming_segment=True,
             )
             req.handle._push(wav)
+            s.rendered += n  # only consumed once actually rendered
         except RuntimeError:
-            pass  # chunk held no complete audio frame
+            # no complete audio frame yet: leave `rendered` so the tokens
+            # are retried with the next (larger) accumulation
+            pass
 
     def _complete(self, slot: int):
         s = self._slots[slot]
@@ -452,7 +472,8 @@ class ContinuousBatchingEngine:
                 self._key, kr = jax.random.split(self._key)
                 try:
                     wav = self.tts._tokens_to_wav(
-                        req.text, req.prompt_tokens, chunk, req.spk_emb, kr, fused=True
+                        req.text, req.prompt_tokens, chunk, req.spk_emb, kr,
+                        fused=True, streaming_segment=True,
                     )
                     req.handle._push(wav)
                 except RuntimeError:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import hashlib
+import threading
 import os
 import time
 from dataclasses import dataclass, field
@@ -193,6 +194,10 @@ class TTS:
         self._telemetry = telemetry_client or tele.default_client
         self._telemetry_origin = telemetry_origin
         self._key = jax.random.PRNGKey(seed)
+        # the continuous-batching engine renders from a worker thread AND a
+        # small render pool concurrently; the PRNG chain must not lose
+        # updates (two calls observing the same key -> correlated draws)
+        self._key_lock = threading.Lock()
         # LRU-bounded: a long-lived server seeing many distinct reference
         # clips must not grow this without limit (~1 KB/entry, but the md5
         # keys also pin the dict itself)
@@ -244,6 +249,12 @@ class TTS:
         # without it every tuple-guidance synthesise would allocate and drop
         # a fresh ~1.8 GB cache
         self._kv_cache3: tfm.KVCache | None = None
+
+    def _next_key(self) -> jax.Array:
+        """Thread-safe draw from the instance PRNG chain."""
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
+        return sub
 
     def _persistent_kv_cache(self, guidance_scale) -> tfm.KVCache:
         """The reusable cache matching the CFG row count of this request."""
@@ -532,6 +543,7 @@ class TTS:
         spk_emb: np.ndarray,
         key: jax.Array,
         fused: bool = False,
+        streaming_segment: bool = False,
     ) -> np.ndarray:
         """First-stage token stream -> waveform (stages 3-5: split, second
         stage, vocoder, enhancer).
@@ -581,7 +593,7 @@ class TTS:
         if self.c.vocoder == "mbd" and self.c.mbd_params is not None:
             from metavoice_tpu.models import mbd as mbd_mod
 
-            self._key, kv_key = jax.random.split(self._key)
+            kv_key = self._next_key()
             wav = np.asarray(
                 mbd_mod.tokens_to_wav(
                     self.c.mbd_params, self.c.mbd_cfg, self.c.encodec_params,
@@ -590,8 +602,12 @@ class TTS:
                 )
             )[0]
             # reference decoders.py:88-91 rejects MBD output < 9600 samples
-            # (400 ms @ 24 kHz) as degenerate, pre-trim — mirror that here
-            if wav.shape[-1] < self._min_output_s * self.c.encodec_cfg.sample_rate:
+            # (400 ms @ 24 kHz) as degenerate, pre-trim — mirror that here.
+            # Streaming SEGMENTS are legitimately short (a first segment is
+            # ~0.27 s by design); the guard is about whole utterances.
+            if not streaming_segment and wav.shape[-1] < (
+                self._min_output_s * self.c.encodec_cfg.sample_rate
+            ):
                 raise RuntimeError("wav predicted is shorter than 400ms!")
         else:
             wav = np.asarray(
@@ -637,7 +653,7 @@ class TTS:
         self, text: str, prompt_tokens: list, generated, spk_emb: np.ndarray
     ) -> str:
         """Render a generated first-stage stream to a wav file on disk."""
-        self._key, sub = jax.random.split(self._key)
+        sub = self._next_key()
         wav = self._tokens_to_wav(text, prompt_tokens, generated, spk_emb, sub)
         return self.write_wav_output(text, wav)
 
@@ -705,7 +721,7 @@ class TTS:
         spk_emb = self._get_speaker_embedding(spk_ref_path)
 
         for chunk in chunk_text(text, MAX_CHARS_PER_CHUNK) or [""]:
-            self._key, k1 = jax.random.split(self._key)
+            k1 = self._next_key()
             prompt = self.c.tokenizer.encode(chunk)
             for segment in fs.generate_segments(
                 self.c.first_stage_params,
@@ -723,10 +739,11 @@ class TTS:
                 cache_dtype=self._cache_dtype,
                 compute_dtype=self._compute_dtype,
             ):
-                self._key, k2 = jax.random.split(self._key)
+                k2 = self._next_key()
                 try:
                     wav = self._tokens_to_wav(
-                        chunk, prompt, segment, spk_emb, k2, fused=True
+                        chunk, prompt, segment, spk_emb, k2, fused=True,
+                        streaming_segment=True,
                     )
                 except RuntimeError:
                     continue  # segment held only the end-of-audio token
@@ -755,7 +772,7 @@ class TTS:
         chunks = chunk_text(text, MAX_CHARS_PER_CHUNK) or [""]
         wavs = []
         for chunk in chunks:
-            self._key, sub = jax.random.split(self._key)
+            sub = self._next_key()
             wavs.append(
                 self._synthesise_chunk(
                     chunk, spk_emb, top_p, guidance_scale, temperature, sub

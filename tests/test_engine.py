@@ -189,3 +189,21 @@ def test_streaming_rides_the_batcher(engine, ref_wav):
     assert segs, "no segments yielded"
     assert all(isinstance(s, np.ndarray) and s.dtype == np.float32 for s in segs)
     assert sum(len(s) for s in segs) > 0
+
+
+def test_deferred_requests_complete_without_new_submits(tmp_path, ref_wav):
+    """Review findings r3: requests beyond the slot count are deferred (not
+    dropped) and the worker starts them when the group drains — without
+    waiting for an unrelated submit to wake it."""
+    from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+
+    tts = TTS.from_random(jax.random.PRNGKey(5), small=True, output_dir=str(tmp_path))
+    eng = ContinuousBatchingEngine(tts, slots=1, segment_tokens=8)
+    try:
+        fa = eng.submit("First occupies the only slot.", ref_wav)
+        fb = eng.submit("Second must wait then run.", ref_wav)
+        fc = eng.submit("Third in line.", ref_wav)
+        for f in (fa, fb, fc):
+            assert os.path.exists(f.result(timeout=600))
+    finally:
+        eng.shutdown()

@@ -162,9 +162,17 @@ def test_multihost_mesh_topology_math():
         pmesh.make_multihost_mesh(
             8, devices=devs, process_count=2, local_device_count=4
         )
-    with pytest.raises(ValueError, match="does not divide"):
+    with pytest.raises(ValueError, match="cross DCN"):
+        # 3 does not pack into 4 local devices: groups would straddle hosts
         pmesh.make_multihost_mesh(
             3, devices=devs, process_count=2, local_device_count=4
+        )
+    with pytest.raises(ValueError, match="cross DCN"):
+        # review finding: local=6, tp=4 — tp <= local but 6 % 4 != 0, the
+        # host-major reshape would put devices from two hosts in one group
+        pmesh.make_multihost_mesh(
+            4, devices=jax.devices()[:12] if len(jax.devices()) >= 12 else devs[:4] * 3,
+            process_count=2, local_device_count=6,
         )
 
 
