@@ -355,12 +355,15 @@ def main():
             "Every sentence in this paragraph becomes its own synthesis chunk, "
             "so the chunked pipeline and the concatenation path are measured end to end."
         )
+        # first call compiles any unseen vocoder/prompt buckets; the metric
+        # is the steady-state second call (serving == warm process)
+        tts.synthesise(long_text, ref_path)
         t0 = time.perf_counter()
         out_path = tts.synthesise(long_text, ref_path)
         wall = time.perf_counter() - t0
         dur = aio.duration_s(out_path)
         chunked_rtf = wall / max(dur, 1e-6)
-        log(f"chunked long-text: {wall:.2f}s wall for {dur:.2f}s audio -> RTF {chunked_rtf:.3f}")
+        log(f"chunked long-text (warm): {wall:.2f}s wall for {dur:.2f}s audio -> RTF {chunked_rtf:.3f}")
     except Exception as e:
         log(f"chunked RTF measurement skipped: {e}")
 
@@ -373,9 +376,15 @@ def main():
         from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
 
         eng = ContinuousBatchingEngine(tts, slots=8, segment_tokens=64)
-        # warm the engine programs (prefill_batch, decode_batch, joins)
-        eng.submit(text, ref_path).result(timeout=1200)
-        eng.submit(text, ref_path).result(timeout=1200)
+        # warm EVERY engine program before timing: the group prefill and
+        # segment decode (first submit), the mid-flight JOIN programs
+        # (2-row temp prefill + cache merge — second submit arrives while
+        # the first decodes), and the render path
+        f1 = eng.submit(text, ref_path)
+        time.sleep(1.0)
+        f2 = eng.submit(text, ref_path)  # joins mid-flight -> compiles merge
+        f1.result(timeout=2400)
+        f2.result(timeout=2400)
 
         rng_l = np.random.default_rng(0)
         n_req = 12
