@@ -356,14 +356,20 @@ def main():
             "so the chunked pipeline and the concatenation path are measured end to end."
         )
         # first call compiles any unseen vocoder/prompt buckets; the metric
-        # is the steady-state second call (serving == warm process)
-        tts.synthesise(long_text, ref_path)
+        # is the steady-state second call (serving == warm process). Cap the
+        # per-chunk budget at 256 tokens: random weights rarely sample
+        # end-of-audio, so an uncapped chunk decodes to the ~1920-token
+        # block limit while the second stage truncates the audio — the
+        # wall/audio ratio then measures the truncation, not the pipeline.
+        # (Real checkpoints end utterances naturally; the cap mirrors the
+        # headline metric's fixed-length methodology.)
+        tts.synthesise(long_text, ref_path, max_new_tokens=256)
         t0 = time.perf_counter()
-        out_path = tts.synthesise(long_text, ref_path)
+        out_path = tts.synthesise(long_text, ref_path, max_new_tokens=256)
         wall = time.perf_counter() - t0
         dur = aio.duration_s(out_path)
         chunked_rtf = wall / max(dur, 1e-6)
-        log(f"chunked long-text (warm): {wall:.2f}s wall for {dur:.2f}s audio -> RTF {chunked_rtf:.3f}")
+        log(f"chunked long-text (warm, 256 tok/chunk): {wall:.2f}s wall for {dur:.2f}s audio -> RTF {chunked_rtf:.3f}")
     except Exception as e:
         log(f"chunked RTF measurement skipped: {e}")
 
@@ -371,18 +377,23 @@ def main():
     # (BASELINE config 5: 8-16 concurrent zero-shot requests, continuous
     # decode). Requests join mid-flight at segment boundaries; per-request
     # latency = submit -> wav file written.
-    eng_p50 = eng_p95 = None
+    eng_p50 = eng_p95 = eng_agg_rtf = None
     try:
         from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
 
         eng = ContinuousBatchingEngine(tts, slots=8, segment_tokens=64)
+        # realistic utterance budget: ~3.4 s of audio per request (random
+        # weights rarely sample end-of-audio, so uncapped requests run to
+        # the block limit — ~13 s utterances — and the latency percentiles
+        # measure utterance length, not serving)
+        req_tokens = 512
         # warm EVERY engine program before timing: the group prefill and
         # segment decode (first submit), the mid-flight JOIN programs
         # (2-row temp prefill + cache merge — second submit arrives while
         # the first decodes), and the render path
-        f1 = eng.submit(text, ref_path)
+        f1 = eng.submit(text, ref_path, max_new_tokens=req_tokens)
         time.sleep(1.0)
-        f2 = eng.submit(text, ref_path)  # joins mid-flight -> compiles merge
+        f2 = eng.submit(text, ref_path, max_new_tokens=req_tokens)
         f1.result(timeout=2400)
         f2.result(timeout=2400)
 
@@ -391,25 +402,29 @@ def main():
         futs, submit_t = [], []
         t_start = time.perf_counter()
         for i in range(n_req):
-            futs.append(eng.submit(text, ref_path))
+            futs.append(eng.submit(text, ref_path, max_new_tokens=req_tokens))
             submit_t.append(time.perf_counter())
             time.sleep(float(rng_l.exponential(0.25)))
-        lats = []
+        lats, paths = [], []
         for f, ts in zip(futs, submit_t):
             try:
-                f.result(timeout=1200)
+                paths.append(f.result(timeout=1200))
                 lats.append(time.perf_counter() - ts)
             except Exception:
                 pass
         # completion wall-clock is shared; per-request latency measured from
         # its own submit time (late requests overlap earlier decodes)
         if lats:
+            wall_all = time.perf_counter() - t_start
+            audio_all = sum(aio.duration_s(p) for p in paths)
             eng_p50 = float(np.percentile(lats, 50))
             eng_p95 = float(np.percentile(lats, 95))
+            eng_agg_rtf = wall_all / max(audio_all, 1e-6)
             log(
-                f"engine Poisson({n_req} req, mean gap 250 ms): "
-                f"p50 {eng_p50:.2f}s p95 {eng_p95:.2f}s "
-                f"({len(lats)} ok, total {time.perf_counter()-t_start:.1f}s)"
+                f"engine Poisson({n_req} req x {req_tokens} tok, mean gap 250 ms): "
+                f"p50 {eng_p50:.2f}s p95 {eng_p95:.2f}s, {audio_all:.1f}s audio "
+                f"in {wall_all:.1f}s wall -> aggregate serving RTF {eng_agg_rtf:.3f} "
+                f"({len(lats)} ok)"
             )
         eng.shutdown()
     except Exception as e:
@@ -429,6 +444,8 @@ def main():
         "chunked_rtf": round(chunked_rtf, 3) if chunked_rtf else None,
         "engine_poisson_p50_s": round(eng_p50, 2) if eng_p50 else None,
         "engine_poisson_p95_s": round(eng_p95, 2) if eng_p95 else None,
+        "engine_aggregate_serving_rtf": round(eng_agg_rtf, 3) if eng_agg_rtf else None,
+        "engine_note": "12 Poisson arrivals of ~3.4s utterances on 8 slots, mid-flight joins; latency = submit -> wav written",
         "vs_baseline_note": "denominator 300 tok/s is BASELINE.json's north-star target; the reference publishes no GPU decode figure (BASELINE.json.published is empty)",
         "batch8_aggregate_tokens_per_sec": round(batch_tps, 1) if batch_tps else None,
         "batch16_int8kv_aggregate_tokens_per_sec": (

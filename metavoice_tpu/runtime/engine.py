@@ -89,6 +89,8 @@ class SynthesisRequest:
     top_p: float = 0.95
     guidance_scale: float = 3.0
     temperature: float = 1.0
+    max_new_tokens: int | None = None  # per-request budget (truncates at a
+    # segment boundary; reference inference.py:610 max_new_tokens)
     stream: bool = False
     future: Future = field(default_factory=Future)
     handle: StreamHandle | None = None
@@ -419,6 +421,13 @@ class ContinuousBatchingEngine:
                 finished = True
                 break
             s.tokens.append(int(t))
+        if (
+            s.req is not None
+            and s.req.max_new_tokens is not None
+            and len(s.tokens) >= s.req.max_new_tokens
+        ):
+            s.tokens = s.tokens[: s.req.max_new_tokens]
+            finished = True
         if s.req is not None and s.req.stream and not finished:
             self._stream_render(slot, final=False)
         if finished:

@@ -672,6 +672,7 @@ class TTS:
         guidance_scale: float,
         temperature: float,
         key: jax.Array,
+        max_new_tokens: int | None = None,
     ) -> np.ndarray:
         """One <=220-char chunk -> 24 kHz waveform (float32)."""
         k1, k2 = jax.random.split(key)
@@ -686,6 +687,7 @@ class TTS:
             temperature=temperature,
             top_p=top_p,
             guidance_scale=guidance_scale,
+            max_new_tokens=max_new_tokens,
             end_of_text_token=self.c.tokenizer.eot_token,
             prompt_pad_multiple=self.runtime.prompt_pad_multiple,
             kv_cache=self._persistent_kv_cache(guidance_scale),
@@ -756,10 +758,14 @@ class TTS:
         top_p: float = 0.95,
         guidance_scale: float | tuple[float, float] = 3.0,
         temperature: float = 1.0,
+        max_new_tokens: int | None = None,
     ) -> str:
         """Synthesise ``text`` in the voice of ``spk_ref_path``.
 
-        Signature and defaults match reference fam/llm/fast_inference.py:111.
+        Signature and defaults match reference fam/llm/fast_inference.py:111;
+        ``max_new_tokens`` caps the per-chunk first-stage budget (the
+        reference's inference.py:610 knob, default 864*2 there — None here
+        decodes to end-of-audio or the context limit).
         Returns the path to a loudness-normalized 24 kHz wav.
         """
         start = time.time()
@@ -775,7 +781,8 @@ class TTS:
             sub = self._next_key()
             wavs.append(
                 self._synthesise_chunk(
-                    chunk, spk_emb, top_p, guidance_scale, temperature, sub
+                    chunk, spk_emb, top_p, guidance_scale, temperature, sub,
+                    max_new_tokens=max_new_tokens,
                 )
             )
         gap = np.zeros(int(0.1 * self.c.encodec_cfg.sample_rate), np.float32)
