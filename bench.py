@@ -102,11 +102,14 @@ def main():
             log(f"[{label}] run {i}: {dt:.3f}s -> {n_tokens/dt:.1f} tok/s (decoded {lens})")
         return n_tokens / min(times)
 
-    # int8 weight-only: the quality serving configuration
-    params_i8 = qz.quantize_params_int8(params_bf16)
+    # int8 weight-only: the quality serving configuration. Packed four
+    # biased bytes per i32 word (quantize_params_int8_i32) so the weight
+    # stream reads at the ~490 GB/s wide-dtype ceiling instead of the
+    # ~390 GB/s 1-byte ceiling that caps plain int8 at ~305 tok/s.
+    params_i8 = qz.quantize_params_int8_i32(params_bf16)
     i8_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params_i8))
-    log(f"params: {n_params/1e9:.3f}B ({i8_bytes/1e9:.2f} GB int8)")
-    tps_int8 = measure_decode(params_i8, "int8")
+    log(f"params: {n_params/1e9:.3f}B ({i8_bytes/1e9:.2f} GB packed int8)")
+    tps_int8 = measure_decode(params_i8, "int8-packed")
     del params_i8
 
     # int4-in-int32 packed: the FAST serving configuration (reference's own
@@ -453,7 +456,8 @@ def main():
         ),
         "achieved_bandwidth_gb_s": round(bandwidth_gbs, 1),
         "params_b": round(n_params / 1e9, 3),
-        "tokens_per_sec_int8": round(tps_int8, 2),
+        "tokens_per_sec_int8_packed": round(tps_int8, 2),
+        "int8_note": "int8-in-int32 packed quality mode (2-byte-ceiling reads); plain int8 arrays measure ~305 tok/s at the 1-byte DMA ceiling",
         "config": headline_config,
     }
     print(json.dumps(result), flush=True)

@@ -233,6 +233,13 @@ def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
         int4_large_m = "zeros" in w and x2.shape[0] > 256
         if int4_large_m:
             on_tpu = False
+        if "p8" in w:  # int8-in-int32 packed serving format
+            n = w["p8"].shape[-1]
+            y2 = qz.matmul_int8_i32_reference(x2, w["p8"], w["sc8"])
+            y = y2.reshape(*lead, n).astype(x.dtype)
+            if b is not None:
+                y = y + b.astype(x.dtype)
+            return y
         if "pw" in w:  # int4-in-int32 serving format (ops/quantized.py)
             # prefill path: the M-tiled Pallas kernel keeps the weight read
             # 4-bit (round 2 fell back to XLA dense dequant here, which
@@ -518,13 +525,50 @@ def apply_blocks(
         def _is_int4(w):
             return isinstance(w, dict) and "pw" in w
 
-        int4_mega = (
+        def _is_int8_packed(w):
+            return isinstance(w, dict) and "p8" in w
+
+        _mega_ok = (
             use_fused
             and cfg.nonlinearity_type == "swiglu"
             and cfg.dim % 1024 == 0
-            and all(_is_int4(lp_stack.get(k)) for k in ("wqkv", "wo", "w1", "w3", "w2"))
             and "wqkv_b" not in lp_stack
         )
+        int4_mega = _mega_ok and all(
+            _is_int4(lp_stack.get(k)) for k in ("wqkv", "wo", "w1", "w3", "w2")
+        )
+        int8_packed_mega = _mega_ok and all(
+            _is_int8_packed(lp_stack.get(k)) for k in ("wqkv", "wo", "w1", "w3", "w2")
+        )
+        if int8_packed_mega and not quantized_cache and cfg.norm_type == "rmsnorm":
+            # packed-int8 serving: the same whole-stack kernel with the
+            # "i8" word format (2-byte-ceiling HBM reads; plain int8 arrays
+            # cap at the ~390 GB/s 1-byte ceiling — ops/quantized.py notes)
+            from metavoice_tpu.ops.decode_stack import decode_stack_int4
+
+            big8 = {k: lp_stack[k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
+            xo, k_new, v_new = decode_stack_int4(
+                x[:, 0, :],
+                lp_stack["attn_norm_w"],
+                lp_stack["ffn_norm_w"],
+                big8["wqkv"]["p8"], big8["wqkv"]["sc8"],
+                big8["wo"]["p8"], big8["wo"]["sc8"],
+                big8["w1"]["p8"], big8["w1"]["sc8"],
+                big8["w3"]["p8"], big8["w3"]["sc8"],
+                big8["w2"]["p8"], big8["w2"]["sc8"],
+                kv_cache.k, kv_cache.v,
+                jnp.asarray(cache_pos, jnp.int32),
+                cfg.n_head,
+                starts=attn_starts,
+                norm_eps=cfg.norm_eps,
+                wfmt="i8",
+            )
+            x = xo[:, None, :].astype(x.dtype)
+            x = _norm(x, params["ln_f_w"], params.get("ln_f_b"), cfg.norm_type, cfg.norm_eps)
+            kv_out = KVCache(k=k_new, v=v_new, k_scale=None, v_scale=None)
+            if fused_head:
+                return x, kv_out, False
+            return x, kv_out
         if int4_mega:
             big = {k: lp_stack[k] for k in ("wqkv", "wo", "w1", "w3", "w2")}
             small = {k: v for k, v in lp_stack.items() if k not in big}

@@ -44,6 +44,7 @@ from metavoice_tpu.ops.attention import _chunk_for
 from metavoice_tpu.ops.quantized import (
     _int4_group_matmul,
     _int4_group_matmul_scr,
+    _int8_word_matmul,
     group_ones,
 )
 
@@ -69,6 +70,7 @@ def _decode_stack_kernel(
     norm_eps: float,
     bigdot: bool,
     with_head: bool,
+    wfmt: str,  # "i4" (int4-in-int32) | "i8" (int8-in-int32)
     # scalar prefetch
     pos_ref,  # (1,) int32
     # VMEM inputs
@@ -129,6 +131,8 @@ def _decode_stack_kernel(
     bh = acc_ref.shape[0]
 
     def matmul(x, xsum, w_words, sc):
+        if wfmt == "i8":
+            return _int8_word_matmul(x, xsum, w_words, sc)
         if bigdot:
             return _int4_group_matmul_scr(x, xsum, w_words, sc, groupsize, wd_scr)
         return _int4_group_matmul(x, xsum, w_words, sc, groupsize)
@@ -409,6 +413,7 @@ def decode_stack_int4(
     tile: int = STACK_TILE,
     chunk: int | None = None,
     bigdot: bool | None = None,
+    wfmt: str = "i4",  # weight format: int4-in-int32 | int8-in-int32
     ln_f_w: jax.Array | None = None,  # (D,) — enables the fused head
     head_pw: jax.Array | None = None,  # (D/8, Vp) i32 packed wte^T
     head_sc: jax.Array | None = None,  # (2*Gp, Vp) bf16
@@ -429,7 +434,8 @@ def decode_stack_int4(
     bh = b * n_head
     l, s = k_cache.shape[0], k_cache.shape[1]
     ip = w1_pw.shape[2]
-    assert w2_pw.shape[1] * 8 == ip and w2_pw.shape[2] == d
+    words = 8 if wfmt == "i4" else 4  # values packed per i32 word
+    assert w2_pw.shape[1] * words == ip and w2_pw.shape[2] == d
     assert d % tile == 0 and ip % tile == 0 and (3 * d) % tile == 0
     assert dh % 128 == 0 and bh % 8 == 0
     bpad = max(8, b)
@@ -457,8 +463,14 @@ def decode_stack_int4(
     starts_bh = jnp.repeat(starts.astype(jnp.int32), n_head).reshape(bh, 1)
     k_flat = k_cache.reshape(l, s, bh, dh)
     v_flat = v_cache.reshape(l, s, bh, dh)
-    xones = group_ones(d, gp, groupsize)
-    hones = group_ones(ip, g2p, groupsize)
+    if wfmt == "i8":
+        # one affine 'group' spans the whole contraction (per-channel int8):
+        # xsum column 0 carries sum(x), the epilogue applies c = -128*s
+        xones = group_ones(d, gp, d)
+        hones = group_ones(ip, g2p, ip)
+    else:
+        xones = group_ones(d, gp, groupsize)
+        hones = group_ones(ip, g2p, groupsize)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     with_head = head_pw is not None
     if with_head:
@@ -518,17 +530,17 @@ def decode_stack_int4(
         ),
         scratch_shapes=[
             pltpu.VMEM((bpad, d), jnp.bfloat16),  # x_scr
-            pltpu.VMEM((2, d // 8, tile), jnp.int32),  # w_buf
+            pltpu.VMEM((2, d // words, tile), jnp.int32),  # w_buf
             pltpu.VMEM((2, 2 * gp, tile), wqkv_sc.dtype),  # sc_buf
             pltpu.VMEM((bpad, 3 * d), jnp.float32),  # qkv_scr
             pltpu.VMEM((2, chunk, bh, dh), k_cache.dtype),  # k_buf
             pltpu.VMEM((2, chunk, bh, dh), v_cache.dtype),  # v_buf
-            pltpu.VMEM((2, d // 8, tile), jnp.int32),  # w1_buf
+            pltpu.VMEM((2, d // words, tile), jnp.int32),  # w1_buf
             pltpu.VMEM((2, 2 * g1p, tile), w1_sc.dtype),
-            pltpu.VMEM((2, d // 8, tile), jnp.int32),  # w3_buf
+            pltpu.VMEM((2, d // words, tile), jnp.int32),  # w3_buf
             pltpu.VMEM((2, 2 * g1p, tile), w3_sc.dtype),
             pltpu.VMEM((bpad, ip), jnp.bfloat16),  # h_scr
-            pltpu.VMEM((2, ip // 8, tile), jnp.int32),  # w2_buf
+            pltpu.VMEM((2, ip // words, tile), jnp.int32),  # w2_buf
             pltpu.VMEM((2, 2 * g2p, tile), w2_sc.dtype),
             pltpu.VMEM((bh, dh), jnp.float32),  # acc
             pltpu.VMEM((bh, 128), jnp.float32),  # m
@@ -548,7 +560,7 @@ def decode_stack_int4(
     xo, k_out, v_out, lg = pl.pallas_call(
         partial(
             _decode_stack_kernel, dh, chunk, groupsize, tile, l, b, norm_eps,
-            bigdot, with_head,
+            bigdot, with_head, wfmt,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),

@@ -908,3 +908,130 @@ def matmul_int4_i32(
         interpret=interpret,
     )(xp, xones, pw, sc)
     return out[:m]
+
+
+# --------------------------------------------------------------------------------------
+# int8-in-int32 packing: 2-byte-ceiling HBM reads for the int8 quality mode
+# --------------------------------------------------------------------------------------
+#
+# Measured on v5e: 1-byte HBM streams cap ~390 GB/s vs ~490 GB/s for 2/4-byte
+# dtypes, so plain int8 weight reads bound the int8 serving mode at ~310
+# tok/s regardless of kernel quality. The same word-packing trick as int4:
+# four biased bytes (q + 128, in [0, 255]) per i32 word in "split-quarter"
+# layout — bits [8j, 8j+8) of word (k', n) hold q[j*K/4 + k', n] + 128 — so
+# the stream reads at the wide-dtype ceiling and the kernel recovers slab j
+# with one shift + mask. The +128 bias folds into a per-channel epilogue via
+#
+#   x @ W = s * (x @ b) - 128 * s * sum(x),   b := q + 128
+#
+# i.e. the int4 kernel's group-affine identity with ONE group spanning K and
+# c = -128 * s. The sc table reuses the (2*Gp, N) layout (Gp = 8 pad rows;
+# row 0 = s, row Gp = c, pad rows zero) so `_int8_word_matmul` mirrors
+# `_int4_group_matmul` tile-for-tile.
+
+
+def pack_int8_i32(q: jax.Array) -> jax.Array:
+    """(K, N) int8 in [-128, 127] -> (K/4, N) int32, split-quarter layout."""
+    k, n = q.shape
+    assert k % 4 == 0, k
+    b = (q.astype(jnp.int32) + 128).reshape(4, k // 4, n)  # biased bytes
+    out = jnp.zeros((k // 4, n), jnp.int32)
+    for j in range(4):
+        out = out | (b[j] << (8 * j))
+    return out
+
+
+def unpack_int8_i32(pw: jax.Array) -> jax.Array:
+    """Inverse of pack_int8_i32 (testing)."""
+    slabs = [(((pw >> (8 * j)) & 0xFF) - 128).astype(jnp.int8) for j in range(4)]
+    return jnp.concatenate(slabs, axis=0)
+
+
+def quantize_int8_i32(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(in, out) weights -> (pw (Kp/4, N) i32, sc (16, N) bf16).
+
+    Same per-output-channel symmetric rule as ``quantize_int8``; K is padded
+    to a multiple of 4 (pad rows quantize to bias 128 and the c term removes
+    their contribution exactly: pad x rows are zero anyway in callers).
+    sc rows: [0] = s, [8] = c = -128*s, everything else zero (the 8-row
+    stride keeps sublane-aligned DMA slices, mirroring the int4 tables).
+    """
+    in_dim, out_dim = w.shape
+    kp = _round_up(in_dim, 4)
+    if kp != in_dim:
+        w = jnp.concatenate([w, jnp.zeros((kp - in_dim, out_dim), w.dtype)], axis=0)
+    q, s = quantize_int8(w)
+    pw = pack_int8_i32(q)
+    sc = jnp.zeros((16, out_dim), jnp.float32)
+    sc = sc.at[0].set(s).at[8].set(-128.0 * s)
+    return pw, sc.astype(jnp.bfloat16)
+
+
+def _int8_word_matmul(x, xsum, w_words, sc):
+    """In-kernel helper: (Bpad, K) bf16 x packed (K/4, tile) i32 -> f32.
+
+    xsum: (Bpad, 8) f32 — per-'group' row sums with the single real group in
+    column 0 (from group_ones(k, 8, k): only column 0 is populated).
+    """
+    k4 = w_words.shape[0]
+    gp = sc.shape[0] // 2
+    acc = jnp.dot(
+        xsum.astype(jnp.bfloat16), sc[gp:, :], preferred_element_type=jnp.float32
+    )  # c term: -128*s * sum(x)
+    for j4 in range(4):
+        byte = ((w_words >> (8 * j4)) & 0xFF).astype(jnp.bfloat16)
+        d = jnp.dot(
+            x[:, j4 * k4 : (j4 + 1) * k4], byte, preferred_element_type=jnp.float32
+        )
+        acc = acc + d * sc[0, :].astype(jnp.float32)[None, :]
+    return acc
+
+
+def quantize_params_int8_i32(params: dict) -> dict:
+    """Param-tree quantizer for the packed-int8 serving mode.
+
+    Quantized (L, in, out) leaves become {"p8": (L, Kp/4, out) i32,
+    "sc8": (L, 16, out) bf16}. FFN hidden padded to a tile multiple like the
+    int4 format so kernels see aligned contractions.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for key in _QUANTIZABLE_LAYER_KEYS:
+        if key not in layers:
+            continue
+        w = layers[key]
+        if key in ("w1", "w3", "w_fc"):
+            ip = _round_up(w.shape[2], 1024)
+            if ip != w.shape[2]:
+                w = jnp.concatenate(
+                    [w, jnp.zeros((w.shape[0], w.shape[1], ip - w.shape[2]), w.dtype)],
+                    axis=2,
+                )
+        if key in ("w2", "w_proj"):
+            # pad the contraction dim to match w1/w3's padded hidden (the
+            # pad activations are exactly zero, so both the byte dot and
+            # the -128*s*sum(x) epilogue are inert over them)
+            kp = _round_up(w.shape[1], 1024)
+            if kp != w.shape[1]:
+                w = jnp.concatenate(
+                    [w, jnp.zeros((w.shape[0], kp - w.shape[1], w.shape[2]), w.dtype)],
+                    axis=1,
+                )
+        pw, sc = jax.vmap(quantize_int8_i32)(w)
+        layers[key] = {"p8": pw, "sc8": sc}
+        if key in ("w1", "w3", "w_fc"):
+            n_real = params["layers"][key].shape[2]
+            col = jnp.arange(sc.shape[2]) < n_real
+            layers[key]["sc8"] = jnp.where(col[None, None, :], sc, 0.0)
+    out["layers"] = layers
+    return out
+
+
+def matmul_int8_i32_reference(x, pw, sc):
+    """jnp semantics oracle for the packed-int8 matmul."""
+    q = unpack_int8_i32(pw).astype(jnp.float32)
+    gp = sc.shape[0] // 2
+    s = sc[0].astype(jnp.float32)
+    c = sc[gp].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    return (xf @ (q + 128.0)) * s + jnp.sum(xf, axis=-1, keepdims=True) * c

@@ -181,9 +181,18 @@ class TTS:
             self.c.first_stage_params = qz.quantize_params_int4_i32(
                 self.c.first_stage_params
             )
+        elif mode == "int8_packed":
+            from metavoice_tpu.ops import quantized as qz
+
+            # int8 quality mode at 2-byte-ceiling HBM reads (beyond the
+            # reference: four biased bytes per i32 word, ops/quantized.py)
+            self.c.first_stage_params = qz.quantize_params_int8_i32(
+                self.c.first_stage_params
+            )
         elif mode is not None:
             raise ValueError(
-                f"Invalid quantisation mode {mode}! Must be either 'int4' or 'int8'!"
+                f"Invalid quantisation mode {mode}! Must be either 'int4', "
+                "'int8' or 'int8_packed'!"
             )
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)

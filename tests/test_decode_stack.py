@@ -161,3 +161,88 @@ def test_stack_fused_head_matches_reference():
     )
     # vocab padding columns carry zeroed scales -> exactly zero logits
     np.testing.assert_array_equal(np.asarray(lg[:, vocab:]), 0.0)
+
+
+def test_pack_int8_i32_roundtrip():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-128, 128, (64, 32)), jnp.int8)
+    np.testing.assert_array_equal(
+        np.asarray(qz.unpack_int8_i32(qz.pack_int8_i32(q))), np.asarray(q)
+    )
+
+
+def test_int8_i32_matmul_reference_close_to_dense():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    pw, sc = qz.quantize_int8_i32(w)
+    out = qz.matmul_int8_i32_reference(x, pw, sc)
+    ref = x @ w
+    err = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-6))
+    assert err < 0.02, err
+
+
+def test_stack_i8_matches_reference():
+    """The packed-int8 ("i8" word format) stack kernel == the jnp oracle
+    composed from matmul_int8_i32_reference + the flash-attention reference.
+    This is the 2-byte-ceiling read path for the int8 quality mode."""
+    rng = np.random.default_rng(5)
+
+    def q8(*shape, s=0.05):
+        w = rng.normal(size=shape).astype(np.float32) * s
+        pw, sc = jax.vmap(qz.quantize_int8_i32)(jnp.asarray(w))
+        return jnp.asarray(w), pw, sc
+
+    L_, H_, DH_, B_, S_ = 2, 8, 128, 2, 512
+    D_ = H_ * DH_
+    IP_ = 2048
+    wqkv_d, wqkv_p, wqkv_s = q8(L_, D_, 3 * D_)
+    wo_d, wo_p, wo_s = q8(L_, D_, D_)
+    w1_d, w1_p, w1_s = q8(L_, D_, IP_)
+    w3_d, w3_p, w3_s = q8(L_, D_, IP_)
+    w2_d, w2_p, w2_s = q8(L_, IP_, D_)
+    n1 = jnp.asarray(1.0 + rng.normal(size=(L_, D_)).astype(np.float32) * 0.1, jnp.bfloat16)
+    n2 = jnp.asarray(1.0 + rng.normal(size=(L_, D_)).astype(np.float32) * 0.1, jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(B_, D_)).astype(np.float32) * 0.3, jnp.bfloat16)
+    k_cache = jnp.asarray(rng.normal(size=(L_, S_, B_, H_, DH_)).astype(np.float32), jnp.bfloat16)
+    v_cache = jnp.asarray(rng.normal(size=(L_, S_, B_, H_, DH_)).astype(np.float32), jnp.bfloat16)
+    pos = jnp.asarray(100, jnp.int32)
+
+    xs, ks, vs = decode_stack_int4(
+        x, n1, n2, wqkv_p, wqkv_s, wo_p, wo_s, w1_p, w1_s, w3_p, w3_s,
+        w2_p, w2_s, k_cache, v_cache, pos, H_, norm_eps=EPS, wfmt="i8",
+        interpret=True,
+    )
+
+    # jnp oracle, same packed weights, per-layer
+    xo = x
+    kf, vf = k_cache, v_cache
+    for li in range(L_):
+        xa = _norm_bf16(xo, n1[li])
+        qkv = qz.matmul_int8_i32_reference(xa.astype(jnp.float32), wqkv_p[li], wqkv_s[li])
+        q = qkv[:, :D_].reshape(B_, H_, DH_)
+        k_new = qkv[:, D_ : 2 * D_].reshape(B_, H_, DH_)
+        v_new = qkv[:, 2 * D_ :].reshape(B_, H_, DH_)
+        y, kf, vf = A.decode_attention_reference(
+            q, k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16),
+            kf.astype(jnp.float32), vf.astype(jnp.float32),
+            jnp.asarray(li), pos,
+        )
+        kf = kf.astype(jnp.bfloat16)
+        vf = vf.astype(jnp.bfloat16)
+        att = qz.matmul_int8_i32_reference(
+            y.reshape(B_, D_).astype(jnp.float32), wo_p[li], wo_s[li]
+        )
+        h = xo + att.astype(xo.dtype)
+        hn = _norm_bf16(h, n2[li])
+        h1 = qz.matmul_int8_i32_reference(hn.astype(jnp.float32), w1_p[li], w1_s[li])
+        h3 = qz.matmul_int8_i32_reference(hn.astype(jnp.float32), w3_p[li], w3_s[li])
+        f = qz.matmul_int8_i32_reference(
+            (jax.nn.silu(h1) * h3), w2_p[li], w2_s[li]
+        )
+        xo = h + f.astype(xo.dtype)
+
+    a = np.asarray(xs, np.float32)
+    r = np.asarray(xo, np.float32)
+    scale = np.abs(r).max() + 1e-6
+    assert np.abs(a - r).max() / scale < 0.05, (a[:, :4], r[:, :4])

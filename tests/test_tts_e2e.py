@@ -251,3 +251,19 @@ def test_min_output_duration_guard(tmp_path, ref_wav):
     )
     wav = t2._tokens_to_wav("x", prompt, stream, spk, _jax.random.PRNGKey(0))
     assert wav.shape[-1] > 0
+
+
+def test_quantised_tts_int8_packed(tmp_path, ref_wav):
+    """quantisation_mode='int8_packed': int8 weights in i32 words (2-byte-
+    ceiling HBM reads through the stack kernel on TPU; reference path on
+    CPU). Full pipeline must run."""
+    import jax as _jax
+
+    t = TTS.from_random(
+        _jax.random.PRNGKey(6), small=True, output_dir=str(tmp_path),
+        quantisation_mode="int8_packed",
+    )
+    w = t.c.first_stage_params["layers"]["wqkv"]
+    assert isinstance(w, dict) and "p8" in w and "sc8" in w
+    out = t.synthesise("Packed int8 hello.", ref_wav)
+    assert os.path.exists(out)
