@@ -44,6 +44,7 @@ from metavoice_tpu.ops.attention import _chunk_for
 from metavoice_tpu.ops.quantized import (
     _int4_group_matmul,
     _int4_group_matmul_scr,
+    _int4_slab_matmul,
     _int8_word_matmul,
     group_ones,
 )
@@ -69,6 +70,7 @@ def _decode_stack_kernel(
     b: int,
     norm_eps: float,
     bigdot: bool,
+    slabdot: bool,
     with_head: bool,
     wfmt: str,  # "i4" (int4-in-int32) | "i8" (int8-in-int32)
     # scalar prefetch
@@ -133,6 +135,8 @@ def _decode_stack_kernel(
     def matmul(x, xsum, w_words, sc):
         if wfmt == "i8":
             return _int8_word_matmul(x, xsum, w_words, sc)
+        if slabdot:
+            return _int4_slab_matmul(x, xsum, w_words, sc, groupsize)
         if bigdot:
             return _int4_group_matmul_scr(x, xsum, w_words, sc, groupsize, wd_scr)
         return _int4_group_matmul(x, xsum, w_words, sc, groupsize)
@@ -413,6 +417,7 @@ def decode_stack_int4(
     tile: int = STACK_TILE,
     chunk: int | None = None,
     bigdot: bool | None = None,
+    slabdot: bool | None = None,
     wfmt: str = "i4",  # weight format: int4-in-int32 | int8-in-int32
     ln_f_w: jax.Array | None = None,  # (D,) — enables the fused head
     head_pw: jax.Array | None = None,  # (D/8, Vp) i32 packed wte^T
@@ -489,9 +494,9 @@ def decode_stack_int4(
         # per-group small-dot path — the (K, tile) scratch round-trip and
         # per-weight bf16 scaling cost far more than the small-dot dispatch
         # overhead they remove. Kept as an experiment flag only.
-        import os
-
-        bigdot = os.environ.get("MVTPU_STACK_BIGDOT", "0") == "1"
+        bigdot = _os.environ.get("MVTPU_STACK_BIGDOT", "0") == "1"
+    if slabdot is None:
+        slabdot = _os.environ.get("MVTPU_STACK_SLABDOT", "0") == "1"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -560,7 +565,7 @@ def decode_stack_int4(
     xo, k_out, v_out, lg = pl.pallas_call(
         partial(
             _decode_stack_kernel, dh, chunk, groupsize, tile, l, b, norm_eps,
-            bigdot, with_head, wfmt,
+            bigdot, slabdot, with_head, wfmt,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),

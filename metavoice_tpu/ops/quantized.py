@@ -606,6 +606,39 @@ def quantize_params_int4_i32(params: dict, groupsize: int = I32_GROUPSIZE) -> di
 FFN_TILE = 1024  # intermediate/output tile width (measured best vs 512/2048)
 
 
+def _int4_slab_matmul(x, xsum, w_words, sc, groupsize):
+    """Slab-dot variant of _int4_group_matmul: ONE MXU dot per SLAB.
+
+    The original issues one (Bpad, groupsize) x (groupsize, tile) dot per
+    (slab, group) — 16-48 small dots per tile whose dispatch overhead is the
+    int4 path's limiter (the packed-int8 helper, 4 big dots per tile,
+    reaches a higher effective bandwidth). Here each slab's nibbles are
+    scaled by their per-group s rows IN-REGISTER (bf16, a (G, 128, tile)
+    broadcast multiply — no VMEM scratch round-trip, the big-dot variant's
+    mistake) and contracted in one (Bpad, K/8) x (K/8, tile) dot.
+
+    Numerics: nib * s rounds to bf16 per weight (the reference's
+    aten._weight_int4pack_mm semantics), vs the exact variant's f32 group
+    scaling — ~1 bf16 ulp per weight.
+    """
+    k8 = w_words.shape[0]
+    gp = sc.shape[0] // 2
+    n_grp_slab = k8 // groupsize
+    acc = jnp.dot(
+        xsum.astype(jnp.bfloat16), sc[gp:, :], preferred_element_type=jnp.float32
+    )
+    for j8 in range(8):
+        nib = ((w_words >> (4 * j8)) & 0xF).astype(jnp.bfloat16)
+        srows = sc[j8 * n_grp_slab : (j8 + 1) * n_grp_slab, :].astype(jnp.bfloat16)
+        scaled = (
+            nib.reshape(n_grp_slab, groupsize, -1) * srows[:, None, :]
+        ).reshape(k8, -1)
+        acc = acc + jnp.dot(
+            x[:, j8 * k8 : (j8 + 1) * k8], scaled, preferred_element_type=jnp.float32
+        )
+    return acc
+
+
 def _int4_group_matmul_scr(x, xsum, w_words, sc, groupsize, w_scr):
     """Big-dot variant of _int4_group_matmul: one MXU dot per TILE.
 
