@@ -53,29 +53,30 @@ def top_p_mask(logits: jax.Array, top_p: jax.Array | float) -> jax.Array:
     highest-probability token is always kept.
     """
     top_p = jnp.asarray(top_p, dtype=jnp.float32)
-    # ONE descending sort (argsort), then gather values by it; f32 for the
-    # softmax/cumsum to keep thresholds exact. (A previous version used
-    # jnp.sort + argsort + an inverse argsort — three full-vocab sorts; on
-    # TPU this dominated the whole sampling epilogue at ~0.2 ms/step.)
-    order = jnp.argsort(-logits, axis=-1)
-    sorted_logits = jnp.take_along_axis(logits.astype(jnp.float32), order, axis=-1)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    # Sort VALUES only (no index payload), find how many ranks survive (k)
+    # and the boundary value (c), then rebuild the keep mask in vocabulary
+    # order arithmetically. This avoids the argsort's (f32, i32) variadic
+    # sort, the full-vocab gather, and the scatter back to vocab order — on
+    # TPU those dominated the sampling epilogue (an earlier version with
+    # three full sorts cost ~0.2 ms/step; argsort+gather+scatter was the
+    # round-2 fix; this is the round-3 one). Bit-identical to the sorted
+    # formulation away from exact ties at the boundary value; at a tie it
+    # keeps the lowest vocab ids, matching the previous argsort (stable,
+    # ascending index among equal keys) implementation.
+    lf = logits.astype(jnp.float32)
+    sorted_desc = jnp.flip(jnp.sort(lf, axis=-1), axis=-1)
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
     cum_excl = jnp.cumsum(probs, axis=-1) - probs
     keep_sorted = cum_excl < top_p
     keep_sorted = keep_sorted.at[..., 0].set(True)
-    # Scatter keep flags back to vocabulary order (position j in the sorted
-    # view is vocab id order[j] — bit-identical to gathering through the
-    # inverse permutation, without materializing it via a second argsort).
-    shape = logits.shape
-    v = shape[-1]
-    order2 = order.reshape(-1, v)
-    rows = jnp.arange(order2.shape[0])[:, None]
-    keep = (
-        jnp.zeros(order2.shape, jnp.bool_)
-        .at[rows, order2]
-        .set(keep_sorted.reshape(-1, v))
-        .reshape(shape)
-    )
+    k = jnp.sum(keep_sorted.astype(jnp.int32), axis=-1, keepdims=True)  # >= 1
+    c = jnp.take_along_axis(sorted_desc, k - 1, axis=-1)  # smallest kept value
+    gt = lf > c
+    eq = lf == c
+    n_gt = jnp.sum(gt.astype(jnp.int32), axis=-1, keepdims=True)
+    m = k - n_gt  # ties at c to keep (lowest vocab ids first)
+    tie_rank = jnp.cumsum(eq.astype(jnp.int32), axis=-1) - 1
+    keep = gt | (eq & (tie_rank < m))
     return jnp.where(keep, logits, jnp.asarray(NEG_INF, logits.dtype))
 
 
