@@ -811,3 +811,70 @@ def merge_slot_scales(
     vs = jax.lax.dynamic_update_slice(vs, tvs[:, :, :, 0:h], (z, phys_start, z, row_c * h))
     vs = jax.lax.dynamic_update_slice(vs, tvs[:, :, :, h : 2 * h], (z, phys_start, z, row_u * h))
     return ks, vs
+
+
+# --------------------------------------------------------------------------------------
+# Group rebase (continuous serving)
+# --------------------------------------------------------------------------------------
+#
+# The shared physical timeline only grows while any slot is active, so under
+# sustained load a lockstep group eventually nears block_size: admissions
+# stop and late joiners can be left with as little as min_decode_budget
+# tokens before forced truncation. REBASE reclaims the dead prefix instead:
+# when every active row's valid window starts at >= s, slide the whole cache
+# s positions toward the origin and subtract s from the shared position and
+# every row's pad. Window contents, logical wpe positions (pos - pad), and
+# the sampling key sequence are all invariant, so a rebased decode is
+# bit-identical to an unrebased one (pinned by tests/test_engine.py).
+
+
+REBASE_ALIGN = 128  # rebase shifts must be multiples of this (see below)
+
+
+def _shift_seq_left(arrs: tuple, s: jax.Array, chunk: int):
+    """Shift axis 1 of every array left by ``s``, chunked, donation-friendly.
+
+    Ascending chunked copy: iteration i reads [s + i*C, s + (i+1)*C) and
+    writes [i*C, (i+1)*C). For s >= 0 a later iteration's read region never
+    overlaps an earlier iteration's write region (their start distance is
+    (i-j)*C + s > 0 with the read strictly ahead), so XLA's in-place
+    aliasing of the donated loop carry is hazard-free.
+
+    ``s`` MUST be a multiple of ``chunk`` (callers floor it; the engine
+    floors to REBASE_ALIGN): then every chunk whose read would run past the
+    end (and be clamp-shifted by dynamic_slice) has its write start at
+    >= S - s — past the shifted valid prefix (pos - s <= S - s), so clamped
+    reads only ever copy garbage over garbage. A non-multiple ``s`` would
+    let a clamped read land garbage INSIDE the valid tail.
+    """
+    S = arrs[0].shape[1]
+    if S % chunk != 0:
+        # non-chunk-multiple sequence lengths (toy configs): jnp.roll keeps
+        # the valid prefix exact for ANY s (the wrapped tail is garbage past
+        # pos - s, which is invalid by definition) at the cost of a full
+        # out-of-place copy — fine at toy scale.
+        return tuple(jnp.roll(a, -s, axis=1) for a in arrs)
+    n = S // chunk
+
+    def body(i, t):
+        blocks = [
+            jax.lax.dynamic_slice_in_dim(a, s + i * chunk, chunk, axis=1) for a in t
+        ]
+        return tuple(
+            jax.lax.dynamic_update_slice_in_dim(a, b, i * chunk, axis=1)
+            for a, b in zip(t, blocks)
+        )
+
+    return jax.lax.fori_loop(0, n, body, arrs)
+
+
+@partial(jax.jit, donate_argnames=("k", "v"))
+def shift_cache_left(k: jax.Array, v: jax.Array, s: jax.Array):
+    """Slide the valid prefix of the (L, S, B, H, Dh) cache left by ``s``."""
+    return _shift_seq_left((k, v), s, 128)
+
+
+@partial(jax.jit, donate_argnames=("ks", "vs"))
+def shift_scales_left(ks: jax.Array, vs: jax.Array, s: jax.Array):
+    """int8-cache variant: slide the (L, S, 1, BHpad) scale tables too."""
+    return _shift_seq_left((ks, vs), s, 128)

@@ -123,11 +123,19 @@ class ContinuousBatchingEngine:
         segment_tokens: int = 64,
         pad_multiple: int = 128,
         min_decode_budget: int = 64,
+        rebase_margin: int | None = None,
     ):
         if segment_tokens % 2 != 0:
             raise ValueError("segment_tokens must be even (whole frames)")
         self.tts = tts
         self.n_slots = slots
+        # rebase when within this many positions of block_size (None: 1/4 of
+        # the block — 512 at the production block of 2048)
+        self.rebase_margin = (
+            rebase_margin
+            if rebase_margin is not None
+            else tts.c.first_stage_cfg.block_size // 4
+        )
         self.segment_tokens = segment_tokens
         self.pad_multiple = pad_multiple
         self.min_decode_budget = min_decode_budget
@@ -151,6 +159,8 @@ class ContinuousBatchingEngine:
         self._key = jax.random.PRNGKey(tts.runtime.seed + 1)
         self._queue: "queue.Queue[SynthesisRequest | None]" = queue.Queue()
         self._deferred: list[SynthesisRequest] = []
+        # scheduling observability (read by /metrics and the serving bench)
+        self.stats = {"rebases": 0, "reclaimed_positions": 0, "truncations": 0}
         self._render_pool = ThreadPoolExecutor(max_workers=2)
         self._running = True
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -300,8 +310,44 @@ class ContinuousBatchingEngine:
             else:
                 self._cur[i] = T.END_OF_AUDIO_TOKEN
 
+    # ------------------------------------------------------------------ rebase
+    def _maybe_rebase(self):
+        """Reclaim the dead cache prefix when the timeline nears block_size.
+
+        Every active row's valid window is [pad, pos); once the oldest
+        active window start s = min(pad) is far from the origin (rows that
+        started the group have retired), slide the whole cache left by s:
+        admissions reopen and late joiners regain decode budget instead of
+        being truncated at min_decode_budget tokens. A rebased decode is
+        bit-identical to an unrebased one (window contents, logical
+        positions pos-pad, and the key sequence are invariant) — pinned by
+        tests/test_engine.py::test_rebase_matches_unrebased_decode.
+        """
+        if self._pos < self._block - self.rebase_margin:
+            return
+        actives = self._actives()
+        if not actives:
+            return
+        s = int(min(self._pad[i] for i in actives))
+        s = (s // fs.REBASE_ALIGN) * fs.REBASE_ALIGN  # shift must be aligned
+        if s <= 0:
+            return  # nothing meaningful to reclaim
+        k, v = fs.shift_cache_left(self._kv.k, self._kv.v, jnp.asarray(s, jnp.int32))
+        if self._kv.quantized:
+            ks, vs = fs.shift_scales_left(
+                self._kv.k_scale, self._kv.v_scale, jnp.asarray(s, jnp.int32)
+            )
+        else:
+            ks = vs = None
+        self._kv = tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
+        self._pos -= s
+        self._pad = np.maximum(self._pad - s, 0)
+        self.stats["rebases"] += 1
+        self.stats["reclaimed_positions"] += s
+
     # ------------------------------------------------------------------ joining
     def _admit_joins(self):
+        self._maybe_rebase()
         if self._pos >= self._block - self.min_decode_budget:
             return  # group near the block limit: no more admissions
         free = [i for i, s in enumerate(self._slots) if s.free]
@@ -371,7 +417,10 @@ class ContinuousBatchingEngine:
         c = self.tts.c
         if self._pos >= self._block:
             # physical timeline exhausted: truncate whatever is still active
+            # (rare with rebase — requires an active row spanning the whole
+            # block; counted so serving traces surface it)
             for i in self._actives():
+                self.stats["truncations"] += 1
                 self._complete(i)
             return
         self._key, kd = jax.random.split(self._key)

@@ -333,7 +333,15 @@ def make_handler(tts, config: ServingConfig, batching_engine=None, metrics=None)
             if self.path == "/health":
                 self._json(200, {"status": "ok"})
             elif self.path == "/metrics":
-                self._send(200, metrics.render().encode(), "text/plain; version=0.0.4")
+                body = metrics.render()
+                if batching_engine is not None:
+                    # engine scheduling counters (rebases reclaim timeline
+                    # budget; truncations mean an utterance was cut at the
+                    # block limit — should stay 0 in healthy serving)
+                    for name, val in sorted(batching_engine.stats.items()):
+                        body += f"# TYPE engine_{name}_total counter\n"
+                        body += f"engine_{name}_total {val}\n"
+                self._send(200, body.encode(), "text/plain; version=0.0.4")
             elif self.path in ("/", "/index.html"):
                 self._send(200, _INDEX_HTML.encode(), "text/html")
             else:

@@ -207,3 +207,149 @@ def test_deferred_requests_complete_without_new_submits(tmp_path, ref_wav):
             assert os.path.exists(f.result(timeout=600))
     finally:
         eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Group rebase (sustained-load budget reclamation)
+# ---------------------------------------------------------------------------
+
+
+def test_shift_cache_left_unit():
+    """shift_cache_left slides the valid prefix exactly (numpy oracle)."""
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(2, 256, 3, 2, 4)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 256, 3, 2, 4)).astype(np.float32))
+    kn, vn = np.asarray(k).copy(), np.asarray(v).copy()
+    s = 128  # aligned shift (fs.REBASE_ALIGN)
+    ks, vs = fs.shift_cache_left(k, v, jnp.asarray(s, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(ks)[:, : 256 - s], kn[:, s:])
+    np.testing.assert_array_equal(np.asarray(vs)[:, : 256 - s], vn[:, s:])
+
+
+def test_shift_cache_left_unaligned_block():
+    """Toy block sizes that aren't chunk multiples take the roll path and
+    stay exact for arbitrary shifts."""
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.normal(size=(1, 96, 2, 2, 4)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 96, 2, 2, 4)).astype(np.float32))
+    kn = np.asarray(k).copy()
+    ks, _ = fs.shift_cache_left(k, v, jnp.asarray(37, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(ks)[:, : 96 - 37], kn[:, 37:])
+
+
+def test_rebase_matches_unrebased_decode():
+    """A group rebased by an aligned shift decodes the SAME tokens as the
+    unrebased group: window contents and logical positions (pos - pad) are
+    invariant under the shift, so the physical origin is invisible."""
+    cfg = first_stage_config(
+        n_layer=2, n_head=4, dim=128, block_size=512, vocab_sizes=(97,),
+        intermediate_size=256,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    spkA = jax.random.normal(jax.random.PRNGKey(1), (cfg.speaker_emb_dim,))
+    spkB = jax.random.normal(jax.random.PRNGKey(2), (cfg.speaker_emb_dim,))
+    promptA = [90, 91, 92, 93]
+    promptB = [94, 95, 96, 90, 91]
+    EOA = 10**6
+    slots = 2
+    pm = 128
+    greedy_t = jnp.full((slots, 1), 0.01, jnp.float32)
+    greedy_p = jnp.full((slots, 1), 0.01, jnp.float32)
+    g = jnp.full((slots, 1), 3.0, jnp.float32)
+
+    # group start: A in slot 0 at bucket 128
+    kv = tfm.KVCache.create(cfg, 2 * slots, cfg.block_size, dtype=jnp.float32)
+    padded, pads = fs.left_pad_prompts([promptA, [0]], pm)
+    spk = jnp.stack([jnp.asarray(spkA), jnp.zeros_like(jnp.asarray(spkA))])
+    first, kv = fs.prefill_batch(
+        params, cfg, jnp.asarray(padded), jnp.asarray(pads), spk, kv,
+        jax.random.PRNGKey(6), greedy_t, greedy_p, g, compute_dtype=jnp.float32,
+    )
+    cur = np.asarray([int(np.asarray(first)[0]), 0], np.int32)
+    pos = pm
+    buf, lens, kv = fs.decode_batch(
+        params, cfg, jnp.asarray(cur), jnp.asarray(pos, jnp.int32),
+        jnp.asarray(pads), spk, kv, jax.random.PRNGKey(7), greedy_t, greedy_p,
+        g, jnp.asarray(32, jnp.int32), 32, EOA, jnp.float32,
+    )
+    pos += 32  # pos = 160
+
+    # B joins at physical position 160 (bucket 128 -> rows land [32, 160))
+    bucket = 128
+    temp = tfm.KVCache.create(cfg, 2, bucket, dtype=jnp.float32)
+    pb, pbl = fs.left_pad_prompts([promptB], bucket)
+    firstB, temp = fs.prefill_batch(
+        params, cfg, jnp.asarray(pb), jnp.asarray(pbl),
+        jnp.asarray(spkB)[None], temp, jax.random.PRNGKey(8),
+        greedy_t[:1], greedy_p[:1], g[:1], compute_dtype=jnp.float32,
+    )
+    k, v = fs.merge_slot_cache(
+        kv.k, kv.v, temp.k, temp.v, jnp.asarray(pos - bucket, jnp.int32),
+        jnp.asarray(1, jnp.int32), jnp.asarray(slots + 1, jnp.int32),
+    )
+    pads = np.asarray(pads).copy()
+    pads[1] = pos - len(promptB)  # 155
+    spk = spk.at[1].set(jnp.asarray(spkB))
+    # slot A retires: freeze its row (its cache reads become irrelevant)
+    cur = np.asarray([EOA, int(np.asarray(firstB)[0])], np.int32)
+
+    # snapshot for the two branches (decode/shift donate their caches)
+    kh, vh = np.asarray(k), np.asarray(v)
+
+    def continue_decode(kv, pos, pads, steps=32):
+        toks = []
+        c = cur.copy()
+        for _ in range(2):
+            buf, lens, kv = fs.decode_batch(
+                params, cfg, jnp.asarray(c), jnp.asarray(pos, jnp.int32),
+                jnp.asarray(pads, jnp.int32), spk, kv, jax.random.PRNGKey(9),
+                greedy_t, greedy_p, g,
+                jnp.asarray(steps // 2, jnp.int32), steps // 2, EOA, jnp.float32,
+            )
+            b = np.asarray(buf)
+            toks.extend(int(x) for x in b[1, : int(np.asarray(lens)[1])])
+            c = np.asarray([EOA, b[1, -1]], np.int32)
+            pos += steps // 2
+        return toks
+
+    kv1 = tfm.KVCache(k=jnp.asarray(kh), v=jnp.asarray(vh))
+    toks_plain = continue_decode(kv1, pos, pads)
+
+    s = 128  # aligned, <= min active pad (155)
+    k2, v2 = fs.shift_cache_left(
+        jnp.asarray(kh), jnp.asarray(vh), jnp.asarray(s, jnp.int32)
+    )
+    kv2 = tfm.KVCache(k=k2, v=v2)
+    toks_rebased = continue_decode(kv2, pos - s, pads - s)
+
+    assert toks_plain == toks_rebased
+
+
+def test_engine_rebase_under_sustained_load(tmp_path, ref_wav, monkeypatch):
+    """Sustained submissions against a small block: the engine rebases the
+    shared timeline instead of truncating late joiners; every request
+    completes and no truncation is recorded."""
+    from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+
+    monkeypatch.setattr(T, "END_OF_AUDIO_TOKEN", 10**6)  # run to max_new_tokens
+    tts = TTS.from_random(jax.random.PRNGKey(7), small=True, output_dir=str(tmp_path))
+    eng = ContinuousBatchingEngine(
+        tts, slots=2, segment_tokens=16, rebase_margin=448
+    )
+    try:
+        # uneven durations: slots retire at different segments, so joiners
+        # keep pushing the shared timeline forward instead of the group
+        # draining in lockstep (which would reset pos to 0 without a rebase)
+        futs = [
+            eng.submit(
+                f"Sustained load {i}.", ref_wav,
+                max_new_tokens=32 + (i % 4) * 24,
+            )
+            for i in range(10)
+        ]
+        for f in futs:
+            assert os.path.exists(f.result(timeout=900))
+        assert eng.stats["rebases"] >= 1, eng.stats
+        assert eng.stats["truncations"] == 0, eng.stats
+    finally:
+        eng.shutdown()
