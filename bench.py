@@ -69,7 +69,7 @@ def main():
     never_eoa = 10**6  # disable early stop so every run decodes n_tokens
 
     def measure_decode(qparams, label):
-        """Prefill + 3 timed 256-token decodes; returns best tokens/sec."""
+        """Prefill + 5 timed 256-token decodes; returns best tokens/sec."""
         kv = tfm.KVCache.create(cfg, 2, cfg.block_size, dtype=jnp.bfloat16)
         t0 = time.perf_counter()
         first_token, kv = fs.prefill(
@@ -94,7 +94,7 @@ def main():
         run()
         log(f"[{label}] decode compile+first run: {time.perf_counter()-t0:.1f}s")
         times = []
-        for i in range(3):
+        for i in range(5):
             t0 = time.perf_counter()
             buf, lens = run()
             dt = time.perf_counter() - t0

@@ -30,8 +30,10 @@ def _add_model_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--small", action="store_true", help="small dev models")
     ap.add_argument(
         "--quantisation_mode",
-        choices=["int4", "int8"],
-        help="weight-only quantisation of the first stage",
+        choices=["int4", "int8", "int8_packed", "int8_plain"],
+        help="weight-only quantisation of the first stage (int8 = "
+        "int8-in-int32 packed, the fast int8 path; int8_plain = plain "
+        "arrays at the 1-byte DMA ceiling)",
     )
     ap.add_argument(
         "--kv_cache_dtype",
@@ -169,7 +171,7 @@ def cmd_quantize(argv: list[str]) -> int:
     """
     ap = argparse.ArgumentParser(prog="metavoice_tpu quantize")
     ap.add_argument("--first_stage_path", required=True, help="first-stage .pt")
-    ap.add_argument("--mode", choices=["int4", "int8"], default="int4")
+    ap.add_argument("--mode", choices=["int4", "int8", "int8_plain"], default="int4")
     ap.add_argument("--out", required=True, help="output .npz path")
     args = ap.parse_args(argv)
 
@@ -186,6 +188,11 @@ def cmd_quantize(argv: list[str]) -> int:
     params, cfg, tok_info = ck.load_first_stage_pt(args.first_stage_path)
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
     if args.mode == "int8":
+        # int8-in-int32 packed: same per-channel quantisation error as plain
+        # int8, but weight reads run at the 2-byte DMA ceiling (~400 vs
+        # ~305 tok/s on v5e); "int8_plain" keeps the plain-array layout
+        qparams = qz.quantize_params_int8_i32(params)
+    elif args.mode == "int8_plain":
         qparams = qz.quantize_params_int8(params)
     else:
         qparams = qz.quantize_params_int4_i32(params)

@@ -170,7 +170,9 @@ class RuntimeConfig:
     """End-to-end runtime knobs for the TTS engine."""
 
     dtype: str = "bfloat16"  # compute dtype for transformer stages
-    quantisation_mode: str | None = None  # None | "int8" | "int4"
+    # None | "int4" | "int8" (= packed int8-in-int32, the fast int8 path;
+    # "int8_packed" is an alias) | "int8_plain" (plain arrays, 1-byte DMA)
+    quantisation_mode: str | None = None
     # None (bf16, the speed default) | "int8" (half cache memory — capacity
     # lever for large serving batches; ~20% slower decode on v5e)
     kv_cache_dtype: str | None = None

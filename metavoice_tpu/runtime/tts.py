@@ -168,9 +168,12 @@ class TTS:
         # fam/llm/fast_inference.py:41 `quantisation_mode`); int8 is FASTER
         # than bf16 here (Pallas weight-streaming kernels)
         mode = quantisation_mode or self.runtime.quantisation_mode
-        if mode == "int8":
+        if mode == "int8_plain":
             from metavoice_tpu.ops import quantized as qz
 
+            # plain int8 arrays: capped by the ~390 GB/s 1-byte DMA ceiling
+            # (~305 tok/s); kept for experiments — "int8" (below) is the
+            # same quantisation error at 2-byte-ceiling reads (~400 tok/s)
             self.c.first_stage_params = qz.quantize_params_int8(self.c.first_stage_params)
         elif mode == "int4":
             from metavoice_tpu.ops import quantized as qz
@@ -181,18 +184,22 @@ class TTS:
             self.c.first_stage_params = qz.quantize_params_int4_i32(
                 self.c.first_stage_params
             )
-        elif mode == "int8_packed":
+        elif mode in ("int8", "int8_packed"):
             from metavoice_tpu.ops import quantized as qz
 
-            # int8 quality mode at 2-byte-ceiling HBM reads (beyond the
-            # reference: four biased bytes per i32 word, ops/quantized.py)
+            # the reference's "int8" mode (fast_inference.py quantisation
+            # _mode), implemented as int8-in-int32 packing: same per-channel
+            # quantisation error, but the weight stream reads at the
+            # 2-byte-ceiling ~490 GB/s instead of the 1-byte ~390 GB/s that
+            # caps plain int8 arrays (ops/quantized.py; "int8_packed" kept
+            # as an alias, "int8_plain" selects the plain arrays)
             self.c.first_stage_params = qz.quantize_params_int8_i32(
                 self.c.first_stage_params
             )
         elif mode is not None:
             raise ValueError(
                 f"Invalid quantisation mode {mode}! Must be either 'int4', "
-                "'int8' or 'int8_packed'!"
+                "'int8', 'int8_packed' or 'int8_plain'!"
             )
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)

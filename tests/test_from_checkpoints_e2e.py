@@ -236,7 +236,8 @@ def test_prequantized_npz_checkpoint_roundtrip(tmp_path):
         output_dir=str(tmp_path / "out"), enforce_min_ref_duration=False,
     )
     w = tts.c.first_stage_params["layers"]["wqkv"]
-    assert isinstance(w, dict) and w["q"].dtype == jnp.int8
+    # "int8" now emits the packed int8-in-int32 serving format
+    assert isinstance(w, dict) and w["p8"].dtype == jnp.int32
 
     # conflicting quantisation mode is rejected — via kwarg or RuntimeConfig
     with pytest.raises(ValueError, match="pre-quantized"):
@@ -259,7 +260,7 @@ def test_prequantized_npz_checkpoint_roundtrip(tmp_path):
         runtime=RuntimeConfig(quantisation_mode="int8"),
     )
     assert isinstance(t2.c.first_stage_params["layers"]["wqkv"], dict)
-    assert t2.c.first_stage_params["layers"]["wqkv"]["q"].dtype == jnp.int8
+    assert t2.c.first_stage_params["layers"]["wqkv"]["p8"].dtype == jnp.int32
 
     sr = 16000
     t = np.arange(31 * sr) / sr

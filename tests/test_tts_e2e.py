@@ -63,15 +63,34 @@ def test_min_ref_duration_enforced(ref_wav, tmp_path):
 
 
 def test_quantised_tts_int8(tmp_path, ref_wav):
-    """--quantisation_mode int8 parity: full pipeline with quantized stage 1."""
+    """--quantisation_mode int8 parity: full pipeline with quantized stage 1.
+
+    "int8" is the reference's mode name and now selects the packed
+    int8-in-int32 serving format (2-byte-ceiling HBM reads)."""
     import jax as _jax
 
     t = TTS.from_random(
         _jax.random.PRNGKey(2), small=True, output_dir=str(tmp_path),
         quantisation_mode="int8",
     )
-    assert isinstance(t.c.first_stage_params["layers"]["wqkv"], dict)
+    w = t.c.first_stage_params["layers"]["wqkv"]
+    assert isinstance(w, dict) and "p8" in w
     out = t.synthesise("Quantised hello.", ref_wav)
+    assert os.path.exists(out)
+
+
+def test_quantised_tts_int8_plain(tmp_path, ref_wav):
+    """quantisation_mode='int8_plain': plain per-channel int8 arrays (the
+    1-byte-DMA-ceiling layout, kept for experiments)."""
+    import jax as _jax
+
+    t = TTS.from_random(
+        _jax.random.PRNGKey(2), small=True, output_dir=str(tmp_path),
+        quantisation_mode="int8_plain",
+    )
+    w = t.c.first_stage_params["layers"]["wqkv"]
+    assert isinstance(w, dict) and "q" in w
+    out = t.synthesise("Plain int8 hello.", ref_wav)
     assert os.path.exists(out)
 
 
