@@ -171,7 +171,11 @@ def cmd_quantize(argv: list[str]) -> int:
     """
     ap = argparse.ArgumentParser(prog="metavoice_tpu quantize")
     ap.add_argument("--first_stage_path", required=True, help="first-stage .pt")
-    ap.add_argument("--mode", choices=["int4", "int8", "int8_plain"], default="int4")
+    ap.add_argument(
+        "--mode",
+        choices=["int4", "int8", "int8_packed", "int8_plain"],
+        default="int4",
+    )
     ap.add_argument("--out", required=True, help="output .npz path")
     args = ap.parse_args(argv)
 
@@ -187,6 +191,8 @@ def cmd_quantize(argv: list[str]) -> int:
         args.out += ".npz"
     params, cfg, tok_info = ck.load_first_stage_pt(args.first_stage_path)
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+    if args.mode == "int8_packed":
+        args.mode = "int8"  # alias: both select the packed i32 format
     if args.mode == "int8":
         # int8-in-int32 packed: same per-channel quantisation error as plain
         # int8, but weight reads run at the 2-byte DMA ceiling (~400 vs

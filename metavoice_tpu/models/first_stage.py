@@ -831,7 +831,7 @@ def merge_slot_scales(
 REBASE_ALIGN = 128  # rebase shifts must be multiples of this (see below)
 
 
-def _shift_seq_left(arrs: tuple, s: jax.Array, chunk: int):
+def _shift_seq_left(arrs: tuple, s: jax.Array, chunk: int, pos: jax.Array | None):
     """Shift axis 1 of every array left by ``s``, chunked, donation-friendly.
 
     Ascending chunked copy: iteration i reads [s + i*C, s + (i+1)*C) and
@@ -854,7 +854,13 @@ def _shift_seq_left(arrs: tuple, s: jax.Array, chunk: int):
         # pos - s, which is invalid by definition) at the cost of a full
         # out-of-place copy — fine at toy scale.
         return tuple(jnp.roll(a, -s, axis=1) for a in arrs)
-    n = S // chunk
+    if pos is None:
+        n = S // chunk
+    else:
+        # only the valid prefix [s, pos) needs to move: ceil((pos-s)/chunk)
+        # chunks (traced bound — fori_loop lowers to a while_loop), instead
+        # of sweeping the whole S axis on every rebase
+        n = jnp.clip((pos - s + chunk - 1) // chunk, 0, S // chunk)
 
     def body(i, t):
         blocks = [
@@ -869,12 +875,15 @@ def _shift_seq_left(arrs: tuple, s: jax.Array, chunk: int):
 
 
 @partial(jax.jit, donate_argnames=("k", "v"))
-def shift_cache_left(k: jax.Array, v: jax.Array, s: jax.Array):
-    """Slide the valid prefix of the (L, S, B, H, Dh) cache left by ``s``."""
-    return _shift_seq_left((k, v), s, 128)
+def shift_cache_left(k: jax.Array, v: jax.Array, s: jax.Array, pos: jax.Array | None = None):
+    """Slide the valid prefix of the (L, S, B, H, Dh) cache left by ``s``.
+
+    ``pos`` (the current end of the valid prefix) bounds the copy — without
+    it the whole S axis is swept."""
+    return _shift_seq_left((k, v), s, 128, pos)
 
 
 @partial(jax.jit, donate_argnames=("ks", "vs"))
-def shift_scales_left(ks: jax.Array, vs: jax.Array, s: jax.Array):
+def shift_scales_left(ks: jax.Array, vs: jax.Array, s: jax.Array, pos: jax.Array | None = None):
     """int8-cache variant: slide the (L, S, 1, BHpad) scale tables too."""
-    return _shift_seq_left((ks, vs), s, 128)
+    return _shift_seq_left((ks, vs), s, 128, pos)

@@ -332,10 +332,12 @@ class ContinuousBatchingEngine:
         s = (s // fs.REBASE_ALIGN) * fs.REBASE_ALIGN  # shift must be aligned
         if s <= 0:
             return  # nothing meaningful to reclaim
-        k, v = fs.shift_cache_left(self._kv.k, self._kv.v, jnp.asarray(s, jnp.int32))
+        sj = jnp.asarray(s, jnp.int32)
+        pj = jnp.asarray(self._pos, jnp.int32)
+        k, v = fs.shift_cache_left(self._kv.k, self._kv.v, sj, pj)
         if self._kv.quantized:
             ks, vs = fs.shift_scales_left(
-                self._kv.k_scale, self._kv.v_scale, jnp.asarray(s, jnp.int32)
+                self._kv.k_scale, self._kv.v_scale, sj, pj
             )
         else:
             ks = vs = None

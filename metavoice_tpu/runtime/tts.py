@@ -375,6 +375,11 @@ class TTS:
             requested = kwargs.get("quantisation_mode") or (
                 runtime_arg.quantisation_mode if runtime_arg else None
             )
+            # "int8_packed" is an alias of "int8" (both select the packed
+            # int8-in-int32 format) — normalize before the conflict check
+            _alias = {"int8_packed": "int8"}
+            requested = _alias.get(requested, requested)
+            pre_quantised = _alias.get(pre_quantised, pre_quantised)
             if pre_quantised and requested not in (None, pre_quantised):
                 raise ValueError(
                     f"checkpoint is pre-quantized as {pre_quantised!r}; "

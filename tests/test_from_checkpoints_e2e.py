@@ -262,6 +262,13 @@ def test_prequantized_npz_checkpoint_roundtrip(tmp_path):
     assert isinstance(t2.c.first_stage_params["layers"]["wqkv"], dict)
     assert t2.c.first_stage_params["layers"]["wqkv"]["p8"].dtype == jnp.int32
 
+    # the "int8_packed" alias names the same format — must not conflict
+    t3 = TTS.from_checkpoints(
+        q, p2, p3, encodec_path=p4, encodec_cfg=ECFG,
+        output_dir=str(tmp_path / "out5"), quantisation_mode="int8_packed",
+    )
+    assert t3.c.first_stage_params["layers"]["wqkv"]["p8"].dtype == jnp.int32
+
     sr = 16000
     t = np.arange(31 * sr) / sr
     ref = str(tmp_path / "ref.wav")
