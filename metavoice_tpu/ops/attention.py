@@ -46,8 +46,21 @@ def _chunk_for(bh: int, dh: int) -> int:
     return c
 
 
+def _chunkv2_enabled() -> bool:
+    """Transpose-free chunk-loop layout (scores stay (C, BH); softmax stats
+    ride the loop carry as (1, BH) rows). Measured on v5e: +6-8% batch-8
+    aggregate decode, ~+2% single-stream, bit-identical results — the
+    per-chunk (C, BH)<->(BH, C) relayouts were the VPU cost the perf notes
+    blamed for the ~180 GB/s ceiling at large batch*heads. Env kill-switch
+    for A/B: MVTPU_STACK_CHUNKV2=0."""
+    import os
+
+    return os.environ.get("MVTPU_STACK_CHUNKV2", "1") == "1"
+
+
 def _decode_attn_kernel(
     chunk,
+    chunkv2,
     # scalar prefetch
     idx_ref,  # (2,) int32: [layer, pos]
     # inputs
@@ -104,6 +117,49 @@ def _decode_attn_kernel(
     dk, dv = get_dma(0, 0)
     dk.start()
     dv.start()
+
+    if chunkv2:
+        # transpose-free layout: scores stay (C, BH) as DMA'd; stats are
+        # (1, BH) loop-carry rows (see _chunkv2_enabled)
+        starts_row = starts_ref[:].reshape(1, bh)
+
+        def body2(c, carry):
+            m_prev, l_prev, acc = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                nk, nv = get_dma(jax.lax.rem(c + 1, 2), c + 1)
+                nk.start()
+                nv.start()
+
+            ck, cv = get_dma(slot, c)
+            ck.wait()
+            cv.wait()
+            k = k_buf[slot].astype(jnp.float32)  # (C, BH, Dh)
+            v = v_buf[slot].astype(jnp.float32)
+            s = jnp.sum(q[None, :, :] * k, axis=-1)  # (C, BH)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, bh), 0) + c * chunk
+            s = jnp.where((ids <= pos) & (ids >= starts_row), s, -1e30)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)  # (1, BH)
+            p = jnp.exp(s - m_new)  # (C, BH)
+            l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+            acc = acc * alpha.reshape(bh, 1) + jnp.sum(p[:, :, None] * v, axis=0)
+            return (m_new, l_new, acc)
+
+        _, l_f, acc_f = jax.lax.fori_loop(
+            0,
+            n_chunks,
+            body2,
+            (
+                jnp.full((1, bh), -1e30, jnp.float32),
+                jnp.zeros((1, bh), jnp.float32),
+                jnp.zeros((bh, dh), jnp.float32),
+            ),
+        )
+        y_ref[:] = (acc_f / jnp.maximum(l_f.reshape(bh, 1), 1e-30)).astype(y_ref.dtype)
+        return
 
     def body(c, _):
         slot = jax.lax.rem(c, 2)
@@ -205,7 +261,7 @@ def decode_attention(
         ],
     )
     y, k_out, v_out = pl.pallas_call(
-        partial(_decode_attn_kernel, chunk),
+        partial(_decode_attn_kernel, chunk, _chunkv2_enabled()),
         out_shape=(
             jax.ShapeDtypeStruct((bh, dh), q.dtype),
             jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
@@ -266,6 +322,7 @@ W_TILE = 512  # weight tile width (1024 measured slightly slower)
 def _decode_block_kernel(
     dh: int,
     chunk: int,
+    chunkv2: bool,
     # scalar prefetch
     idx_ref,  # (2,) int32: [layer, pos]
     # inputs
@@ -341,9 +398,6 @@ def _decode_block_kernel(
 
     # ---- phase 3: flash attention over the valid prefix -----------------------
     n_chunks = (pos + chunk) // chunk
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    m_ref[:] = jnp.full_like(m_ref, -1e30)
-    l_ref[:] = jnp.zeros_like(l_ref)
 
     def get_dma(slot, c):
         return (
@@ -359,34 +413,83 @@ def _decode_block_kernel(
     dk.start()
     dv.start()
 
-    def attn_body(c, _):
-        slot = jax.lax.rem(c, 2)
+    if chunkv2:
+        # transpose-free chunk loop (see ops/decode_stack.py chunkv2 note):
+        # scores stay (C, BH) as DMA'd; softmax stats ride the loop carry as
+        # (1, BH) rows — kills the two O(C*BH) relayouts per chunk
+        starts_row = starts_ref[:].reshape(1, bh)
 
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            nk, nv = get_dma(jax.lax.rem(c + 1, 2), c + 1)
-            nk.start()
-            nv.start()
+        def attn_body2(c, carry):
+            m_prev, l_prev, acc = carry
+            slot = jax.lax.rem(c, 2)
 
-        ck, cv = get_dma(slot, c)
-        ck.wait()
-        cv.wait()
-        k = k_buf[slot].astype(jnp.float32)
-        v = v_buf[slot].astype(jnp.float32)
-        s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (BH, C)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
-        s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_ref[:] = jnp.broadcast_to(l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
-        acc_ref[:] = acc_ref[:] * alpha + jnp.sum(p.T[:, :, None] * v, axis=0)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        return _
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                nk, nv = get_dma(jax.lax.rem(c + 1, 2), c + 1)
+                nk.start()
+                nv.start()
 
-    jax.lax.fori_loop(0, n_chunks, attn_body, None)
-    y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
+            ck, cv = get_dma(slot, c)
+            ck.wait()
+            cv.wait()
+            k = k_buf[slot].astype(jnp.float32)
+            v = v_buf[slot].astype(jnp.float32)
+            s = jnp.sum(q[None, :, :] * k, axis=-1)  # (C, BH)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, bh), 0) + c * chunk
+            s = jnp.where((ids <= pos) & (ids >= starts_row), s, -1e30)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)  # (1, BH)
+            p = jnp.exp(s - m_new)  # (C, BH)
+            l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+            acc = acc * alpha.reshape(bh, 1) + jnp.sum(p[:, :, None] * v, axis=0)
+            return (m_new, l_new, acc)
+
+        _, l_f, acc_f = jax.lax.fori_loop(
+            0,
+            n_chunks,
+            attn_body2,
+            (
+                jnp.full((1, bh), -1e30, jnp.float32),
+                jnp.zeros((1, bh), jnp.float32),
+                jnp.zeros((bh, dh), jnp.float32),
+            ),
+        )
+        y_attn = (
+            acc_f / jnp.maximum(l_f.reshape(bh, 1), 1e-30)
+        ).reshape(b, d).astype(jnp.bfloat16)
+    else:
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+        def attn_body(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                nk, nv = get_dma(jax.lax.rem(c + 1, 2), c + 1)
+                nk.start()
+                nv.start()
+
+            ck, cv = get_dma(slot, c)
+            ck.wait()
+            cv.wait()
+            k = k_buf[slot].astype(jnp.float32)
+            v = v_buf[slot].astype(jnp.float32)
+            s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (BH, C)
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
+            s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_ref[:] = jnp.broadcast_to(l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+            acc_ref[:] = acc_ref[:] * alpha + jnp.sum(p.T[:, :, None] * v, axis=0)
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            return _
+
+        jax.lax.fori_loop(0, n_chunks, attn_body, None)
+        y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
     # pad rows back to Bpad for the MXU (concatenate: scatter doesn't lower)
     if bpad > b:
         y_pad = jnp.concatenate([y_attn, jnp.zeros((bpad - b, d), jnp.bfloat16)], axis=0)
@@ -430,6 +533,7 @@ def _decode_block_int4_kernel(
     groupsize: int,
     cache_int8: bool,
     kv8_mode: str,
+    chunkv2: bool,
     # scalar prefetch
     idx_ref,  # (2,) int32: [layer, pos]
     # inputs
@@ -555,9 +659,6 @@ def _decode_block_int4_kernel(
 
     # ---- phase 3: flash attention over the valid prefix ---------------------
     n_chunks = (pos + chunk) // chunk
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    m_ref[:] = jnp.full_like(m_ref, -1e30)
-    l_ref[:] = jnp.zeros_like(l_ref)
 
     def get_dma(slot, c):
         copies = [
@@ -582,16 +683,7 @@ def _decode_block_int4_kernel(
     for dma in get_dma(0, 0):
         dma.start()
 
-    def attn_body(c, _):
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            for dma in get_dma(jax.lax.rem(c + 1, 2), c + 1):
-                dma.start()
-
-        for dma in get_dma(slot, c):
-            dma.wait()
+    def _load_kv(slot):
         if cache_int8 and kv8_mode == "i32":
             # widen through i32 first (Mosaic lowers narrow-int -> float
             # conversions poorly; see CLAUDE.md i8 relayout notes)
@@ -603,6 +695,9 @@ def _decode_block_int4_kernel(
         else:
             k = k_buf[slot].astype(jnp.float32)
             v = v_buf[slot].astype(jnp.float32)
+        return k, v
+
+    def _scores(slot, k):
         if k.dtype == jnp.bfloat16:
             s_pre = jnp.sum(
                 q_bf16[None, :, :] * k, axis=-1, dtype=jnp.float32
@@ -613,33 +708,103 @@ def _decode_block_int4_kernel(
             # fold K dequant into the scores: scores scale linearly in k
             ks = ks_buf[slot]
             s_pre = s_pre * (ks[:, :bh] if ks.shape[-1] > bh else ks)
-        s = s_pre.T  # (BH, C)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
-        s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_ref[:] = jnp.broadcast_to(l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
-        pt = p.T  # (C, BH)
-        if cache_int8:
-            # fold V dequant into the attention probabilities
-            vs = vs_buf[slot]
-            pt = pt * (vs[:, :bh] if vs.shape[-1] > bh else vs)
-        if v.dtype == jnp.bfloat16:
-            # minor-dim insertion is only legal on 32-bit types: expand the
-            # f32 probabilities first, then narrow
-            pt3 = pt[:, :, None].astype(jnp.bfloat16)
-            acc_ref[:] = acc_ref[:] * alpha + jnp.sum(
-                pt3 * v, axis=0, dtype=jnp.float32
-            )
-        else:
-            acc_ref[:] = acc_ref[:] * alpha + jnp.sum(pt[:, :, None] * v, axis=0)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        return _
+        return s_pre
 
-    jax.lax.fori_loop(0, n_chunks, attn_body, None)
-    y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
+    if chunkv2:
+        # transpose-free chunk loop (see ops/decode_stack.py chunkv2 note):
+        # scores stay (C, BH) as DMA'd; softmax stats ride the loop carry as
+        # (1, BH) rows. The int8-cache ks/vs scale folds are also already in
+        # (C, BH) layout, so they need no relayout here either.
+        starts_row = starts_ref[:].reshape(1, bh)
+
+        def attn_body2(c, carry):
+            m_prev, l_prev, acc = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in get_dma(jax.lax.rem(c + 1, 2), c + 1):
+                    dma.start()
+
+            for dma in get_dma(slot, c):
+                dma.wait()
+            k, v = _load_kv(slot)
+            s = _scores(slot, k)  # (C, BH)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, bh), 0) + c * chunk
+            s = jnp.where((ids <= pos) & (ids >= starts_row), s, -1e30)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)  # (1, BH)
+            p = jnp.exp(s - m_new)  # (C, BH)
+            l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+            if cache_int8:
+                # fold V dequant into the attention probabilities
+                vs = vs_buf[slot]
+                p = p * (vs[:, :bh] if vs.shape[-1] > bh else vs)
+            if v.dtype == jnp.bfloat16:
+                # minor-dim insertion is only legal on 32-bit types: expand
+                # the f32 probabilities first, then narrow
+                pv = jnp.sum(p[:, :, None].astype(jnp.bfloat16) * v, axis=0, dtype=jnp.float32)
+            else:
+                pv = jnp.sum(p[:, :, None] * v, axis=0)
+            acc = acc * alpha.reshape(bh, 1) + pv
+            return (m_new, l_new, acc)
+
+        _, l_f, acc_f = jax.lax.fori_loop(
+            0,
+            n_chunks,
+            attn_body2,
+            (
+                jnp.full((1, bh), -1e30, jnp.float32),
+                jnp.zeros((1, bh), jnp.float32),
+                jnp.zeros((bh, dh), jnp.float32),
+            ),
+        )
+        y_attn = (
+            acc_f / jnp.maximum(l_f.reshape(bh, 1), 1e-30)
+        ).reshape(b, d).astype(jnp.bfloat16)
+    else:
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+        def attn_body(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in get_dma(jax.lax.rem(c + 1, 2), c + 1):
+                    dma.start()
+
+            for dma in get_dma(slot, c):
+                dma.wait()
+            k, v = _load_kv(slot)
+            s = _scores(slot, k).T  # (BH, C)
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
+            s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_ref[:] = jnp.broadcast_to(l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+            pt = p.T  # (C, BH)
+            if cache_int8:
+                # fold V dequant into the attention probabilities
+                vs = vs_buf[slot]
+                pt = pt * (vs[:, :bh] if vs.shape[-1] > bh else vs)
+            if v.dtype == jnp.bfloat16:
+                # minor-dim insertion is only legal on 32-bit types: expand the
+                # f32 probabilities first, then narrow
+                pt3 = pt[:, :, None].astype(jnp.bfloat16)
+                acc_ref[:] = acc_ref[:] * alpha + jnp.sum(
+                    pt3 * v, axis=0, dtype=jnp.float32
+                )
+            else:
+                acc_ref[:] = acc_ref[:] * alpha + jnp.sum(pt[:, :, None] * v, axis=0)
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            return _
+
+        jax.lax.fori_loop(0, n_chunks, attn_body, None)
+        y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
     if bpad > b:
         y_pad = jnp.concatenate([y_attn, jnp.zeros((bpad - b, d), jnp.bfloat16)], axis=0)
     else:
@@ -804,7 +969,7 @@ def decode_attention_block_int4(
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
-        partial(_decode_block_int4_kernel, dh, chunk, groupsize, cache_int8, kv8_mode),
+        partial(_decode_block_int4_kernel, dh, chunk, groupsize, cache_int8, kv8_mode, _chunkv2_enabled()),
         out_shape=tuple(out_shape),
         grid_spec=grid_spec,
         input_output_aliases=aliases,
@@ -899,7 +1064,7 @@ def decode_attention_block_int8(
         ],
     )
     y, k_out, v_out = pl.pallas_call(
-        partial(_decode_block_kernel, dh, chunk),
+        partial(_decode_block_kernel, dh, chunk, _chunkv2_enabled()),
         out_shape=(
             jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),
             jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),

@@ -71,6 +71,7 @@ def _decode_stack_kernel(
     norm_eps: float,
     bigdot: bool,
     slabdot: bool,
+    chunkv2: bool,
     with_head: bool,
     wfmt: str,  # "i4" (int4-in-int32) | "i8" (int8-in-int32)
     # scalar prefetch
@@ -239,39 +240,85 @@ def _decode_stack_kernel(
         dma.start()
 
     n_chunks = (pos + chunk) // chunk
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    m_ref[:] = jnp.full_like(m_ref, -1e30)
-    l_ref[:] = jnp.zeros_like(l_ref)
+    if chunkv2:
+        # transpose-free chunk loop: scores stay in the (chunk, BH) layout
+        # the cache DMA delivers — no per-chunk (C, BH)<->(BH, C) relayouts
+        # (the VPU cost the perf notes blame for the ~180 GB/s ceiling at
+        # large batch*heads). Softmax stats ride the loop carry as (1, BH)
+        # rows; the only per-chunk relayout left is the (1, BH)->(BH, 1)
+        # alpha column for the accumulator update.
+        starts_row = starts_ref[:].reshape(1, bh)  # one relayout per layer
 
-    def attn_body(c, _):
-        slot = jax.lax.rem(c, 2)
+        def attn_body2(c, carry):
+            m_prev, l_prev, acc = carry  # (1, BH), (1, BH), (BH, Dh) f32
+            slot = jax.lax.rem(c, 2)
 
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            for dma in chunk_dma(jax.lax.rem(c + 1, 2), c + 1):
-                dma.start()
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in chunk_dma(jax.lax.rem(c + 1, 2), c + 1):
+                    dma.start()
 
-        for dma in chunk_dma(slot, c):
-            dma.wait()
-        k = k_buf[slot].astype(jnp.float32)
-        v = v_buf[slot].astype(jnp.float32)
-        s_pre = jnp.sum(q[None, :, :] * k, axis=-1)  # (C, BH)
-        s = s_pre.T  # (BH, C)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
-        s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_ref[:] = jnp.broadcast_to(
-            l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+            for dma in chunk_dma(slot, c):
+                dma.wait()
+            k = k_buf[slot].astype(jnp.float32)
+            v = v_buf[slot].astype(jnp.float32)
+            s = jnp.sum(q[None, :, :] * k, axis=-1)  # (C, BH)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, bh), 0) + c * chunk
+            s = jnp.where((ids <= pos) & (ids >= starts_row), s, -1e30)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)  # (1, BH)
+            p = jnp.exp(s - m_new)  # (C, BH)
+            l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+            acc = acc * alpha.reshape(bh, 1) + jnp.sum(p[:, :, None] * v, axis=0)
+            return (m_new, l_new, acc)
+
+        _, l_f, acc_f = jax.lax.fori_loop(
+            0,
+            n_chunks,
+            attn_body2,
+            (
+                jnp.full((1, bh), -1e30, jnp.float32),
+                jnp.zeros((1, bh), jnp.float32),
+                jnp.zeros((bh, dh), jnp.float32),
+            ),
         )
-        acc_ref[:] = acc_ref[:] * alpha + jnp.sum(p.T[:, :, None] * v, axis=0)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        return _
+        y_attn = (
+            acc_f / jnp.maximum(l_f.reshape(bh, 1), 1e-30)
+        ).reshape(b, d).astype(jnp.bfloat16)
+    else:
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
 
-    jax.lax.fori_loop(0, n_chunks, attn_body, None)
-    y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
+        def attn_body(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in chunk_dma(jax.lax.rem(c + 1, 2), c + 1):
+                    dma.start()
+
+            for dma in chunk_dma(slot, c):
+                dma.wait()
+            k = k_buf[slot].astype(jnp.float32)
+            v = v_buf[slot].astype(jnp.float32)
+            s_pre = jnp.sum(q[None, :, :] * k, axis=-1)  # (C, BH)
+            s = s_pre.T  # (BH, C)
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bh, chunk), 1) + c * chunk
+            s = jnp.where((slot_ids <= pos) & (slot_ids >= starts_ref[:]), s, -1e30)
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_ref[:] = jnp.broadcast_to(
+                l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+            )
+            acc_ref[:] = acc_ref[:] * alpha + jnp.sum(p.T[:, :, None] * v, axis=0)
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            return _
+
+        jax.lax.fori_loop(0, n_chunks, attn_body, None)
+        y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
     if bpad > b:
         y_pad = jnp.concatenate(
             [y_attn, jnp.zeros((bpad - b, d), jnp.bfloat16)], axis=0
@@ -418,6 +465,7 @@ def decode_stack_int4(
     chunk: int | None = None,
     bigdot: bool | None = None,
     slabdot: bool | None = None,
+    chunkv2: bool | None = None,
     wfmt: str = "i4",  # weight format: int4-in-int32 | int8-in-int32
     ln_f_w: jax.Array | None = None,  # (D,) — enables the fused head
     head_pw: jax.Array | None = None,  # (D/8, Vp) i32 packed wte^T
@@ -497,6 +545,11 @@ def decode_stack_int4(
         bigdot = _os.environ.get("MVTPU_STACK_BIGDOT", "0") == "1"
     if slabdot is None:
         slabdot = _os.environ.get("MVTPU_STACK_SLABDOT", "0") == "1"
+    if chunkv2 is None:
+        # default ON (measured: +6-8% batch-8 aggregate, ~+2% single-stream;
+        # bit-identical in interpret mode) — "0" falls back to the
+        # transposing loop
+        chunkv2 = _os.environ.get("MVTPU_STACK_CHUNKV2", "1") == "1"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -565,7 +618,7 @@ def decode_stack_int4(
     xo, k_out, v_out, lg = pl.pallas_call(
         partial(
             _decode_stack_kernel, dh, chunk, groupsize, tile, l, b, norm_eps,
-            bigdot, slabdot, with_head, wfmt,
+            bigdot, slabdot, chunkv2, with_head, wfmt,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bpad, d), jnp.bfloat16),

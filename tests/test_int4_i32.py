@@ -356,3 +356,46 @@ def test_prefill_matmul_matches_reference(m):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=0.05 * float(jnp.abs(ref).max()), rtol=0.05
     )
+
+
+def test_chunkv2_bit_identical_to_base_loop(monkeypatch):
+    """The transpose-free attention chunk loop (MVTPU_STACK_CHUNKV2=1, the
+    default) must be bit-identical to the transposing formulation on the
+    int4 block kernel, for both the bf16 and the int8 KV cache."""
+    from metavoice_tpu.models import transformer as tfm
+
+    rng = np.random.default_rng(11)
+    b, h, dh, s, L = 2, 8, 128, 256, 1
+    d = h * dh
+    xa = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.1)
+    wqkv = jnp.asarray(rng.normal(size=(L, d, 3 * d)).astype(np.float32) * 0.05)
+    wo = jnp.asarray(rng.normal(size=(L, d, d)).astype(np.float32) * 0.05)
+    qp = qz.quantize_params_int4_i32({"layers": {"wqkv": wqkv, "wo": wo}})["layers"]
+    layer = jnp.asarray(0, jnp.int32)
+    pos_a = jnp.asarray(130, jnp.int32)
+    starts = jnp.asarray([2, 0], jnp.int32)
+    kf = rng.normal(size=(L, s, b, h, dh)).astype(np.float32)
+    vf = rng.normal(size=(L, s, b, h, dh)).astype(np.float32)
+    k_q, k_s = tfm.quantize_kv_rows(jnp.asarray(kf))
+    v_q, v_s = tfm.quantize_kv_rows(jnp.asarray(vf))
+
+    def run(v2):
+        monkeypatch.setenv("MVTPU_STACK_CHUNKV2", v2)
+        outs = []
+        r = A.decode_attention_block_int4(
+            xa, qp["wqkv"]["pw"], qp["wqkv"]["sc"], qp["wo"]["pw"], qp["wo"]["sc"],
+            jnp.asarray(kf, jnp.bfloat16), jnp.asarray(vf, jnp.bfloat16),
+            layer, pos_a, n_head=h, starts=starts, tile=512, interpret=True)
+        outs += [np.asarray(t) for t in r if t is not None]
+        r = A.decode_attention_block_int4(
+            xa, qp["wqkv"]["pw"], qp["wqkv"]["sc"], qp["wo"]["pw"], qp["wo"]["sc"],
+            k_q, v_q, layer, pos_a, n_head=h, starts=starts, tile=512, interpret=True,
+            k_scale=_pad_scales(k_s, L, s, b * h),
+            v_scale=_pad_scales(v_s, L, s, b * h))
+        outs += [np.asarray(t) for t in r if t is not None]
+        return outs
+
+    base, v2 = run("0"), run("1")
+    assert len(base) == len(v2)
+    for x, y in zip(base, v2):
+        assert np.array_equal(x, y)
