@@ -35,7 +35,7 @@ kv = tfm.KVCache.create(cfg, 2 * b, cfg.block_size, dtype=jnp.bfloat16)
 t1 = jnp.asarray(1.0, jnp.float32); tp = jnp.asarray(0.95, jnp.float32); g = jnp.asarray(3.0, jnp.float32)
 first, kv = fs.prefill_batch(params, cfg, jnp.asarray(padded), jnp.asarray(pads), spk, kv, key, t1, tp, g)
 np.asarray(first)
-log(f"v2={os.environ.get('MVTPU_STACK_CHUNKV2','0')} prefill done")
+log(f"v2={os.environ.get('MVTPU_STACK_CHUNKV2','1')} prefill done")
 
 def run(n, pos, kvb):
     buf, lens, kvb = fs.decode_batch(
