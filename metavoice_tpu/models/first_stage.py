@@ -831,8 +831,10 @@ def merge_slot_scales(
 REBASE_ALIGN = 128  # rebase shifts must be multiples of this (see below)
 
 
-def _shift_seq_left(arrs: tuple, s: jax.Array, chunk: int, pos: jax.Array | None):
-    """Shift axis 1 of every array left by ``s``, chunked, donation-friendly.
+def _shift_seq_left(
+    arrs: tuple, s: jax.Array, chunk: int, pos: jax.Array | None, axis: int = 1
+):
+    """Shift ``axis`` of every array left by ``s``, chunked, donation-friendly.
 
     Ascending chunked copy: iteration i reads [s + i*C, s + (i+1)*C) and
     writes [i*C, (i+1)*C). For s >= 0 a later iteration's read region never
@@ -847,13 +849,13 @@ def _shift_seq_left(arrs: tuple, s: jax.Array, chunk: int, pos: jax.Array | None
     reads only ever copy garbage over garbage. A non-multiple ``s`` would
     let a clamped read land garbage INSIDE the valid tail.
     """
-    S = arrs[0].shape[1]
+    S = arrs[0].shape[axis]
     if S % chunk != 0:
         # non-chunk-multiple sequence lengths (toy configs): jnp.roll keeps
         # the valid prefix exact for ANY s (the wrapped tail is garbage past
         # pos - s, which is invalid by definition) at the cost of a full
         # out-of-place copy — fine at toy scale.
-        return tuple(jnp.roll(a, -s, axis=1) for a in arrs)
+        return tuple(jnp.roll(a, -s, axis=axis) for a in arrs)
     if pos is None:
         n = S // chunk
     else:
@@ -864,10 +866,11 @@ def _shift_seq_left(arrs: tuple, s: jax.Array, chunk: int, pos: jax.Array | None
 
     def body(i, t):
         blocks = [
-            jax.lax.dynamic_slice_in_dim(a, s + i * chunk, chunk, axis=1) for a in t
+            jax.lax.dynamic_slice_in_dim(a, s + i * chunk, chunk, axis=axis)
+            for a in t
         ]
         return tuple(
-            jax.lax.dynamic_update_slice_in_dim(a, b, i * chunk, axis=1)
+            jax.lax.dynamic_update_slice_in_dim(a, b, i * chunk, axis=axis)
             for a, b in zip(t, blocks)
         )
 
@@ -887,3 +890,132 @@ def shift_cache_left(k: jax.Array, v: jax.Array, s: jax.Array, pos: jax.Array | 
 def shift_scales_left(ks: jax.Array, vs: jax.Array, s: jax.Array, pos: jax.Array | None = None):
     """int8-cache variant: slide the (L, S, 1, BHpad) scale tables too."""
     return _shift_seq_left((ks, vs), s, 128, pos)
+
+
+@partial(jax.jit, donate_argnames=("k", "v"))
+def shift_cache_left_packed(
+    k: jax.Array, v: jax.Array, s: jax.Array, pos: jax.Array | None = None
+):
+    """Packed-cache variant: the (L, S/4, B, H, Dh) int32 word arrays shift
+    by s/4 words. ``s`` must be a multiple of 4 (REBASE_ALIGN=128 is); the
+    position residue s%4==0 also keeps every packed byte lane in place, so
+    the shifted prefix is bit-identical to repacking a shifted int8 cache."""
+    return _shift_seq_left(
+        (k, v), s // 4, 32, None if pos is None else (pos + 3) // 4
+    )
+
+
+@partial(jax.jit, donate_argnames=("ks", "vs"))
+def shift_scales_left_packed(
+    ks: jax.Array, vs: jax.Array, s: jax.Array, pos: jax.Array | None = None
+):
+    """Packed-cache variant: the residue-split (L, 4, S/4, 1, BHpad) scale
+    tables shift along their word axis (axis 2) by s/4."""
+    return _shift_seq_left(
+        (ks, vs), s // 4, 32, None if pos is None else (pos + 3) // 4, axis=2
+    )
+
+
+def _merge_packed_words(big, tmp, phys_start, row):
+    """Byte-granular merge of one temp row into the packed word cache.
+
+    ``big`` (L, Sw, 2B, H, Dh) i32, ``tmp`` (L, Tw, H, Dh) i32 holding the
+    temp cache's packed positions [0, 4*Tw); land them at absolute positions
+    [phys_start, phys_start + 4*Tw) of batch row ``row`` for every layer,
+    at ANY alignment of ``phys_start``. Key identity: a target byte lane j
+    of word wbase+i reads absolute position 4*(wbase+i)+j, i.e. temp
+    position 4*i + r0 with r0 = 4*wbase + j - phys_start — whose residue
+    r0 % 4 is CONSTANT over i, so each of the four target lanes is one
+    word-axis shift of one source lane (no per-element gather)."""
+    l, sw = big.shape[:2]
+    tw = tmp.shape[1]
+    t = 4 * tw
+    nw = min(tw + 1, sw)
+    wbase = jnp.clip(phys_start // 4, 0, sw - nw)
+    old = jax.lax.dynamic_slice(
+        big, (0, wbase, row, 0, 0), (l, nw, 1) + big.shape[3:]
+    )  # (L, NW, 1, H, Dh)
+    iw = jnp.arange(nw)
+    new = old
+    for j in range(tfm.KV_PACK):
+        r0 = 4 * wbase + j - phys_start
+        src_j = jax.lax.rem(jax.lax.rem(r0, 4) + 4, 4)  # source byte lane
+        src_w = iw + jax.lax.div(r0 - src_j, 4)  # source word per target word
+        rel = 4 * iw + r0  # temp position feeding this lane
+        valid = (rel >= 0) & (rel < t)
+        src = jnp.take(tmp, jnp.clip(src_w, 0, tw - 1), axis=1)  # (L, NW, H, Dh)
+        byte = (src >> (8 * src_j)) & 0xFF
+        vmask = valid[None, :, None, None, None]
+        # NB: build the lane mask with an i32 array shift — 0xFF<<24 as a
+        # Python int overflows the jnp.int32 constructor
+        lane_mask = jnp.left_shift(jnp.int32(0xFF), 8 * j)
+        new = jnp.where(vmask, (new & ~lane_mask) | (byte[:, :, None] << (8 * j)), new)
+    return jax.lax.dynamic_update_slice(big, new, (0, wbase, row, 0, 0))
+
+
+@partial(jax.jit, donate_argnames=("k", "v"))
+def merge_slot_cache_packed(
+    k: jax.Array,  # (L, Sw, 2B, H, Dh) i32 big packed cache
+    v: jax.Array,
+    tk: jax.Array,  # (L, Tw, 2, H, Dh) i32 packed temp (rows: cond, uncond)
+    tv: jax.Array,
+    phys_start: jax.Array,  # () int32 — P - Tpad (any alignment)
+    row_c: jax.Array,
+    row_u: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Packed-cache variant of merge_slot_cache: byte-granular landing of a
+    joining request's prefilled rows at an arbitrary physical offset."""
+    k = _merge_packed_words(k, tk[:, :, 0], phys_start, row_c)
+    k = _merge_packed_words(k, tk[:, :, 1], phys_start, row_u)
+    v = _merge_packed_words(v, tv[:, :, 0], phys_start, row_c)
+    v = _merge_packed_words(v, tv[:, :, 1], phys_start, row_u)
+    return k, v
+
+
+def _merge_packed_scales(big, tmp, phys_start, col, h):
+    """Residue-split scale-table merge: ``big`` (L, 4, Sw, 1, BHpad), ``tmp``
+    (L, 4, Tw, 1, h) — the h head columns of one temp row — landing at
+    absolute positions [phys_start, 4*Tw + phys_start), columns
+    [col, col+h). Same constant-residue identity as _merge_packed_words,
+    here mapping target residue jt to ONE source residue row + word shift."""
+    l, _, sw, _, bhp = big.shape
+    tw = tmp.shape[2]
+    t = 4 * tw
+    nw = min(tw + 1, sw)
+    wbase = jnp.clip(phys_start // 4, 0, sw - nw)
+    old = jax.lax.dynamic_slice(
+        big, (0, 0, wbase, 0, col), (l, tfm.KV_PACK, nw, 1, h)
+    )  # (L, 4, NW, 1, h)
+    iw = jnp.arange(nw)
+    lanes = []
+    for jt in range(tfm.KV_PACK):
+        r0 = 4 * wbase + jt - phys_start
+        src_j = jax.lax.rem(jax.lax.rem(r0, 4) + 4, 4)
+        src_w = iw + jax.lax.div(r0 - src_j, 4)
+        rel = 4 * iw + r0
+        valid = (rel >= 0) & (rel < t)
+        src_res = jnp.take(tmp, src_j, axis=1)  # (L, Tw, 1, h)
+        src = jnp.take(src_res, jnp.clip(src_w, 0, tw - 1), axis=1)  # (L, NW, 1, h)
+        lanes.append(jnp.where(valid[None, :, None, None], src, old[:, jt]))
+    new = jnp.stack(lanes, axis=1)
+    return jax.lax.dynamic_update_slice(big, new, (0, 0, wbase, 0, col))
+
+
+@partial(jax.jit, static_argnames=("n_head",), donate_argnames=("ks", "vs"))
+def merge_slot_scales_packed(
+    ks: jax.Array,  # (L, 4, Sw, 1, BHpad) f32 big packed scale tables
+    vs: jax.Array,
+    tks: jax.Array,  # (L, 4, Tw, 1, bhpad_temp) temp tables (2 rows of heads)
+    tvs: jax.Array,
+    phys_start: jax.Array,
+    row_c: jax.Array,
+    row_u: jax.Array,
+    n_head: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Packed-cache variant of merge_slot_scales."""
+    h = n_head
+    ks = _merge_packed_scales(ks, tks[..., 0:h], phys_start, row_c * h, h)
+    ks = _merge_packed_scales(ks, tks[..., h : 2 * h], phys_start, row_u * h, h)
+    vs = _merge_packed_scales(vs, tvs[..., 0:h], phys_start, row_c * h, h)
+    vs = _merge_packed_scales(vs, tvs[..., h : 2 * h], phys_start, row_u * h, h)
+    return ks, vs

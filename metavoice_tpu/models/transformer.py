@@ -61,6 +61,17 @@ class KVCache(NamedTuple):
     i8->float conversions are relayout-bound on the VPU (see
     scripts/diag_kv8_kernel.py; chunk size 32/64/128 made no difference).
     ``k_scale is None`` means the plain bf16 cache (the speed default).
+
+    ``dtype="int8_packed"`` stores the SAME int8 values packed four
+    consecutive sequence positions per int32 word: k/v are
+    (L, S/4, B, H, Dh) int32 (word w byte j = position 4w+j, little-endian)
+    and the scale tables are residue-split (L, 4, S/4, 1, B*H_pad128) so a
+    chunk read is one strided DMA. Packing moves the cache stream off the
+    1-byte ~390 GB/s DMA ceiling onto the 4-byte ~490 GB/s one AND replaces
+    Mosaic's relayout-bound i8->float converts with native i32 shift+cast
+    unpacking — the same trick ops/quantized.py uses for int4/int8 weights.
+    Decode steps read-modify-write one word row; shifts/rebases must be
+    multiples of 4 positions (REBASE_ALIGN=128 satisfies this).
     """
 
     k: jax.Array
@@ -89,11 +100,29 @@ class KVCache(NamedTuple):
                 k_scale=jnp.zeros(sshape, jnp.float32),
                 v_scale=jnp.zeros(sshape, jnp.float32),
             )
+        if dtype == "int8_packed":
+            if s % KV_PACK != 0:
+                raise ValueError(
+                    f"packed int8 cache needs seq len % {KV_PACK} == 0, got {s}"
+                )
+            wshape = (
+                cfg.n_layer, s // KV_PACK, batch_size, cfg.n_local_heads, cfg.head_dim
+            )
+            sshape = (
+                cfg.n_layer, KV_PACK, s // KV_PACK, 1,
+                kv_scale_width(batch_size * cfg.n_local_heads),
+            )
+            return cls(
+                k=jnp.zeros(wshape, jnp.int32),
+                v=jnp.zeros(wshape, jnp.int32),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32),
+            )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[1]
+        return self.k.shape[1] * (KV_PACK if self.packed else 1)
 
     @property
     def batch_size(self) -> int:
@@ -103,10 +132,105 @@ class KVCache(NamedTuple):
     def quantized(self) -> bool:
         return self.k_scale is not None
 
+    @property
+    def packed(self) -> bool:
+        """int8-in-int32 packed cache (4 positions per word along S)."""
+        return self.k_scale is not None and self.k.dtype == jnp.int32
+
+
+KV_PACK = 4  # sequence positions per int32 word in the packed int8 cache
+
 
 def kv_scale_width(bh: int) -> int:
     """Lane width of the int8-cache scale tables: B*H rounded up to 128."""
     return ((bh + 127) // 128) * 128
+
+
+def pack_kv_s(q8: jax.Array) -> jax.Array:
+    """(T, ...) int8 rows (T % 4 == 0) -> (T/4, ...) int32 words.
+
+    Word w holds positions 4w..4w+3 in bytes 0..3 (little-endian); the
+    inverse of unpack_kv_s."""
+    t = q8.shape[0]
+    assert t % KV_PACK == 0, t
+    b = q8.astype(jnp.int32) & 0xFF
+    b = b.reshape(t // KV_PACK, KV_PACK, *q8.shape[1:])
+    return b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+
+
+def unpack_kv_s(words: jax.Array) -> jax.Array:
+    """(Sw, ...) int32 words -> (4*Sw, ...) int32 sign-extended int8 values."""
+    parts = [(words << (24 - 8 * j)) >> 24 for j in range(KV_PACK)]
+    st = jnp.stack(parts, axis=1)  # (Sw, 4, ...)
+    return st.reshape(st.shape[0] * KV_PACK, *words.shape[1:])
+
+
+def packed_kv_update(
+    words_full: jax.Array, q8_rows: jax.Array, li: jax.Array, pos: jax.Array
+) -> jax.Array:
+    """Write T int8 rows into the packed (L, Sw, B, H, Dh) i32 cache at
+    positions [pos, pos+T) of layer ``li`` — a read-modify-write on the
+    touched words, correct at ANY alignment of ``pos``."""
+    t = q8_rows.shape[0]
+    sw = words_full.shape[1]
+    nw = min((t + KV_PACK - 1) // KV_PACK + 1, sw)
+    wbase = jnp.clip(pos // KV_PACK, 0, sw - nw)
+    old = jax.lax.dynamic_slice(
+        words_full, (li, wbase, 0, 0, 0), (1, nw) + words_full.shape[2:]
+    )[0]  # (NW, B, H, Dh)
+    p = (wbase + jnp.arange(nw))[:, None] * KV_PACK + jnp.arange(KV_PACK)[None, :]
+    rel = p - pos  # (NW, 4)
+    valid = (rel >= 0) & (rel < t)
+    take = jnp.take(
+        q8_rows.astype(jnp.int32) & 0xFF, jnp.clip(rel, 0, t - 1), axis=0
+    )  # (NW, 4, B, H, Dh)
+    vmask = valid[(...,) + (None,) * (take.ndim - 2)]
+    new_word = jnp.zeros_like(old)
+    for j in range(KV_PACK):
+        oldb = (old >> (8 * j)) & 0xFF
+        sel = jnp.where(vmask[:, j], take[:, j], oldb)
+        new_word = new_word | (sel << (8 * j))
+    return jax.lax.dynamic_update_slice(
+        words_full, new_word[None], (li, wbase, 0, 0, 0)
+    )
+
+
+def packed_scale_update(
+    table: jax.Array, s_rows: jax.Array, li: jax.Array, pos: jax.Array
+) -> jax.Array:
+    """Residue-split scale table (L, 4, Sw, 1, BHpad): write the (T, BH) f32
+    scales for positions [pos, pos+T) of layer ``li`` (any alignment)."""
+    t, bh = s_rows.shape
+    sw, bhp = table.shape[2], table.shape[4]
+    nw = min((t + KV_PACK - 1) // KV_PACK + 1, sw)
+    wbase = jnp.clip(pos // KV_PACK, 0, sw - nw)
+    old = jax.lax.dynamic_slice(
+        table, (li, 0, wbase, 0, 0), (1, KV_PACK, nw, 1, bhp)
+    )[0, :, :, 0]  # (4, NW, BHpad)
+    p = (wbase + jnp.arange(nw))[None, :] * KV_PACK + jnp.arange(KV_PACK)[:, None]
+    rel = p - pos  # (4, NW)
+    valid = (rel >= 0) & (rel < t)
+    s_pad = jnp.zeros((t, bhp), jnp.float32).at[:, :bh].set(
+        s_rows.astype(jnp.float32)
+    )
+    take = jnp.take(s_pad, jnp.clip(rel, 0, t - 1), axis=0)  # (4, NW, BHpad)
+    new = jnp.where(valid[..., None], take, old)
+    return jax.lax.dynamic_update_slice(
+        table, new[None, :, :, None, :], (li, 0, wbase, 0, 0)
+    )
+
+
+def packed_kv_dequant(
+    words_full: jax.Array, table: jax.Array, li: jax.Array, dtype=jnp.float32
+) -> jax.Array:
+    """Dequantize layer ``li`` of the packed cache to (S, B, H, Dh)."""
+    l, sw, b, h, dh = words_full.shape
+    words = jax.lax.dynamic_index_in_dim(words_full, li, 0, keepdims=False)
+    vals = unpack_kv_s(words).astype(jnp.float32)  # (S, B, H, Dh)
+    sc = jax.lax.dynamic_index_in_dim(table, li, 0, keepdims=False)  # (4, Sw, 1, BHpad)
+    sc = sc[:, :, 0, : b * h]  # (4, Sw, BH)
+    sc = sc.transpose(1, 0, 2).reshape(sw * KV_PACK, b, h, 1)
+    return (vals * sc).astype(dtype)
 
 
 def quantize_kv_rows(w: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -730,7 +854,25 @@ def apply_blocks(
                 b_rows = k_new.shape[0]
                 k_win = k_new.transpose(2, 0, 1, 3)[None]  # (1, T, B, H, Dh)
                 v_win = v_new.transpose(2, 0, 1, 3)[None]
-                if quantized_cache:
+                if quantized_cache and kv_cache.packed:
+                    # packed int8 cache: quantize the window, read-modify-
+                    # write the touched int32 words + residue-split scale
+                    # rows, then dequantize the layer slice for attention.
+                    bh_rows = b_rows * cfg.n_local_heads
+                    k_q, k_s = quantize_kv_rows(k_win)
+                    v_q, v_s = quantize_kv_rows(v_win)
+                    pos_i = jnp.asarray(cache_pos, jnp.int32)
+                    k_full = packed_kv_update(k_full, k_q[0], li, pos_i)
+                    v_full = packed_kv_update(v_full, v_q[0], li, pos_i)
+                    ks_full = packed_scale_update(
+                        ks_full, k_s[0, :, :, :, 0].reshape(t_win, bh_rows), li, pos_i
+                    )
+                    vs_full = packed_scale_update(
+                        vs_full, v_s[0, :, :, :, 0].reshape(t_win, bh_rows), li, pos_i
+                    )
+                    layer_k = packed_kv_dequant(k_full, ks_full, li, x.dtype)
+                    layer_v = packed_kv_dequant(v_full, vs_full, li, x.dtype)
+                elif quantized_cache:
                     # int8 cache: per-(position, head) absmax rows; the
                     # attention read dequantizes the layer slice. Scales are
                     # stored sequence-major (L, S, 1, B*H) — see KVCache.

@@ -532,6 +532,7 @@ def _decode_block_int4_kernel(
     chunk: int,
     groupsize: int,
     cache_int8: bool,
+    cache_packed: bool,
     kv8_mode: str,
     chunkv2: bool,
     # scalar prefetch
@@ -564,7 +565,14 @@ def _decode_block_int4_kernel(
     """
     from metavoice_tpu.ops.quantized import _int4_group_matmul
 
-    if cache_int8:
+    krm_buf = vrm_buf = rmw_sems = None
+    if cache_packed:
+        (ks_hbm, vs_hbm, y_ref, k_out, v_out, ks_out, vs_out,
+         w_buf, sc_buf, qkv_scr, k_buf, v_buf, ks_buf, vs_buf,
+         ks_stage, vs_stage, krm_buf, vrm_buf,
+         acc_ref, m_ref, l_ref, w_sems, kv_w_sems, c_sems, s_sems,
+         rmw_sems) = rest
+    elif cache_int8:
         (ks_hbm, vs_hbm, y_ref, k_out, v_out, ks_out, vs_out,
          w_buf, sc_buf, qkv_scr, k_buf, v_buf, ks_buf, vs_buf,
          ks_stage, vs_stage,
@@ -577,6 +585,18 @@ def _decode_block_int4_kernel(
 
     li = idx_ref[0]
     pos = idx_ref[1]
+    if cache_packed:
+        # start the read half of the new-row word RMW immediately — it only
+        # depends on (layer, pos) and its latency hides under phase 1
+        pos_w = pos // 4
+        krm_read = pltpu.make_async_copy(
+            k_out.at[li, pl.ds(pos_w, 1)], krm_buf, rmw_sems.at[0]
+        )
+        vrm_read = pltpu.make_async_copy(
+            v_out.at[li, pl.ds(pos_w, 1)], vrm_buf, rmw_sems.at[1]
+        )
+        krm_read.start()
+        vrm_read.start()
     bpad, d = x_ref.shape
     bh = acc_ref.shape[0]
     b = bh * dh // d
@@ -615,24 +635,17 @@ def _decode_block_int4_kernel(
 
     # ---- phase 2: write new K/V row into the cache --------------------------
     q = qkv_scr[:b, :d].reshape(bh, dh) * (1.0 / np.sqrt(dh))
-    q_bf16 = q.astype(jnp.bfloat16) if (cache_int8 and kv8_mode == "bf16") else None
+    q_bf16 = (
+        q.astype(jnp.bfloat16)
+        if (cache_packed or (cache_int8 and kv8_mode == "bf16"))
+        else None
+    )
     k_row = qkv_scr[:b, d : 2 * d].reshape(bh, dh)
     v_row = qkv_scr[:b, 2 * d :].reshape(bh, dh)
-    if cache_int8:
-        def _quant(row):
-            a = jnp.max(jnp.abs(row), axis=-1, keepdims=True)
-            s = jnp.maximum(a, 1e-8) * (1.0 / 127.0)
-            # Mosaic: cast f32 through i32 before narrowing to i8
-            q8 = jnp.clip(jnp.round(row / s), -127, 127).astype(jnp.int32).astype(jnp.int8)
-            return q8, s
 
-        k_q, k_s = _quant(k_row)
-        v_q, v_s = _quant(v_row)
-        k_buf[0, 0] = k_q
-        v_buf[0, 0] = v_q
-        # direct width-1 S-slice write of the new row's scales (the
-        # sequence-major tables make `pos` a legal slice offset); zero-pad
-        # the (bh,) row out to the tables' 128-aligned lane width
+    def _stage_scales(k_s, v_s):
+        # zero-pad the (bh, 1) scale rows out to the tables' 128-aligned
+        # lane width and stage them as (1, bh_pad) rows for the DMA
         bh_pad = ks_stage.shape[-1]
         if bh_pad > bh:
             pad = jnp.zeros((bh_pad - bh, 1), jnp.float32)
@@ -640,27 +653,96 @@ def _decode_block_int4_kernel(
             v_s = jnp.concatenate([v_s, pad], axis=0)
         ks_stage[:] = k_s.reshape(1, bh_pad)
         vs_stage[:] = v_s.reshape(1, bh_pad)
-        ksw = pltpu.make_async_copy(ks_stage, ks_out.at[li, pl.ds(pos, 1), 0], s_sems.at[0])
-        vsw = pltpu.make_async_copy(vs_stage, vs_out.at[li, pl.ds(pos, 1), 0], s_sems.at[1])
+
+    if cache_packed:
+        # quantize the new row and merge its byte into the packed word row
+        # read at kernel start (read-modify-write; other bytes preserved)
+        def _quant_i32(row):
+            a = jnp.max(jnp.abs(row), axis=-1, keepdims=True)
+            s = jnp.maximum(a, 1e-8) * (1.0 / 127.0)
+            q8 = jnp.clip(jnp.round(row / s), -127, 127).astype(jnp.int32)
+            return q8, s
+
+        k_qi, k_s = _quant_i32(k_row)
+        v_qi, v_s = _quant_i32(v_row)
+        posj = jax.lax.rem(pos, 4)
+        sh = 8 * posj
+        byte_mask = jnp.bitwise_xor(jnp.left_shift(jnp.int32(0xFF), sh), jnp.int32(-1))
+        krm_read.wait()
+        vrm_read.wait()
+        krm_buf[0] = (krm_buf[0] & byte_mask) | ((k_qi & 0xFF) << sh)
+        vrm_buf[0] = (vrm_buf[0] & byte_mask) | ((v_qi & 0xFF) << sh)
+        kw = pltpu.make_async_copy(krm_buf, k_out.at[li, pl.ds(pos_w, 1)], kv_w_sems.at[0])
+        vw = pltpu.make_async_copy(vrm_buf, v_out.at[li, pl.ds(pos_w, 1)], kv_w_sems.at[1])
+        kw.start()
+        vw.start()
+        _stage_scales(k_s, v_s)
+        # residue-split tables (L, 4, S/4, 1, BHpad): the new scale goes to
+        # residue row pos%4, word column pos//4
+        ksw = pltpu.make_async_copy(ks_stage, ks_out.at[li, posj, pl.ds(pos_w, 1), 0], s_sems.at[0])
+        vsw = pltpu.make_async_copy(vs_stage, vs_out.at[li, posj, pl.ds(pos_w, 1), 0], s_sems.at[1])
         ksw.start()
         vsw.start()
-    else:
-        k_buf[0, 0] = k_row.astype(k_out.dtype)
-        v_buf[0, 0] = v_row.astype(v_out.dtype)
-    kw = pltpu.make_async_copy(k_buf.at[0, pl.ds(0, 1)], k_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[0])
-    vw = pltpu.make_async_copy(v_buf.at[0, pl.ds(0, 1)], v_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[1])
-    kw.start()
-    vw.start()
-    if cache_int8:
         ksw.wait()
         vsw.wait()
-    kw.wait()
-    vw.wait()
+        kw.wait()
+        vw.wait()
+    else:
+        if cache_int8:
+            def _quant(row):
+                a = jnp.max(jnp.abs(row), axis=-1, keepdims=True)
+                s = jnp.maximum(a, 1e-8) * (1.0 / 127.0)
+                # Mosaic: cast f32 through i32 before narrowing to i8
+                q8 = jnp.clip(jnp.round(row / s), -127, 127).astype(jnp.int32).astype(jnp.int8)
+                return q8, s
+
+            k_q, k_s = _quant(k_row)
+            v_q, v_s = _quant(v_row)
+            k_buf[0, 0] = k_q
+            v_buf[0, 0] = v_q
+            # direct width-1 S-slice write of the new row's scales (the
+            # sequence-major tables make `pos` a legal slice offset)
+            _stage_scales(k_s, v_s)
+            ksw = pltpu.make_async_copy(ks_stage, ks_out.at[li, pl.ds(pos, 1), 0], s_sems.at[0])
+            vsw = pltpu.make_async_copy(vs_stage, vs_out.at[li, pl.ds(pos, 1), 0], s_sems.at[1])
+            ksw.start()
+            vsw.start()
+        else:
+            k_buf[0, 0] = k_row.astype(k_out.dtype)
+            v_buf[0, 0] = v_row.astype(v_out.dtype)
+        kw = pltpu.make_async_copy(k_buf.at[0, pl.ds(0, 1)], k_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[0])
+        vw = pltpu.make_async_copy(v_buf.at[0, pl.ds(0, 1)], v_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[1])
+        kw.start()
+        vw.start()
+        if cache_int8:
+            ksw.wait()
+            vsw.wait()
+        kw.wait()
+        vw.wait()
 
     # ---- phase 3: flash attention over the valid prefix ---------------------
     n_chunks = (pos + chunk) // chunk
 
     def get_dma(slot, c):
+        if cache_packed:
+            # word-packed cache: a chunk of `chunk` positions is chunk/4
+            # int32 words; the residue-split scale tables deliver the
+            # matching (4, chunk/4, BHpad) block in ONE strided DMA
+            c4 = chunk // 4
+            return [
+                pltpu.make_async_copy(
+                    k_out.at[li, pl.ds(c * c4, c4)], k_buf.at[slot], c_sems.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    v_out.at[li, pl.ds(c * c4, c4)], v_buf.at[slot], c_sems.at[slot, 1]
+                ),
+                pltpu.make_async_copy(
+                    ks_out.at[li, :, pl.ds(c * c4, c4), 0], ks_buf.at[slot], c_sems.at[slot, 2]
+                ),
+                pltpu.make_async_copy(
+                    vs_out.at[li, :, pl.ds(c * c4, c4), 0], vs_buf.at[slot], c_sems.at[slot, 3]
+                ),
+            ]
         copies = [
             pltpu.make_async_copy(
                 k_out.at[li, pl.ds(c * chunk, chunk)], k_buf.at[slot], c_sems.at[slot, 0]
@@ -710,7 +792,80 @@ def _decode_block_int4_kernel(
             s_pre = s_pre * (ks[:, :bh] if ks.shape[-1] > bh else ks)
         return s_pre
 
-    if chunkv2:
+    if cache_packed:
+        # packed-cache chunk loop: the chunk arrives as (C/4, BH, Dh) int32
+        # words; each byte lane j is unpacked with an arithmetic shift pair
+        # (native i32 VPU ops — no i8 relayout) into the positions
+        # {4s'+j} of the chunk. Scores/softmax/PV are order-invariant over
+        # chunk positions, so the four byte-lane streams are processed as
+        # four independent (C/4, BH) score blocks that share one running
+        # (1, BH) max/sum — nothing is ever reordered or concatenated.
+        c4 = chunk // 4
+        starts_row = starts_ref[:].reshape(1, bh)
+
+        def attn_body_p(c, carry):
+            m_prev, l_prev, acc = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in get_dma(jax.lax.rem(c + 1, 2), c + 1):
+                    dma.start()
+
+            for dma in get_dma(slot, c):
+                dma.wait()
+            kw_ = k_buf[slot]  # (C4, BH, Dh) i32 words
+            vw_ = v_buf[slot]
+            ks4 = ks_buf[slot]  # (4, C4, BHpad) f32
+            vs4 = vs_buf[slot]
+            base_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (c4, bh), 0) * 4 + c * chunk
+            )
+            s_js = []
+            m_new = m_prev
+            for j in range(4):
+                kj = ((kw_ << (24 - 8 * j)) >> 24).astype(jnp.bfloat16)
+                sj = jnp.sum(
+                    q_bf16[None, :, :] * kj, axis=-1, dtype=jnp.float32
+                )  # (C4, BH)
+                ksj = ks4[j]
+                sj = sj * (ksj[:, :bh] if ksj.shape[-1] > bh else ksj)
+                ids = base_ids + j
+                sj = jnp.where((ids <= pos) & (ids >= starts_row), sj, -1e30)
+                s_js.append(sj)
+                m_new = jnp.maximum(m_new, jnp.max(sj, axis=0, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)  # (1, BH)
+            l_add = jnp.zeros((1, bh), jnp.float32)
+            pv = jnp.zeros((bh, dh), jnp.float32)
+            for j in range(4):
+                pj = jnp.exp(s_js[j] - m_new)  # (C4, BH)
+                l_add = l_add + jnp.sum(pj, axis=0, keepdims=True)
+                vsj = vs4[j]
+                pj = pj * (vsj[:, :bh] if vsj.shape[-1] > bh else vsj)
+                vj = ((vw_ << (24 - 8 * j)) >> 24).astype(jnp.bfloat16)
+                # minor-dim insertion is only legal on 32-bit types: expand
+                # the f32 probabilities first, then narrow
+                pv = pv + jnp.sum(
+                    pj[:, :, None].astype(jnp.bfloat16) * vj, axis=0, dtype=jnp.float32
+                )
+            l_new = l_prev * alpha + l_add
+            acc = acc * alpha.reshape(bh, 1) + pv
+            return (m_new, l_new, acc)
+
+        _, l_f, acc_f = jax.lax.fori_loop(
+            0,
+            n_chunks,
+            attn_body_p,
+            (
+                jnp.full((1, bh), -1e30, jnp.float32),
+                jnp.zeros((1, bh), jnp.float32),
+                jnp.zeros((bh, dh), jnp.float32),
+            ),
+        )
+        y_attn = (
+            acc_f / jnp.maximum(l_f.reshape(bh, 1), 1e-30)
+        ).reshape(b, d).astype(jnp.bfloat16)
+    elif chunkv2:
         # transpose-free chunk loop (see ops/decode_stack.py chunkv2 note):
         # scores stay (C, BH) as DMA'd; softmax stats ride the loop carry as
         # (1, BH) rows. The int8-cache ks/vs scale folds are also already in
@@ -868,13 +1023,23 @@ def decode_attention_block_int4(
     Returns (y (B, D), k_cache, v_cache, k_scale, v_scale) — the scale pair
     is None unless the int8 KV cache is in use. Requires MHA, Dh % 128 == 0,
     D % tile == 0, D % (8*groupsize) == 0.
+
+    The quantized cache comes in two storage formats (see KVCache):
+    plain int8 (k_cache int8, k_scale (L, S, 1, BHpad)) and int8-in-int32
+    word-packed (k_cache int32 (L, S/4, B, H, Dh), k_scale residue-split
+    (L, 4, S/4, 1, BHpad)) — the packed format reads the cache stream at
+    the 4-byte DMA ceiling and unpacks with native i32 shifts instead of
+    relayout-bound i8 converts.
     """
     from metavoice_tpu.ops.quantized import group_ones
 
     b, d = xa.shape
     dh = d // n_head
     bh = b * n_head
-    l, s = k_cache.shape[0], k_cache.shape[1]
+    cache_int8 = k_scale is not None
+    cache_packed = cache_int8 and k_cache.dtype == jnp.int32
+    l = k_cache.shape[0]
+    s = k_cache.shape[1] * (4 if cache_packed else 1)
     bpad = max(8, b)
     if chunk is None:
         chunk = _chunk_for(bh, dh)
@@ -883,12 +1048,10 @@ def decode_attention_block_int4(
     if starts is None:
         starts = jnp.zeros((b,), jnp.int32)
     starts_bh = jnp.repeat(starts.astype(jnp.int32), n_head).reshape(bh, 1)
-    k_flat = k_cache.reshape(l, s, bh, dh)
-    v_flat = v_cache.reshape(l, s, bh, dh)
+    k_flat = k_cache.reshape(l, k_cache.shape[1], bh, dh)
+    v_flat = v_cache.reshape(l, v_cache.shape[1], bh, dh)
     idx = jnp.stack([layer.astype(jnp.int32), pos.astype(jnp.int32)])
     xones = group_ones(d, gp, groupsize)
-
-    cache_int8 = k_scale is not None
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x
         pl.BlockSpec(memory_space=pltpu.VMEM),  # xones
@@ -910,12 +1073,13 @@ def decode_attention_block_int4(
         jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
         jax.ShapeDtypeStruct(v_flat.shape, v_flat.dtype),
     ]
+    kv_chunk_rows = chunk // 4 if cache_packed else chunk
     scratch = [
         pltpu.VMEM((2, d // 8, tile), jnp.int32),
         pltpu.VMEM((2, 2 * gp, tile), wqkv_sc.dtype),
         pltpu.VMEM((bpad, 3 * d), jnp.float32),
-        pltpu.VMEM((2, chunk, bh, dh), k_cache.dtype),
-        pltpu.VMEM((2, chunk, bh, dh), v_cache.dtype),
+        pltpu.VMEM((2, kv_chunk_rows, bh, dh), k_cache.dtype),
+        pltpu.VMEM((2, kv_chunk_rows, bh, dh), v_cache.dtype),
     ]
     operands = [idx, x_pad, xones, starts_bh, wqkv_pw, wqkv_sc, wo_pw, wo_sc, k_flat, v_flat]
     if cache_int8:
@@ -937,12 +1101,30 @@ def decode_attention_block_int4(
                 f"int8-cache scale tables must have a 128-aligned lane width "
                 f">= B*H (kv_scale_width); got {k_scale.shape} for bh={bh}"
             )
+        if cache_packed:
+            if k_scale.shape != (l, 4, s // 4, 1, bh_pad):
+                raise ValueError(
+                    f"packed-cache scale tables must be residue-split "
+                    f"(L, 4, S/4, 1, BHpad); got {k_scale.shape}"
+                )
+            scratch += [
+                pltpu.VMEM((2, 4, chunk // 4, bh_pad), jnp.float32),  # ks chunks
+                pltpu.VMEM((2, 4, chunk // 4, bh_pad), jnp.float32),  # vs chunks
+            ]
+        else:
+            scratch += [
+                pltpu.VMEM((2, chunk, bh_pad), jnp.float32),  # ks chunks (seq-major)
+                pltpu.VMEM((2, chunk, bh_pad), jnp.float32),  # vs chunks
+            ]
         scratch += [
-            pltpu.VMEM((2, chunk, bh_pad), jnp.float32),  # ks chunks (seq-major)
-            pltpu.VMEM((2, chunk, bh_pad), jnp.float32),  # vs chunks
             pltpu.VMEM((1, bh_pad), jnp.float32),  # new-row k scale
             pltpu.VMEM((1, bh_pad), jnp.float32),  # new-row v scale
         ]
+        if cache_packed:
+            scratch += [
+                pltpu.VMEM((1, bh, dh), jnp.int32),  # new-row K word RMW
+                pltpu.VMEM((1, bh, dh), jnp.int32),  # new-row V word RMW
+            ]
         operands += [k_scale, v_scale]
         # aliases: inputs idx..v_flat = 0..9, k_scale=10, v_scale=11
         aliases = {8: 1, 9: 2, 10: 3, 11: 4}
@@ -960,6 +1142,8 @@ def decode_attention_block_int4(
     ]
     if cache_int8:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))  # scale-row writes
+    if cache_packed:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))  # RMW word-row reads
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -969,7 +1153,11 @@ def decode_attention_block_int4(
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
-        partial(_decode_block_int4_kernel, dh, chunk, groupsize, cache_int8, kv8_mode, _chunkv2_enabled()),
+        partial(
+            _decode_block_int4_kernel,
+            dh, chunk, groupsize, cache_int8, cache_packed, kv8_mode,
+            _chunkv2_enabled(),
+        ),
         out_shape=tuple(out_shape),
         grid_spec=grid_spec,
         input_output_aliases=aliases,

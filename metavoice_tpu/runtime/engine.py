@@ -334,12 +334,21 @@ class ContinuousBatchingEngine:
             return  # nothing meaningful to reclaim
         sj = jnp.asarray(s, jnp.int32)
         pj = jnp.asarray(self._pos, jnp.int32)
-        k, v = fs.shift_cache_left(self._kv.k, self._kv.v, sj, pj)
-        if self._kv.quantized:
+        if self._kv.packed:
+            # REBASE_ALIGN (128) is a multiple of 4, so the shift moves whole
+            # words and every byte lane stays in place (bit-exact, like the
+            # unpacked shift)
+            k, v = fs.shift_cache_left_packed(self._kv.k, self._kv.v, sj, pj)
+            ks, vs = fs.shift_scales_left_packed(
+                self._kv.k_scale, self._kv.v_scale, sj, pj
+            )
+        elif self._kv.quantized:
+            k, v = fs.shift_cache_left(self._kv.k, self._kv.v, sj, pj)
             ks, vs = fs.shift_scales_left(
                 self._kv.k_scale, self._kv.v_scale, sj, pj
             )
         else:
+            k, v = fs.shift_cache_left(self._kv.k, self._kv.v, sj, pj)
             ks = vs = None
         self._kv = tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
         self._pos -= s
@@ -393,17 +402,28 @@ class ContinuousBatchingEngine:
         phys_start = jnp.asarray(self._pos - bucket, jnp.int32)
         row_c = jnp.asarray(slot, jnp.int32)
         row_u = jnp.asarray(self.n_slots + slot, jnp.int32)
-        k, v = fs.merge_slot_cache(
-            self._kv.k, self._kv.v, temp.k, temp.v, phys_start, row_c, row_u
-        )
-        if quantized:
-            ks, vs = fs.merge_slot_scales(
+        if self._kv.packed:
+            # packed int8 cache: byte-granular landing (any alignment)
+            k, v = fs.merge_slot_cache_packed(
+                self._kv.k, self._kv.v, temp.k, temp.v, phys_start, row_c, row_u
+            )
+            ks, vs = fs.merge_slot_scales_packed(
                 self._kv.k_scale, self._kv.v_scale,
                 temp.k_scale, temp.v_scale,
                 phys_start, row_c, row_u, self._cfg.n_head,
             )
         else:
-            ks = vs = None
+            k, v = fs.merge_slot_cache(
+                self._kv.k, self._kv.v, temp.k, temp.v, phys_start, row_c, row_u
+            )
+            if quantized:
+                ks, vs = fs.merge_slot_scales(
+                    self._kv.k_scale, self._kv.v_scale,
+                    temp.k_scale, temp.v_scale,
+                    phys_start, row_c, row_u, self._cfg.n_head,
+                )
+            else:
+                ks = vs = None
         self._kv = tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
         self._slots[slot] = _Slot(req=req)
         self._spk[slot] = req.spk_emb

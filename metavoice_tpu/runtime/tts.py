@@ -159,10 +159,10 @@ class TTS:
             self.runtime = dataclasses.replace(
                 self.runtime, kv_cache_dtype=kv_cache_dtype
             )
-        if self.runtime.kv_cache_dtype not in (None, "int8"):
+        if self.runtime.kv_cache_dtype not in (None, "int8", "int8_packed"):
             raise ValueError(
                 f"Invalid kv_cache_dtype {self.runtime.kv_cache_dtype!r}; "
-                "expected None or 'int8'"
+                "expected None, 'int8' or 'int8_packed'"
             )
         # weight-only quantisation of the first stage (reference
         # fam/llm/fast_inference.py:41 `quantisation_mode`); int8 is FASTER
@@ -233,9 +233,11 @@ class TTS:
         # absmax scales) — a capacity lever for large serving batches, not a
         # speed win: measured ~20% slower than bf16 on v5e decode (Mosaic
         # i8->float converts are VPU-relayout-bound; see KVCache docstring).
-        self._cache_dtype = (
-            jnp.int8 if self.runtime.kv_cache_dtype == "int8" else None
-        )
+        # "int8_packed" stores the same int8 values four-per-int32-word:
+        # 4-byte-ceiling cache reads + shift-based unpack (no i8 relayout).
+        self._cache_dtype = {
+            "int8": jnp.int8, "int8_packed": "int8_packed"
+        }.get(self.runtime.kv_cache_dtype)
         # "int4" may arrive either via quantisation_mode or as a pre-quantized
         # .npz (from_checkpoints resets the mode to None after loading packed
         # arrays) — probe the params for packed {"pw", "sc"} leaves so the
@@ -252,10 +254,11 @@ class TTS:
             import warnings
 
             warnings.warn(
-                "kv_cache_dtype='int8' without quantisation_mode='int4' has "
-                "no fused decode kernel on TPU: every step dequantizes the "
-                "full cache in XLA (order-of-magnitude slower). Pair it with "
-                "quantisation_mode='int4' for the supported fast path."
+                f"kv_cache_dtype={self.runtime.kv_cache_dtype!r} without "
+                "quantisation_mode='int4' has no fused decode kernel on TPU: "
+                "every step dequantizes the full cache in XLA (order-of-"
+                "magnitude slower). Pair it with quantisation_mode='int4' "
+                "for the supported fast path."
             )
         self._kv_cache = tfm.KVCache.create(
             self.c.first_stage_cfg, 2, self.c.first_stage_cfg.block_size,

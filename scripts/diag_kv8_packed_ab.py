@@ -1,0 +1,65 @@
+"""Quantized-KV-cache format A/B on the real chip: plain int8 (1-byte DMA,
+relayout-bound converts) vs int8-in-int32 packed (4-byte DMA, shift unpack).
+
+Usage: MVTPU_KV_DTYPE={int8,int8_packed,bf16} MVTPU_AB_BATCH={8,16} \
+       python scripts/diag_kv8_packed_ab.py
+Reuses /tmp/mv_int4_params.npz (diag_stack_ab.py writes it)."""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/mvtpu_jax"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+import ml_dtypes
+from metavoice_tpu.core.config import first_stage_config
+from metavoice_tpu.models import transformer as tfm
+from metavoice_tpu.models import first_stage as fs
+
+def log(*a): print(*a, file=sys.stderr, flush=True)
+cfg = first_stage_config()
+data = np.load("/tmp/mv_int4_params.npz")
+params = {}
+for k in data.files:
+    a = data[k]
+    if a.dtype == np.uint16:
+        a = a.view(ml_dtypes.bfloat16)
+    parts = k.split("/"); d = params
+    for p in parts[:-1]: d = d.setdefault(p, {})
+    d[parts[-1]] = jnp.asarray(a)
+key = jax.random.PRNGKey(0)
+b = int(os.environ.get("MVTPU_AB_BATCH", "16"))
+kvd = os.environ.get("MVTPU_KV_DTYPE", "int8_packed")
+cache_dtype = {"int8": jnp.int8, "int8_packed": "int8_packed", "bf16": jnp.bfloat16}[kvd]
+prompts = [list(np.random.default_rng(i).integers(2049, cfg.vocab_size, size=40 + 3 * i)) for i in range(b)]
+spk = jax.random.normal(key, (b, cfg.speaker_emb_dim), jnp.bfloat16)
+padded, pads = fs.left_pad_prompts(prompts, bucket=128)
+kv = tfm.KVCache.create(cfg, 2 * b, cfg.block_size, dtype=cache_dtype)
+t1 = jnp.asarray(1.0, jnp.float32); tp = jnp.asarray(0.95, jnp.float32); g = jnp.asarray(3.0, jnp.float32)
+t0 = time.perf_counter()
+first, kv = fs.prefill_batch(params, cfg, jnp.asarray(padded), jnp.asarray(pads), spk, kv, key, t1, tp, g)
+np.asarray(first)
+log(f"kv={kvd} b={b} prefill done ({time.perf_counter()-t0:.1f}s)")
+
+def run(n, pos, kvb):
+    buf, lens, kvb = fs.decode_batch(
+        params, cfg, first, jnp.asarray(pos, jnp.int32), jnp.asarray(pads),
+        spk, kvb, jax.random.PRNGKey(9), t1, tp, g,
+        jnp.asarray(n, jnp.int32), cfg.block_size, 10**6, jnp.bfloat16,
+    )
+    np.asarray(lens)
+    return kvb
+
+t0 = time.perf_counter(); kv = run(4, 128, kv)
+log(f"decode compile+first: {time.perf_counter()-t0:.1f}s")
+best = 0.0
+pos = 132
+for i in range(3):
+    t0 = time.perf_counter(); kv = run(8, pos, kv); ta = time.perf_counter() - t0
+    t0 = time.perf_counter(); kv = run(104, pos + 8, kv); tb = time.perf_counter() - t0
+    agg = b * 96 / (tb - ta)
+    log(f"iter {i}: {agg:.0f} aggregate tok/s")
+    best = max(best, agg)
+    pos += 112
+log(f"BEST batch-{b} {kvd}-KV: {best:.0f} aggregate tok/s")

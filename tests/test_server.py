@@ -119,6 +119,11 @@ def test_serve_cli_graceful_shutdown(tmp_path):
     import os
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # the axon TPU plugin (registered by sitecustomize when this var is set)
+    # blocks JAX init in NEW processes whenever another client holds the
+    # tunnel session — even under JAX_PLATFORMS=cpu. Strip it so this
+    # CPU-only subprocess starts hermetically regardless of chip activity.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.Popen(
         [sys.executable, "-m", "metavoice_tpu.cli", "serve", "--random_weights",
          "--small", "--no_warmup", "--host", "127.0.0.1", "--port", str(port)],
