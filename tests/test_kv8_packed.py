@@ -464,3 +464,38 @@ def test_engine_end_to_end_packed_cache(tmp_path):
     for p in paths:
         wav, got_sr = aio.read_wav(p)
         assert wav.size > 0
+
+
+def test_engine_rebase_packed_cache(tmp_path, monkeypatch):
+    """Sustained load with the packed cache: the engine rebases via the
+    word-aligned packed shifts (shift_cache_left_packed) and completes every
+    request without truncation — the packed analogue of
+    test_engine.py::test_engine_rebase_under_sustained_load."""
+    import os as _os
+
+    from metavoice_tpu.core import tokens as Tok
+    from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+    from metavoice_tpu.runtime.tts import TTS
+    from metavoice_tpu.utils import audio_io as aio
+
+    sr = 16000
+    t = np.arange(31 * sr) / sr
+    ref = str(tmp_path / "ref.wav")
+    aio.write_wav(ref, (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32), sr)
+    monkeypatch.setattr(Tok, "END_OF_AUDIO_TOKEN", 10**6)  # run to max_new_tokens
+    tts = TTS.from_random(
+        jax.random.PRNGKey(7), small=True, output_dir=str(tmp_path),
+        kv_cache_dtype="int8_packed",
+    )
+    eng = ContinuousBatchingEngine(tts, slots=2, segment_tokens=16, rebase_margin=448)
+    try:
+        futs = [
+            eng.submit(f"Sustained packed load {i}.", ref, max_new_tokens=32 + (i % 4) * 24)
+            for i in range(8)
+        ]
+        for f in futs:
+            assert _os.path.exists(f.result(timeout=900))
+        assert eng.stats["rebases"] >= 1, eng.stats
+        assert eng.stats["truncations"] == 0, eng.stats
+    finally:
+        eng.shutdown()
