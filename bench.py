@@ -41,8 +41,51 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _probe_backend(timeout_s: float = 900.0):
+    """Fail fast (one JSON error line) if the device backend is unreachable.
+
+    The tunneled backend can die mid-session (see CLAUDE.md tunnel facts:
+    the local relay process crashing leaves every JAX init/round-trip
+    HANGING, not erroring). Without this guard a dead relay turns the bench
+    into an infinite hang and the round records nothing. A tiny matmul
+    round-trip takes seconds healthy and <=10-12 min on a degraded tunnel,
+    so 15 min separates "slow" from "dead" safely. Runs in a SUBPROCESS so
+    a hung probe can be abandoned cleanly (a hung in-process thread cannot
+    be cancelled and crashes interpreter teardown)."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = jnp.ones((128, 128), jnp.bfloat16);"
+        "np.asarray(jax.jit(lambda a: a @ a)(x));"
+        "print('probe-ok')"
+    )
+    reason = None
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        if r.returncode != 0 or "probe-ok" not in r.stdout:
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            reason = f"probe rc={r.returncode}: {tail[-1] if tail else ''}"
+    except subprocess.TimeoutExpired:
+        reason = f"no response in {timeout_s:.0f}s"
+    if reason is not None:
+        print(json.dumps({
+            "metric": "first_stage_decode_tok_s",
+            "value": 0.0,
+            "unit": "tok/s",
+            "vs_baseline": 0.0,
+            "error": f"device backend unreachable: {reason}",
+        }), flush=True)
+        os._exit(1)
+
+
 def main():
     import numpy as np
+
+    _probe_backend()
 
     from metavoice_tpu.core.config import first_stage_config
     from metavoice_tpu.models import first_stage as fs
