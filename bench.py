@@ -73,9 +73,9 @@ def _probe_backend(timeout_s: float = 900.0):
         reason = f"no response in {timeout_s:.0f}s"
     if reason is not None:
         print(json.dumps({
-            "metric": "first_stage_decode_tok_s",
+            "metric": "first_stage_decode_tokens_per_sec",  # == success path
             "value": 0.0,
-            "unit": "tok/s",
+            "unit": "tokens/s",
             "vs_baseline": 0.0,
             "error": f"device backend unreachable: {reason}",
         }), flush=True)

@@ -89,6 +89,17 @@ class KVCache(NamedTuple):
     ) -> "KVCache":
         s = max_seq_len or cfg.block_size
         shape = (cfg.n_layer, s, batch_size, cfg.n_local_heads, cfg.head_dim)
+        if isinstance(dtype, str):
+            # strings are MODE selectors, not raw dtypes: "int8" must build
+            # the scale-table cache, never a scale-less raw-int8 one (which
+            # would truncate bf16 K/V rows to {-1, 0, 1} without any error)
+            if dtype == "int8":
+                dtype = jnp.int8
+            elif dtype != "int8_packed":
+                raise ValueError(
+                    f"unknown KV cache dtype string {dtype!r}; expected "
+                    "'int8', 'int8_packed', or an array dtype"
+                )
         if dtype == jnp.int8:
             sshape = (
                 cfg.n_layer, s, 1,

@@ -654,15 +654,19 @@ def _decode_block_int4_kernel(
         ks_stage[:] = k_s.reshape(1, bh_pad)
         vs_stage[:] = v_s.reshape(1, bh_pad)
 
+    def _quant_i32(row):
+        # per-(row, head) absmax int8 quantization, result held in i32
+        # (Mosaic: narrow to i8 only at the store; the packed path keeps
+        # i32 for the byte merge). MUST match quantize_kv_rows at the XLA
+        # level bit-exactly — join/prefill parity tests depend on it.
+        a = jnp.max(jnp.abs(row), axis=-1, keepdims=True)
+        s = jnp.maximum(a, 1e-8) * (1.0 / 127.0)
+        q8 = jnp.clip(jnp.round(row / s), -127, 127).astype(jnp.int32)
+        return q8, s
+
     if cache_packed:
         # quantize the new row and merge its byte into the packed word row
         # read at kernel start (read-modify-write; other bytes preserved)
-        def _quant_i32(row):
-            a = jnp.max(jnp.abs(row), axis=-1, keepdims=True)
-            s = jnp.maximum(a, 1e-8) * (1.0 / 127.0)
-            q8 = jnp.clip(jnp.round(row / s), -127, 127).astype(jnp.int32)
-            return q8, s
-
         k_qi, k_s = _quant_i32(k_row)
         v_qi, v_s = _quant_i32(v_row)
         posj = jax.lax.rem(pos, 4)
@@ -689,15 +693,10 @@ def _decode_block_int4_kernel(
         vw.wait()
     else:
         if cache_int8:
-            def _quant(row):
-                a = jnp.max(jnp.abs(row), axis=-1, keepdims=True)
-                s = jnp.maximum(a, 1e-8) * (1.0 / 127.0)
-                # Mosaic: cast f32 through i32 before narrowing to i8
-                q8 = jnp.clip(jnp.round(row / s), -127, 127).astype(jnp.int32).astype(jnp.int8)
-                return q8, s
-
-            k_q, k_s = _quant(k_row)
-            v_q, v_s = _quant(v_row)
+            k_qi, k_s = _quant_i32(k_row)
+            v_qi, v_s = _quant_i32(v_row)
+            k_q = k_qi.astype(jnp.int8)
+            v_q = v_qi.astype(jnp.int8)
             k_buf[0, 0] = k_q
             v_buf[0, 0] = v_q
             # direct width-1 S-slice write of the new row's scales (the

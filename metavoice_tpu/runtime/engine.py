@@ -127,6 +127,13 @@ class ContinuousBatchingEngine:
     ):
         if segment_tokens % 2 != 0:
             raise ValueError("segment_tokens must be even (whole frames)")
+        if tts._cache_dtype == "int8_packed" and pad_multiple % 4 != 0:
+            # join buckets size the temp packed cache; reject at construction
+            # rather than failing the whole group at the first join
+            raise ValueError(
+                "pad_multiple must be a multiple of 4 with the packed int8 "
+                f"KV cache (got {pad_multiple})"
+            )
         self.tts = tts
         self.n_slots = slots
         # rebase when within this many positions of block_size (None: 1/4 of

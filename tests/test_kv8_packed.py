@@ -499,3 +499,25 @@ def test_engine_rebase_packed_cache(tmp_path, monkeypatch):
         assert eng.stats["truncations"] == 0, eng.stats
     finally:
         eng.shutdown()
+
+
+def test_cache_dtype_string_aliases():
+    """String cache dtypes are MODE selectors: 'int8' builds the scale-table
+    cache (never a scale-less raw int8 one), unknown strings raise."""
+    cfg = first_stage_config(n_layer=2, n_head=2, dim=64, block_size=64)
+    kv = tfm.KVCache.create(cfg, 2, 64, dtype="int8")
+    assert kv.quantized and not kv.packed and kv.k.dtype == jnp.int8
+    with pytest.raises(ValueError, match="unknown KV cache dtype string"):
+        tfm.KVCache.create(cfg, 2, 64, dtype="int9")
+
+
+def test_engine_rejects_unaligned_pad_multiple_with_packed_cache(tmp_path):
+    from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+    from metavoice_tpu.runtime.tts import TTS
+
+    tts = TTS.from_random(
+        jax.random.PRNGKey(0), small=True, output_dir=str(tmp_path),
+        kv_cache_dtype="int8_packed",
+    )
+    with pytest.raises(ValueError, match="multiple of 4"):
+        ContinuousBatchingEngine(tts, slots=2, pad_multiple=6)
