@@ -211,6 +211,46 @@ def cmd_quantize(argv: list[str]) -> int:
     return 0
 
 
+def cmd_capacity(argv: list[str]) -> int:
+    """Plan HBM capacity for a serving configuration (no device needed).
+
+    Exact weights+cache byte math via jax.eval_shape (utils/capacity.py);
+    prints the plan and the max engine slot count that fits.
+    """
+    ap = argparse.ArgumentParser(prog="metavoice_tpu capacity")
+    ap.add_argument(
+        "--quantisation_mode", choices=["int4", "int8", "int8_packed", "int8_plain"],
+        default="int4",
+    )
+    ap.add_argument("--kv_cache_dtype", choices=["int8", "int8_packed"], default=None)
+    ap.add_argument("--slots", type=int, default=8, help="engine slot count")
+    ap.add_argument("--block_size", type=int, default=None)
+    ap.add_argument(
+        "--cfg_rows", type=int, default=2, choices=[2, 3],
+        help="cache rows per slot (3 with prompt guidance)",
+    )
+    ap.add_argument(
+        "--hbm_gib", type=float, default=16.0, help="per-chip HBM (GiB)"
+    )
+    args = ap.parse_args(argv)
+
+    from metavoice_tpu.core.config import first_stage_config
+    from metavoice_tpu.utils import capacity as cap
+
+    cfg = first_stage_config()
+    kwargs = dict(
+        quantisation_mode=args.quantisation_mode,
+        kv_cache_dtype=args.kv_cache_dtype,
+        block_size=args.block_size,
+        cfg_rows=args.cfg_rows,
+        hbm_bytes=int(args.hbm_gib * 1024**3),
+    )
+    plan = cap.memory_plan(cfg, slots=args.slots, **kwargs)
+    print(plan.describe())
+    print(f"max slots at this config: {cap.max_slots(cfg, **kwargs)}")
+    return 0
+
+
 def cmd_finetune(argv: list[str]) -> int:
     sys.argv = ["finetune"] + argv
     from metavoice_tpu.training.trainer import main as ft_main
@@ -225,6 +265,7 @@ def main() -> int:
         "serve": cmd_serve,
         "finetune": cmd_finetune,
         "quantize": cmd_quantize,
+        "capacity": cmd_capacity,
     }
     if len(sys.argv) < 2 or sys.argv[1] not in commands:
         print(f"usage: python -m metavoice_tpu.cli {{{'|'.join(commands)}}} [args]")
