@@ -56,6 +56,10 @@ class TransformerConfig:
     dropout: float = 0.0
     spkemb_dropout: float = 0.0
     spk_emb_on_text: bool = True
+    # Explicit head_dim for tensor-parallel LOCAL views of the model, where
+    # n_head is the per-device head count but dim stays the full residual
+    # width (parallel/tp_decode.local_view). None => dim // n_head.
+    head_dim_override: int | None = None
 
     def __post_init__(self):
         if self.n_local_heads == -1:
@@ -66,6 +70,8 @@ class TransformerConfig:
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.dim // self.n_head
 
     @property

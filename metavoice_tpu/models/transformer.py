@@ -433,7 +433,13 @@ def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
     return y
 
 
-def _mlp(x: jax.Array, lp: Params, cfg: TransformerConfig) -> jax.Array:
+def _mlp(
+    x: jax.Array, lp: Params, cfg: TransformerConfig, tp_axis: str | None = None
+) -> jax.Array:
+    """FFN block. ``tp_axis`` (inside shard_map only) marks Megatron tensor
+    parallelism: w1/w3 (or w_fc) are column shards and w2 (w_proj) row
+    shards, so the down-projection yields a PARTIAL sum that is psum'd over
+    the axis before the (replicated) bias is added."""
     if cfg.nonlinearity_type == "swiglu":
         w1, w3, w2 = lp["w1"], lp["w3"], lp["w2"]
         all_int8 = all(
@@ -441,7 +447,8 @@ def _mlp(x: jax.Array, lp: Params, cfg: TransformerConfig) -> jax.Array:
         )
         if all_int8 and jax.default_backend() == "tpu" and x.shape[-2] == 1:
             # fused single-kernel SwiGLU FFN: one Pallas launch instead of
-            # three, hidden activation never leaves VMEM
+            # three, hidden activation never leaves VMEM. Shape-driven, so
+            # local TP shards run it unmodified (partial sum out).
             from metavoice_tpu.ops import quantized as qz
 
             lead = x.shape[:-1]
@@ -449,13 +456,22 @@ def _mlp(x: jax.Array, lp: Params, cfg: TransformerConfig) -> jax.Array:
                 x.reshape(-1, x.shape[-1]),
                 w1["q"], w1["scales"], w3["q"], w3["scales"], w2["q"], w2["scales"],
             )
-            return y.reshape(*lead, w2["q"].shape[-1]).astype(x.dtype)
-        return _linear(jax.nn.silu(_linear(x, w1)) * _linear(x, w3), w2)
-    return _linear(
+            y = y.reshape(*lead, w2["q"].shape[-1]).astype(x.dtype)
+        else:
+            y = _linear(jax.nn.silu(_linear(x, w1)) * _linear(x, w3), w2)
+        if tp_axis is not None:
+            y = jax.lax.psum(y, tp_axis)
+        return y
+    y = _linear(
         jax.nn.gelu(_linear(x, lp["w_fc"], lp.get("w_fc_b")), approximate=False),
         lp["w_proj"],
-        lp.get("w_proj_b"),
     )
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)
+    b = lp.get("w_proj_b")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
 
 
 def _qkv_proj(
@@ -527,12 +543,23 @@ def _attention(
     mask: jax.Array | None,
     layer_cache: tuple[jax.Array, jax.Array] | None,
     cache_pos: jax.Array | None,
+    tp_axis: str | None = None,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
-    """Full attention for one layer (uncached forward path)."""
+    """Full attention for one layer (uncached forward path).
+
+    ``tp_axis`` (inside shard_map only): wqkv is a column shard (local
+    heads) and wo a row shard, so the output projection is a partial sum
+    psum'd over the axis before the (replicated) bias."""
     assert layer_cache is None, "cached path lives in apply_blocks"
     q, k, v = _qkv_proj(x, lp, cfg)
     y = _attend(q, k, v, cfg, mask, x.dtype)
-    return _linear(y, lp["wo"], lp.get("wo_b")), None
+    out = _linear(y, lp["wo"])
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    b = lp.get("wo_b")
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out, None
 
 
 # --------------------------------------------------------------------------------------
@@ -590,8 +617,20 @@ def apply_blocks(
     attn_starts: jax.Array | None = None,
     dropout_key: jax.Array | None = None,
     fused_head: bool = False,
+    tp_axis: str | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the L-layer block stack as one ``lax.scan``.
+
+    ``tp_axis``: set ONLY inside a shard_map whose params/cache are Megatron
+    tensor-parallel LOCAL shards (parallel/tp_decode.py) and whose ``cfg`` is
+    the local view (per-device head count, full dim, head_dim_override).
+    Adds the two per-layer psums (after the attention output projection and
+    the FFN down projection). The block-fused kernels (megakernel, int8/int4
+    attention-block kernels) are disabled under TP — they fuse the residual
+    stream across the reduction points — but the shape-driven per-matmul
+    quantized kernels and the flash decode-attention cache kernel still run
+    on the local shards, so TP decode keeps 4-bit weight reads and the
+    single-DMA cache stream.
 
     ``fused_head=True`` (decode callers only) returns a THREE-tuple
     (x_or_logits, new_kv, head_done): when the whole-stack kernel runs with
@@ -626,12 +665,13 @@ def apply_blocks(
             mask,
             layer_cache,
             cache_pos,
+            tp_axis,
         )
         if drop_key is not None:
             k1, k2 = jax.random.split(drop_key)
             h_attn = _dropout(h_attn, cfg.dropout, k1)
         h = x + h_attn
-        m = _mlp(_norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg.norm_type, cfg.norm_eps), lp, cfg)
+        m = _mlp(_norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg.norm_type, cfg.norm_eps), lp, cfg, tp_axis)
         if drop_key is not None:
             m = _dropout(m, cfg.dropout, k2)
         out = h + m
@@ -665,6 +705,7 @@ def apply_blocks(
 
         _mega_ok = (
             use_fused
+            and tp_axis is None  # block kernels fuse across the TP psums
             and cfg.nonlinearity_type == "swiglu"
             and cfg.dim % 1024 == 0
             and "wqkv_b" not in lp_stack
@@ -814,6 +855,7 @@ def apply_blocks(
             xa = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg.norm_type, cfg.norm_eps)
             if (
                 use_fused
+                and tp_axis is None  # fuses wo + residual across the psum
                 and not quantized_cache
                 and _is_int8(lp["wqkv"])
                 and _is_int8(lp["wo"])
@@ -930,11 +972,17 @@ def apply_blocks(
                     layer_k = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
                     layer_v = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
                 y = _attend_seq_major(q, layer_k, layer_v, cfg, mask, x.dtype)
-            h = x + _linear(y, lp["wo"], lp.get("wo_b"))
+            proj = _linear(y, lp["wo"])
+            if tp_axis is not None:
+                proj = jax.lax.psum(proj, tp_axis)
+            if lp.get("wo_b") is not None:
+                proj = proj + lp["wo_b"].astype(proj.dtype)
+            h = x + proj
             out = h + _mlp(
                 _norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg.norm_type, cfg.norm_eps),
                 lp,
                 cfg,
+                tp_axis,
             )
             return (out, k_full, v_full, ks_full, vs_full, li + 1), None
 

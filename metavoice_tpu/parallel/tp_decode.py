@@ -1,0 +1,305 @@
+"""Tensor-parallel fast decode: Megatron TP through shard_map.
+
+Round-2 TP decode relied on GSPMD auto-partitioning of the dense XLA path —
+the Pallas serving kernels (flash decode-attention, int4/int8 quantized
+matmuls) have no GSPMD partitioning rule, so under a tensor-sharded jit they
+silently forced replication/the slow path. This module runs the block stack
+under ``shard_map`` instead: every device sees LOCAL shards with ordinary
+array shapes, so the shape-driven kernels run unmodified on their shard, and
+the two Megatron reductions per layer (after the attention output projection
+and the FFN down projection) are explicit ``psum``s over the tensor axis
+(models/transformer.apply_blocks ``tp_axis``). Embedding, LM head and
+sampling stay outside the shard_map under plain GSPMD (they are ~1% of
+decode time; wte/wpe/ln_f/speaker_cond are replicated).
+
+Reference counterpart: none — fam/ is strictly single-GPU (SURVEY.md §2.2
+names Megatron TP over ICI as the TPU-native bar for the rebuild).
+
+Layout contract (what ``prepare_tp_params`` produces):
+
+* ``wqkv`` is stored COLUMN-PERMUTED: per-device blocks ``[q_i | k_i | v_i]``
+  concatenated over devices, so a natural last-axis shard gives device ``i``
+  its own attention heads for all three projections. (The naive natural
+  split would hand device 0 "all of q and half of k".)
+* ``w1``/``w3`` (and gelu ``w_fc``) are column-parallel: natural last-axis
+  shards. For int4 each device's hidden slice is padded to the kernel's
+  8*groupsize alignment PER SHARD (pad columns carry zeroed affine terms),
+  so the global hidden layout is ``[shard0 real+pad | shard1 real+pad ...]``
+  and matches w2's per-shard row padding exactly.
+* ``wo``/``w2`` (and gelu ``w_proj``) are row-parallel and, when quantized,
+  REQUANTIZED PER SHARD: the packed int4/int8 word formats interleave input
+  rows across slabs (ops/quantized.pack_int4_i32), so slicing a
+  single-device packed tensor does NOT yield a valid shard. Quantizing each
+  contiguous K-shard independently is numerically identical (quantization
+  groups are 128 input rows; the 1B model's shard boundaries are
+  group-aligned for tp in {2, 4, 8}) and concatenating the per-shard
+  pw/sc tables along the sharded axis makes a natural shard spec deliver
+  exactly the per-shard quantization.
+* The KV cache shards over the HEADS axis (heads are per-device-contiguous
+  under the qkv permutation above); batch shards over the data axis.
+
+This single-host repo can execute TP only on the virtual CPU mesh (the
+tunnel exposes one real chip), so the Pallas-kernel routing under shard_map
+is pinned by interpret-mode tests and the full-scale program by AOT
+compilation (tests/test_tp_decode.py); on-chip multi-device timing requires
+a real slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from metavoice_tpu.core.config import TransformerConfig
+from metavoice_tpu.models import transformer as tfm
+from metavoice_tpu.ops import quantized as qz
+from metavoice_tpu.parallel.mesh import DATA_AXIS, TENSOR_AXIS
+
+_COLUMN = ("wqkv", "w1", "w3", "w_fc")
+_ROW = ("wo", "w2", "w_proj")
+
+
+def local_view(cfg: TransformerConfig, tp: int) -> TransformerConfig:
+    """Per-device view of the model: local head counts, full residual dim.
+
+    ``head_dim_override`` pins head_dim to the global value (dim stays the
+    full residual width, so dim // local_n_head would be wrong).
+    """
+    if cfg.n_head % tp or cfg.n_local_heads % tp:
+        raise ValueError(
+            f"n_head={cfg.n_head}/n_local_heads={cfg.n_local_heads} "
+            f"not divisible by tp={tp}"
+        )
+    return dataclasses.replace(
+        cfg,
+        n_head=cfg.n_head // tp,
+        n_local_heads=cfg.n_local_heads // tp,
+        head_dim_override=cfg.head_dim,
+    )
+
+
+def permute_qkv_cols(w: jax.Array, cfg: TransformerConfig, tp: int) -> jax.Array:
+    """(..., D, q+k+v) -> per-device column blocks [q_i | k_i | v_i]."""
+    qd = cfg.n_head * cfg.head_dim
+    kvd = cfg.n_local_heads * cfg.head_dim
+    q, k, v = jnp.split(w, [qd, qd + kvd], axis=-1)
+    qs = jnp.split(q, tp, axis=-1)
+    ks = jnp.split(k, tp, axis=-1)
+    vs = jnp.split(v, tp, axis=-1)
+    return jnp.concatenate(
+        [jnp.concatenate([qs[i], ks[i], vs[i]], axis=-1) for i in range(tp)],
+        axis=-1,
+    )
+
+
+def _pad_cols(w: jax.Array, multiple: int) -> jax.Array:
+    n = w.shape[-1]
+    npad = -n % multiple
+    if npad == 0:
+        return w
+    return jnp.concatenate(
+        [w, jnp.zeros((*w.shape[:-1], npad), w.dtype)], axis=-1
+    )
+
+
+def _quantize_chunk_int4(chunk: jax.Array, pad_out: bool) -> dict:
+    """vmap-over-L int4-in-int32 quantization of one (L, K, Nc) shard."""
+    n_real = chunk.shape[-1]
+    if pad_out:
+        chunk = _pad_cols(chunk, 8 * qz.I32_GROUPSIZE)
+    pw, sc = jax.vmap(qz.quantize_int4_i32)(chunk)
+    if pad_out and sc.shape[-1] != n_real:
+        # pad columns must dequantize to exactly zero (mirrors
+        # quantize_params_int4_i32's hidden-dim padding rule)
+        col = jnp.arange(sc.shape[-1]) < n_real
+        sc = jnp.where(col[None, None, :], sc, 0.0)
+    return {"pw": pw, "sc": sc}
+
+
+def _quantize_chunk_int8(chunk: jax.Array, pad_out: bool) -> dict:
+    del pad_out  # int8-in-int32 needs no hidden padding (K%4 only)
+    p8, sc8 = jax.vmap(qz.quantize_int8_i32)(chunk)
+    return {"p8": p8, "sc8": sc8}
+
+
+_QUANTIZERS = {"int4": _quantize_chunk_int4, "int8": _quantize_chunk_int8}
+
+
+def build_tp_layers(
+    layers: dict, cfg: TransformerConfig, tp: int, quantisation_mode: str | None
+) -> dict:
+    """Dense stacked (L, in, out) layer params -> TP-global layout.
+
+    Column-parallel weights are quantized whole (column slicing of a
+    per-(group, column) quantization is exact); row-parallel weights are
+    quantized per K-shard and the pw/sc tables concatenated along the
+    sharded axis (see module docstring). ``quantisation_mode`` None keeps
+    dense bf16 weights (only the qkv permutation applies).
+    """
+    if quantisation_mode not in (None, "int4", "int8"):
+        raise ValueError(
+            f"tp quantisation_mode must be None|'int4'|'int8', got "
+            f"{quantisation_mode!r}"
+        )
+    out = dict(layers)
+    out["wqkv"] = permute_qkv_cols(layers["wqkv"], cfg, tp)
+    if "wqkv_b" in layers:
+        out["wqkv_b"] = permute_qkv_cols(layers["wqkv_b"], cfg, tp)
+    if quantisation_mode is None:
+        return out
+    quant = _QUANTIZERS[quantisation_mode]
+    for key in _COLUMN:
+        if key not in out:
+            continue
+        pad_out = key in ("w1", "w3")  # hidden dim feeds w2's padded K
+        chunks = jnp.split(out[key], tp, axis=-1)
+        qs = [quant(c, pad_out) for c in chunks]
+        out[key] = {
+            k: jnp.concatenate([q[k] for q in qs], axis=-1) for k in qs[0]
+        }
+    for key in _ROW:
+        if key not in out:
+            continue
+        chunks = jnp.split(out[key], tp, axis=1)
+        qs = [quant(c, False) for c in chunks]
+        out[key] = {
+            k: jnp.concatenate([q[k] for q in qs], axis=1) for k in qs[0]
+        }
+    return out
+
+
+def layer_specs(layers: dict) -> dict:
+    """PartitionSpec tree matching a build_tp_layers output."""
+    t = TENSOR_AXIS
+    specs: dict = {}
+    for key, val in layers.items():
+        if key in _COLUMN or key == "wqkv_b":
+            sp = P(None, None, t) if key != "wqkv_b" else P(None, t)
+            specs[key] = (
+                {k: P(None, None, t) for k in val} if isinstance(val, dict) else sp
+            )
+        elif key in _ROW:
+            specs[key] = (
+                {k: P(None, t, None) for k in val}
+                if isinstance(val, dict)
+                else P(None, t, None)
+            )
+        else:  # norms + row-parallel biases: replicated
+            specs[key] = P(*(None,) * val.ndim) if hasattr(val, "ndim") else P()
+    return specs
+
+
+def prepare_tp_params(
+    params: dict,
+    cfg: TransformerConfig,
+    mesh: Mesh,
+    quantisation_mode: str | None = None,
+) -> dict:
+    """Device-put a dense param tree in the TP layout onto the mesh.
+
+    Non-layer leaves (wtes, wpe, speaker_cond, ln_f, lm_heads) replicate.
+    """
+    tp = mesh.shape[TENSOR_AXIS]
+    layers = build_tp_layers(params["layers"], cfg, tp, quantisation_mode)
+    specs = layer_specs(layers)
+    rep = NamedSharding(mesh, P())
+    out = {
+        k: jax.tree.map(lambda x: jax.device_put(x, rep), v)
+        for k, v in params.items()
+        if k != "layers"
+    }
+    out["layers"] = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        layers,
+        specs,
+        is_leaf=lambda x: not isinstance(x, (dict, list)),
+    )
+    return out
+
+
+def make_tp_cache(
+    cfg: TransformerConfig,
+    mesh: Mesh,
+    batch: int,
+    max_seq_len: int | None = None,
+) -> tfm.KVCache:
+    """bf16 KV cache sharded heads-over-tensor, batch-over-data.
+
+    Quantized KV caches are not yet TP-capable: their scale tables fold
+    batch*heads into one lane-padded axis whose shards are not contiguous
+    slices (KVCache docstring) — bf16 is the decode-speed default anyway.
+    """
+    kv = tfm.KVCache.create(cfg, batch, max_seq_len, dtype=jnp.bfloat16)
+    sh = NamedSharding(mesh, P(None, None, DATA_AXIS, TENSOR_AXIS, None))
+    return tfm.KVCache(
+        k=jax.device_put(kv.k, sh), v=jax.device_put(kv.v, sh),
+        k_scale=None, v_scale=None,
+    )
+
+
+def make_tp_forward_fn(cfg: TransformerConfig, mesh: Mesh):
+    """Build the jitted TP forward: prefill (T>1) and decode (T=1) steps.
+
+    Returns ``fn(params_tp, idx, spk_emb, spk_cond_mask, kv, cache_pos)
+    -> (per-hierarchy logits list, new KVCache)``. Embed + LM head run under
+    GSPMD outside the shard_map; the block stack runs inside it with
+    ``tp_axis`` psums and per-shard kernels.
+    """
+    tp = mesh.shape[TENSOR_AXIS]
+    lcfg = local_view(cfg, tp)
+    cache_sp = P(None, None, DATA_AXIS, TENSOR_AXIS, None)
+
+    def blocks(blk, x, k, v, mask, pos):
+        kv = tfm.KVCache(k=k, v=v)
+        xo, nkv = tfm.apply_blocks(
+            blk, lcfg, x, mask, kv, pos, tp_axis=TENSOR_AXIS
+        )
+        return xo, nkv.k, nkv.v
+
+    def fwd(params, idx, spk_emb, spk_cond_mask, kv, cache_pos):
+        t = idx.shape[-1]
+        positions = jnp.arange(t) + cache_pos
+        x = tfm.embed_inputs(
+            params, cfg, idx, positions, spk_emb, spk_cond_mask, jnp.bfloat16
+        )
+        mask = tfm.causal_mask_for(positions, kv.max_seq_len)[None, None]
+        blk = {"layers": params["layers"], "ln_f_w": params["ln_f_w"]}
+        if "ln_f_b" in params:
+            blk["ln_f_b"] = params["ln_f_b"]
+        blk_specs = {"layers": layer_specs(params["layers"])}
+        blk_specs["ln_f_w"] = P(None)
+        if "ln_f_b" in blk:
+            blk_specs["ln_f_b"] = P(None)
+        x, k_new, v_new = jax.shard_map(
+            blocks,
+            mesh=mesh,
+            in_specs=(
+                blk_specs,
+                P(DATA_AXIS, None, None),
+                cache_sp,
+                cache_sp,
+                P(None, None, None, None),
+                P(),
+            ),
+            out_specs=(P(DATA_AXIS, None, None), cache_sp, cache_sp),
+            check_vma=False,
+        )(blk, x, kv.k, kv.v, mask, jnp.asarray(cache_pos, jnp.int32))
+        logits = tfm.output_logits(params, cfg, x)
+        return logits, tfm.KVCache(k=k_new, v=v_new)
+
+    return jax.jit(fwd, static_argnames=())
+
+
+__all__ = [
+    "local_view",
+    "permute_qkv_cols",
+    "build_tp_layers",
+    "layer_specs",
+    "prepare_tp_params",
+    "make_tp_cache",
+    "make_tp_forward_fn",
+]
