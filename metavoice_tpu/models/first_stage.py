@@ -110,7 +110,9 @@ def make_spk_cond_mask(batch_size: int, cfg_rows: int = 2) -> jax.Array:
     return jnp.concatenate(groups, axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "cfg_rows"))
+@partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype", "cfg_rows", "blocks_fn")
+)
 def prefill(
     params: tfm.Params,
     cfg: TransformerConfig,
@@ -127,8 +129,14 @@ def prefill(
     cfg_rows: int = 2,
     prompt_guidance_scale: jax.Array | float = 1.0,
     end_of_text_token: jax.Array | int = 0,
+    blocks_fn=None,
 ) -> tuple[jax.Array, tfm.KVCache]:
     """Process the prompt, fill the KV cache, sample the first new token.
+
+    ``blocks_fn`` (static) replaces the block-stack application — signature
+    ``(params, x, mask, kv, pos) -> (x, kv, head_done)`` — so alternative
+    execution strategies (the shard_map tensor-parallel path,
+    parallel/tp_decode.make_tp_blocks_fn) reuse this prefill unchanged.
 
     Mirrors reference ``prefill`` (fam/llm/fast_inference_utils.py:123-132)
     but pads to a static bucket and extracts the hidden state at the true
@@ -152,7 +160,10 @@ def prefill(
     positions = jnp.arange(t)
     x = tfm.embed_inputs(params, cfg, idx2, positions, spk2, mask2, compute_dtype)
     attn_mask = tfm.causal_mask_for(positions, kv_cache.max_seq_len)[None, None]
-    x, new_kv = tfm.apply_blocks(params, cfg, x, attn_mask, kv_cache, jnp.asarray(0))
+    if blocks_fn is not None:
+        x, new_kv, _ = blocks_fn(params, x, attn_mask, kv_cache, jnp.asarray(0))
+    else:
+        x, new_kv = tfm.apply_blocks(params, cfg, x, attn_mask, kv_cache, jnp.asarray(0))
     # hidden at the true last prompt position (padded tail unused)
     x_last = jax.lax.dynamic_slice_in_dim(x, prompt_len - 1, 1, axis=1)  # (2B, 1, D)
     logits = tfm.output_logits(params, cfg, x_last)[0][:, 0, :]  # (2B, V)
@@ -186,10 +197,16 @@ def _decode_fn(
     cfg_rows: int = 2,
     prompt_guidance_scale: jax.Array | float = 1.0,
     end_of_text_token: jax.Array | int = 0,
+    blocks_fn=None,
 ) -> tuple[jax.Array, jax.Array, tfm.KVCache]:
     """Run the full decode loop on device. Returns (tokens (B, max_steps),
     lengths (B,), cache). ``tokens[b, :lengths[b]]`` are valid and include
-    the end-of-audio token if one was emitted."""
+    the end-of-audio token if one was emitted.
+
+    ``blocks_fn`` (static): alternative block-stack application with the
+    same contract as in :func:`prefill` — the tensor-parallel shard_map path
+    plugs in here, keeping the whole while_loop (EOA latching, CFG rows,
+    sampling) unchanged."""
     b = first_token.shape[0]
     spk2 = _cfg_rows(spk_emb, cfg_rows)
     mask2 = make_spk_cond_mask(b, cfg_rows)
@@ -230,9 +247,12 @@ def _decode_fn(
         positions = s.pos[None]  # (1,)
         x = tfm.embed_inputs(params, cfg, idx2, positions, spk2, mask2, compute_dtype)
         attn_mask = tfm.causal_mask_for(positions, s.kv.max_seq_len)[None, None]
-        out, new_kv, head_done = tfm.apply_blocks(
-            params, cfg, x, attn_mask, s.kv, s.pos, fused_head=True
-        )
+        if blocks_fn is not None:
+            out, new_kv, head_done = blocks_fn(params, x, attn_mask, s.kv, s.pos)
+        else:
+            out, new_kv, head_done = tfm.apply_blocks(
+                params, cfg, x, attn_mask, s.kv, s.pos, fused_head=True
+            )
         # head_done: the stack kernel fused final norm + int4 tied head and
         # `out` is already (cfg_rows*B, V) f32 logits
         logits = out if head_done else tfm.output_logits(params, cfg, out)[0][:, 0, :]
@@ -269,7 +289,8 @@ def _decode_fn(
 decode = jax.jit(
     _decode_fn,
     static_argnames=(
-        "cfg", "max_steps", "end_of_audio_token", "compute_dtype", "cfg_rows"
+        "cfg", "max_steps", "end_of_audio_token", "compute_dtype", "cfg_rows",
+        "blocks_fn",
     ),
 )
 
@@ -305,6 +326,7 @@ def generate(
     kv_cache: tfm.KVCache | None = None,
     compute_dtype=jnp.bfloat16,
     cache_dtype=None,
+    blocks_fn=None,
 ):
     """Host-facing single-utterance generation (batch 1).
 
@@ -363,6 +385,7 @@ def generate(
         cfg_rows=cfg_rows,
         prompt_guidance_scale=prompt_guidance,
         end_of_text_token=eot,
+        blocks_fn=blocks_fn,
     )
 
     # decode buffer is statically sized by the block; dynamic caps bound the loop
@@ -385,6 +408,7 @@ def generate(
         cfg_rows,
         prompt_guidance,
         eot,
+        blocks_fn=blocks_fn,
     )
 
     # single fused host transfer: [first, n, tokens...] (each np.asarray is

@@ -226,15 +226,19 @@ def make_tp_cache(
     mesh: Mesh,
     batch: int,
     max_seq_len: int | None = None,
+    data_sharded: bool = True,
 ) -> tfm.KVCache:
     """bf16 KV cache sharded heads-over-tensor, batch-over-data.
 
+    ``data_sharded=False`` replicates the batch axis instead — the
+    single-utterance latency-TP layout (CFG rows don't divide a data axis).
     Quantized KV caches are not yet TP-capable: their scale tables fold
     batch*heads into one lane-padded axis whose shards are not contiguous
     slices (KVCache docstring) — bf16 is the decode-speed default anyway.
     """
     kv = tfm.KVCache.create(cfg, batch, max_seq_len, dtype=jnp.bfloat16)
-    sh = NamedSharding(mesh, P(None, None, DATA_AXIS, TENSOR_AXIS, None))
+    batch_ax = DATA_AXIS if data_sharded else None
+    sh = NamedSharding(mesh, P(None, None, batch_ax, TENSOR_AXIS, None))
     return tfm.KVCache(
         k=jax.device_put(kv.k, sh), v=jax.device_put(kv.v, sh),
         k_scale=None, v_scale=None,
@@ -294,6 +298,88 @@ def make_tp_forward_fn(cfg: TransformerConfig, mesh: Mesh):
     return jax.jit(fwd, static_argnames=())
 
 
+def make_tp_blocks_fn(cfg: TransformerConfig, mesh: Mesh):
+    """Block-stack hook for models/first_stage.prefill/decode (blocks_fn=).
+
+    Signature ``(params, x, mask, kv, pos) -> (x, kv, head_done=False)``:
+    runs the layer scan under shard_map with per-shard kernels and per-layer
+    psums, replicating the batch axis (single-utterance latency TP — the 2-3
+    CFG rows don't divide a data axis; use make_tp_forward_fn for
+    batch-over-data serving shapes). Plugging this into the existing
+    generate loop keeps prefill bucketing, the one-compilation while_loop,
+    EOA latching and CFG sampling unchanged.
+    """
+    tp = mesh.shape[TENSOR_AXIS]
+    lcfg = local_view(cfg, tp)
+    cache_sp = P(None, None, None, TENSOR_AXIS, None)
+
+    def blocks(blk, x, k, v, mask, pos):
+        kv = tfm.KVCache(k=k, v=v)
+        xo, nkv = tfm.apply_blocks(
+            blk, lcfg, x, mask, kv, pos, tp_axis=TENSOR_AXIS
+        )
+        return xo, nkv.k, nkv.v
+
+    def blocks_fn(params, x, mask, kv, pos):
+        blk = {"layers": params["layers"], "ln_f_w": params["ln_f_w"]}
+        blk_specs = {"layers": layer_specs(params["layers"]), "ln_f_w": P(None)}
+        if "ln_f_b" in params:
+            blk["ln_f_b"] = params["ln_f_b"]
+            blk_specs["ln_f_b"] = P(None)
+        xo, k_new, v_new = jax.shard_map(
+            blocks,
+            mesh=mesh,
+            in_specs=(
+                blk_specs,
+                P(None, None, None),
+                cache_sp,
+                cache_sp,
+                P(None, None, None, None),
+                P(),
+            ),
+            out_specs=(P(None, None, None), cache_sp, cache_sp),
+            check_vma=False,
+        )(blk, x, kv.k, kv.v, mask, jnp.asarray(pos, jnp.int32))
+        return xo, tfm.KVCache(k=k_new, v=v_new), False
+
+    return blocks_fn
+
+
+def tp_generate(
+    params_tp: dict,
+    cfg: TransformerConfig,
+    mesh: Mesh,
+    prompt_tokens,
+    spk_emb: jax.Array,
+    *,
+    key: jax.Array,
+    blocks_fn=None,
+    **generate_kwargs,
+):
+    """Tensor-parallel single-utterance generation.
+
+    Thin wrapper over models/first_stage.generate: same sampling semantics
+    and return contract, with the block stack executing via the shard_map TP
+    path on ``mesh`` and a heads-sharded KV cache. ``params_tp`` must come
+    from :func:`prepare_tp_params`. Reuse ``blocks_fn`` (one
+    make_tp_blocks_fn result) across calls to avoid recompilation — the hook
+    is a static jit argument.
+    """
+    from metavoice_tpu.models import first_stage as fs
+
+    gs = generate_kwargs.get("guidance_scale", 3.0)
+    _, _, cfg_rows = fs._normalize_guidance(gs)
+    kv = generate_kwargs.pop("kv_cache", None)
+    if kv is None:
+        kv = make_tp_cache(cfg, mesh, cfg_rows, data_sharded=False)
+    if blocks_fn is None:
+        blocks_fn = make_tp_blocks_fn(cfg, mesh)
+    return fs.generate(
+        params_tp, cfg, prompt_tokens, spk_emb, key=key, kv_cache=kv,
+        blocks_fn=blocks_fn, **generate_kwargs,
+    )
+
+
 __all__ = [
     "local_view",
     "permute_qkv_cols",
@@ -302,4 +388,6 @@ __all__ = [
     "prepare_tp_params",
     "make_tp_cache",
     "make_tp_forward_fn",
+    "make_tp_blocks_fn",
+    "tp_generate",
 ]

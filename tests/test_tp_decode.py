@@ -185,6 +185,26 @@ def test_decode_attention_kernel_on_head_shards():
     np.testing.assert_allclose(np.asarray(vc), np.asarray(ref_v), atol=0, rtol=0)
 
 
+def test_tp_generate_matches_single(params):
+    """The WHOLE generate loop (prefill bucket + while_loop decode + EOA
+    semantics) runs through the TP blocks hook on a pure-TP mesh and emits
+    the same near-greedy token sequence as the single-device path."""
+    from metavoice_tpu.models import first_stage as fs
+
+    m = pmesh.make_mesh(4, tensor_parallel=4)  # data=1: single-utterance TP
+    prompt = (np.arange(10) * 7) % 90 + 3
+    spk = jnp.ones((256,), jnp.float32)
+    kw = dict(
+        key=jax.random.PRNGKey(9), top_p=1e-4, max_new_tokens=8,
+        prompt_pad_multiple=16,
+    )
+
+    ref = fs.generate(params, CFG, prompt, spk, **kw)
+    p_tp = tpd.prepare_tp_params(params, CFG, m)
+    out = tpd.tp_generate(p_tp, CFG, m, prompt, spk, **kw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_full_scale_tp_decode_aot_compiles():
     """The REAL 24L/16H/2048d int4 TP decode step compiles end to end
     (abstract params, zero weight memory) — the full-config sharded-program
