@@ -227,22 +227,124 @@ def make_tp_cache(
     batch: int,
     max_seq_len: int | None = None,
     data_sharded: bool = True,
+    dtype=jnp.bfloat16,
 ) -> tfm.KVCache:
-    """bf16 KV cache sharded heads-over-tensor, batch-over-data.
+    """KV cache sharded heads-over-tensor, batch-over-data.
 
     ``data_sharded=False`` replicates the batch axis instead — the
     single-utterance latency-TP layout (CFG rows don't divide a data axis).
-    Quantized KV caches are not yet TP-capable: their scale tables fold
-    batch*heads into one lane-padded axis whose shards are not contiguous
-    slices (KVCache docstring) — bf16 is the decode-speed default anyway.
+
+    ``dtype`` follows KVCache.create ("int8" / "int8_packed" select the
+    quantized capacity formats). Their scale tables fold batch*heads into
+    one 128-lane-padded axis, so the TP-global table is the PER-SHARD-PADDED
+    stack — width tp * pad128(batch_local * heads_local), NOT
+    pad128(batch * heads) — and a natural last-axis shard hands each device
+    exactly the local table KVCache.create(local_view) would build. Under
+    TP the quantized cache keeps its capacity benefit but decodes through
+    the XLA dequant path (the fused quantized-cache kernels stay
+    single-device).
     """
-    kv = tfm.KVCache.create(cfg, batch, max_seq_len, dtype=jnp.bfloat16)
+    tp = mesh.shape[TENSOR_AXIS]
+    lcfg = local_view(cfg, tp)
+    batch_local = batch // mesh.shape[DATA_AXIS] if data_sharded else batch
+    local = tfm.KVCache.create(lcfg, batch_local, max_seq_len, dtype=dtype)
     batch_ax = DATA_AXIS if data_sharded else None
-    sh = NamedSharding(mesh, P(None, None, batch_ax, TENSOR_AXIS, None))
+
+    def _global_zeros(arr, kind):
+        if kind == "kv":
+            # heads axis back to the global count
+            shape = list(arr.shape)
+            shape[2] = batch
+            shape[3] = cfg.n_local_heads
+            sp = P(None, None, batch_ax, TENSOR_AXIS, None)
+        else:
+            # scale table: per-shard-padded widths stacked on the lane axis.
+            # The lane axis folds batch*heads, so it shards over BOTH mesh
+            # axes (data-major, matching the mesh axis order) when the batch
+            # is data-sharded.
+            shape = list(arr.shape)
+            n_shards = tp * (mesh.shape[DATA_AXIS] if data_sharded else 1)
+            shape[-1] = arr.shape[-1] * n_shards
+            lane_ax = (DATA_AXIS, TENSOR_AXIS) if data_sharded else TENSOR_AXIS
+            sp = P(*(None,) * (arr.ndim - 1), lane_ax)
+        return jax.device_put(
+            jnp.zeros(shape, arr.dtype), NamedSharding(mesh, sp)
+        )
+
+    if local.k_scale is None:
+        return tfm.KVCache(
+            k=_global_zeros(local.k, "kv"), v=_global_zeros(local.v, "kv"),
+            k_scale=None, v_scale=None,
+        )
     return tfm.KVCache(
-        k=jax.device_put(kv.k, sh), v=jax.device_put(kv.v, sh),
-        k_scale=None, v_scale=None,
+        k=_global_zeros(local.k, "kv"),
+        v=_global_zeros(local.v, "kv"),
+        k_scale=_global_zeros(local.k_scale, "scale"),
+        v_scale=_global_zeros(local.v_scale, "scale"),
     )
+
+
+def _blk_subtree(params):
+    """The apply_blocks param subset + its shard_map specs."""
+    blk = {"layers": params["layers"], "ln_f_w": params["ln_f_w"]}
+    blk_specs = {"layers": layer_specs(params["layers"]), "ln_f_w": P(None)}
+    if "ln_f_b" in params:
+        blk["ln_f_b"] = params["ln_f_b"]
+        blk_specs["ln_f_b"] = P(None)
+    return blk, blk_specs
+
+
+def _shard_map_blocks(mesh, lcfg, params, x, mask, kv, pos, data_sharded):
+    """Run apply_blocks(tp_axis=...) under shard_map; handles bf16 and
+    quantized (scale-table) caches. Returns (x, new KVCache)."""
+    blk, blk_specs = _blk_subtree(params)
+    batch_ax = DATA_AXIS if data_sharded else None
+    x_sp = P(batch_ax, None, None)
+    cache_sp = P(None, None, batch_ax, TENSOR_AXIS, None)
+    mask_sp = P(None, None, None, None)
+    pos = jnp.asarray(pos, jnp.int32)
+
+    if kv.k_scale is None:
+
+        def blocks(blk, x, k, v, mask, pos):
+            xo, nkv = tfm.apply_blocks(
+                blk, lcfg, x, mask, tfm.KVCache(k=k, v=v), pos,
+                tp_axis=TENSOR_AXIS,
+            )
+            return xo, nkv.k, nkv.v
+
+        xo, k_new, v_new = jax.shard_map(
+            blocks,
+            mesh=mesh,
+            in_specs=(blk_specs, x_sp, cache_sp, cache_sp, mask_sp, P()),
+            out_specs=(x_sp, cache_sp, cache_sp),
+            check_vma=False,
+        )(blk, x, kv.k, kv.v, mask, pos)
+        return xo, tfm.KVCache(k=k_new, v=v_new)
+
+    # quantized cache: scale-table lane axis folds batch*heads -> shards
+    # over (data, tensor) together (see make_tp_cache)
+    lane_ax = (DATA_AXIS, TENSOR_AXIS) if data_sharded else TENSOR_AXIS
+    sc_sp = P(*(None,) * (kv.k_scale.ndim - 1), lane_ax)
+
+    def blocks_q(blk, x, k, v, ks, vs, mask, pos):
+        xo, nkv = tfm.apply_blocks(
+            blk, lcfg, x, mask,
+            tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs), pos,
+            tp_axis=TENSOR_AXIS,
+        )
+        return xo, nkv.k, nkv.v, nkv.k_scale, nkv.v_scale
+
+    xo, k_new, v_new, ks_new, vs_new = jax.shard_map(
+        blocks_q,
+        mesh=mesh,
+        in_specs=(
+            blk_specs, x_sp, cache_sp, cache_sp, sc_sp, sc_sp, mask_sp, P()
+        ),
+        out_specs=(x_sp, cache_sp, cache_sp, sc_sp, sc_sp),
+        check_vma=False,
+    )(blk, x, kv.k, kv.v, kv.k_scale, kv.v_scale, mask, pos)
+    return xo, tfm.KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
 
 
 def make_tp_forward_fn(cfg: TransformerConfig, mesh: Mesh):
@@ -251,18 +353,11 @@ def make_tp_forward_fn(cfg: TransformerConfig, mesh: Mesh):
     Returns ``fn(params_tp, idx, spk_emb, spk_cond_mask, kv, cache_pos)
     -> (per-hierarchy logits list, new KVCache)``. Embed + LM head run under
     GSPMD outside the shard_map; the block stack runs inside it with
-    ``tp_axis`` psums and per-shard kernels.
+    ``tp_axis`` psums and per-shard kernels. The cache may be bf16 or a
+    quantized capacity format from ``make_tp_cache``.
     """
     tp = mesh.shape[TENSOR_AXIS]
     lcfg = local_view(cfg, tp)
-    cache_sp = P(None, None, DATA_AXIS, TENSOR_AXIS, None)
-
-    def blocks(blk, x, k, v, mask, pos):
-        kv = tfm.KVCache(k=k, v=v)
-        xo, nkv = tfm.apply_blocks(
-            blk, lcfg, x, mask, kv, pos, tp_axis=TENSOR_AXIS
-        )
-        return xo, nkv.k, nkv.v
 
     def fwd(params, idx, spk_emb, spk_cond_mask, kv, cache_pos):
         t = idx.shape[-1]
@@ -271,29 +366,11 @@ def make_tp_forward_fn(cfg: TransformerConfig, mesh: Mesh):
             params, cfg, idx, positions, spk_emb, spk_cond_mask, jnp.bfloat16
         )
         mask = tfm.causal_mask_for(positions, kv.max_seq_len)[None, None]
-        blk = {"layers": params["layers"], "ln_f_w": params["ln_f_w"]}
-        if "ln_f_b" in params:
-            blk["ln_f_b"] = params["ln_f_b"]
-        blk_specs = {"layers": layer_specs(params["layers"])}
-        blk_specs["ln_f_w"] = P(None)
-        if "ln_f_b" in blk:
-            blk_specs["ln_f_b"] = P(None)
-        x, k_new, v_new = jax.shard_map(
-            blocks,
-            mesh=mesh,
-            in_specs=(
-                blk_specs,
-                P(DATA_AXIS, None, None),
-                cache_sp,
-                cache_sp,
-                P(None, None, None, None),
-                P(),
-            ),
-            out_specs=(P(DATA_AXIS, None, None), cache_sp, cache_sp),
-            check_vma=False,
-        )(blk, x, kv.k, kv.v, mask, jnp.asarray(cache_pos, jnp.int32))
+        x, new_kv = _shard_map_blocks(
+            mesh, lcfg, params, x, mask, kv, cache_pos, data_sharded=True
+        )
         logits = tfm.output_logits(params, cfg, x)
-        return logits, tfm.KVCache(k=k_new, v=v_new)
+        return logits, new_kv
 
     return jax.jit(fwd, static_argnames=())
 
@@ -311,36 +388,12 @@ def make_tp_blocks_fn(cfg: TransformerConfig, mesh: Mesh):
     """
     tp = mesh.shape[TENSOR_AXIS]
     lcfg = local_view(cfg, tp)
-    cache_sp = P(None, None, None, TENSOR_AXIS, None)
-
-    def blocks(blk, x, k, v, mask, pos):
-        kv = tfm.KVCache(k=k, v=v)
-        xo, nkv = tfm.apply_blocks(
-            blk, lcfg, x, mask, kv, pos, tp_axis=TENSOR_AXIS
-        )
-        return xo, nkv.k, nkv.v
 
     def blocks_fn(params, x, mask, kv, pos):
-        blk = {"layers": params["layers"], "ln_f_w": params["ln_f_w"]}
-        blk_specs = {"layers": layer_specs(params["layers"]), "ln_f_w": P(None)}
-        if "ln_f_b" in params:
-            blk["ln_f_b"] = params["ln_f_b"]
-            blk_specs["ln_f_b"] = P(None)
-        xo, k_new, v_new = jax.shard_map(
-            blocks,
-            mesh=mesh,
-            in_specs=(
-                blk_specs,
-                P(None, None, None),
-                cache_sp,
-                cache_sp,
-                P(None, None, None, None),
-                P(),
-            ),
-            out_specs=(P(None, None, None), cache_sp, cache_sp),
-            check_vma=False,
-        )(blk, x, kv.k, kv.v, mask, jnp.asarray(pos, jnp.int32))
-        return xo, tfm.KVCache(k=k_new, v=v_new), False
+        xo, new_kv = _shard_map_blocks(
+            mesh, lcfg, params, x, mask, kv, pos, data_sharded=False
+        )
+        return xo, new_kv, False
 
     return blocks_fn
 
@@ -370,8 +423,12 @@ def tp_generate(
     gs = generate_kwargs.get("guidance_scale", 3.0)
     _, _, cfg_rows = fs._normalize_guidance(gs)
     kv = generate_kwargs.pop("kv_cache", None)
+    cache_dtype = generate_kwargs.pop("cache_dtype", None)
     if kv is None:
-        kv = make_tp_cache(cfg, mesh, cfg_rows, data_sharded=False)
+        kv = make_tp_cache(
+            cfg, mesh, cfg_rows, data_sharded=False,
+            dtype=cache_dtype or jnp.bfloat16,
+        )
     if blocks_fn is None:
         blocks_fn = make_tp_blocks_fn(cfg, mesh)
     return fs.generate(

@@ -185,6 +185,53 @@ def test_decode_attention_kernel_on_head_shards():
     np.testing.assert_allclose(np.asarray(vc), np.asarray(ref_v), atol=0, rtol=0)
 
 
+@pytest.mark.parametrize("kvd", ["int8", "int8_packed"])
+def test_tp_quantized_cache_forward_matches_single(params, kvd):
+    """Quantized KV cache under TP with a DATA-SHARDED batch: the
+    scale-table lane axis shards over (data, tensor) together and each
+    device sees exactly the local table KVCache.create(local_view) builds.
+    Per-(position, head) scales are head-local, so parity is exact up to
+    bf16/psum accumulation."""
+    m = pmesh.make_mesh(8, tensor_parallel=2)  # data=4
+    idx = jax.random.randint(jax.random.PRNGKey(4), (4, 6), 0, 97)
+    spk = jnp.ones((4, 256), jnp.float32)
+
+    ref = _run_sequence(
+        lambda p, i, s, sm, kv, pos: tfm.forward(
+            p, CFG, i, spk_emb=s, kv_cache=kv, cache_pos=pos,
+            compute_dtype=jnp.bfloat16,
+        ),
+        params, tfm.KVCache.create(CFG, 4, dtype=kvd), idx, spk,
+    )
+
+    p_tp = tpd.prepare_tp_params(params, CFG, m)
+    kv = tpd.make_tp_cache(CFG, m, 4, dtype=kvd)
+    assert kv.k_scale is not None
+    fwd = tpd.make_tp_forward_fn(CFG, m)
+    out = _run_sequence(fwd, p_tp, kv, idx, spk)
+    np.testing.assert_allclose(out, ref, atol=0.2, rtol=0.1)
+
+
+@pytest.mark.parametrize("kvd", ["int8", "int8_packed"])
+def test_tp_generate_quantized_cache_matches_single(params, kvd):
+    """tp_generate with the quantized capacity caches emits the same
+    near-greedy sequence as single-device generate with the same cache."""
+    from metavoice_tpu.models import first_stage as fs
+
+    m = pmesh.make_mesh(4, tensor_parallel=4)
+    prompt = (np.arange(10) * 11) % 90 + 3
+    spk = jnp.ones((256,), jnp.float32)
+    kw = dict(
+        key=jax.random.PRNGKey(10), top_p=1e-4, max_new_tokens=6,
+        prompt_pad_multiple=16,
+    )
+
+    ref = fs.generate(params, CFG, prompt, spk, cache_dtype=kvd, **kw)
+    p_tp = tpd.prepare_tp_params(params, CFG, m)
+    out = tpd.tp_generate(p_tp, CFG, m, prompt, spk, cache_dtype=kvd, **kw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_tp_generate_matches_single(params):
     """The WHOLE generate loop (prefill bucket + while_loop decode + EOA
     semantics) runs through the TP blocks hook on a pure-TP mesh and emits
