@@ -177,8 +177,10 @@ def layer_specs(layers: dict) -> dict:
     t = TENSOR_AXIS
     specs: dict = {}
     for key, val in layers.items():
-        if key in _COLUMN or key == "wqkv_b":
-            sp = P(None, None, t) if key != "wqkv_b" else P(None, t)
+        if key in _COLUMN or key in ("wqkv_b", "w_fc_b"):
+            # column-parallel weights and their biases (biases have one
+            # fewer axis: (L, out))
+            sp = P(None, t) if key in ("wqkv_b", "w_fc_b") else P(None, None, t)
             specs[key] = (
                 {k: P(None, None, t) for k in val} if isinstance(val, dict) else sp
             )

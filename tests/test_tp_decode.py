@@ -92,6 +92,33 @@ def test_tp_dense_decode_matches_single(params, tp):
     np.testing.assert_allclose(out, ref, atol=0.6, rtol=0.2)
 
 
+def test_tp_gelu_bias_decode_matches_single():
+    """GPT-style blocks (gelu + layernorm + biases, the second-stage layer
+    recipe) under TP: column bias shards with w_fc, row-parallel biases are
+    added AFTER the psum."""
+    cfg = first_stage_config(
+        n_layer=2, n_head=4, dim=512, block_size=64, vocab_sizes=(97,),
+        intermediate_size=1024, nonlinearity_type="gelu",
+        norm_type="layernorm", bias=True,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    m = pmesh.make_mesh(8, tensor_parallel=2)
+    idx = jax.random.randint(jax.random.PRNGKey(6), (4, 6), 0, 97)
+    spk = jnp.ones((4, 256), jnp.float32)
+
+    def single(p, i, s, sm, kv, pos):
+        return tfm.forward(
+            p, cfg, i, spk_emb=s, kv_cache=kv, cache_pos=pos,
+            compute_dtype=jnp.bfloat16,
+        )
+
+    ref = _run_sequence(single, params, tfm.KVCache.create(cfg, 4), idx, spk)
+    p_tp = tpd.prepare_tp_params(params, cfg, m)
+    fwd = tpd.make_tp_forward_fn(cfg, m)
+    out = _run_sequence(fwd, p_tp, tpd.make_tp_cache(cfg, m, 4), idx, spk)
+    np.testing.assert_allclose(out, ref, atol=0.2, rtol=0.1)
+
+
 @pytest.mark.parametrize("mode,quantize_single", [
     ("int4", qz.quantize_params_int4_i32),
     ("int8", qz.quantize_params_int8_i32),
