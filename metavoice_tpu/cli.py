@@ -46,6 +46,12 @@ def _add_model_args(ap: argparse.ArgumentParser) -> None:
     )
     ap.add_argument("--seed", type=int, default=1337)
     ap.add_argument("--output_dir", default="outputs")
+    ap.add_argument(
+        "--tensor_parallel", type=int, default=1,
+        help="shard the first stage Megatron-style over this many devices "
+        "(shard_map TP decode, parallel/tp_decode.py); needs a dense .pt "
+        "checkpoint (per-shard requantization), not a pre-quantized .npz",
+    )
 
 
 def _build_tts(args):
@@ -60,6 +66,7 @@ def _build_tts(args):
             output_dir=args.output_dir,
             quantisation_mode=args.quantisation_mode,
             kv_cache_dtype=args.kv_cache_dtype,
+            tensor_parallel=args.tensor_parallel,
         )
     return TTS.from_checkpoints(
         args.first_stage_path,
@@ -69,6 +76,7 @@ def _build_tts(args):
         output_dir=args.output_dir,
         quantisation_mode=args.quantisation_mode,
         kv_cache_dtype=args.kv_cache_dtype,
+        tensor_parallel=args.tensor_parallel,
     )
 
 

@@ -675,8 +675,14 @@ def generate_segments(
     prompt_pad_multiple: int = 128,
     compute_dtype=jnp.bfloat16,
     cache_dtype=None,
+    kv_cache: tfm.KVCache | None = None,
+    blocks_fn=None,
 ):
     """Yield generated tokens in ~1 s segments instead of one final array.
+
+    ``kv_cache``/``blocks_fn``: same contracts as in :func:`generate` — a
+    caller-owned (possibly TP-sharded) cache and an alternative block-stack
+    application (the shard_map tensor-parallel path).
 
     The decode while_loop supports resuming from (cur_token, pos, cache), so
     each segment is one bounded device program; downstream stages (second
@@ -705,9 +711,11 @@ def generate_segments(
     if budget <= 0:
         raise ValueError("Prompt is too long to generate more tokens")
 
-    kv = tfm.KVCache.create(
-        cfg, cfg_rows, cfg.block_size, dtype=cache_dtype or compute_dtype
-    )
+    kv = kv_cache
+    if kv is None or kv.batch_size != cfg_rows:
+        kv = tfm.KVCache.create(
+            cfg, cfg_rows, cfg.block_size, dtype=cache_dtype or compute_dtype
+        )
     spk_emb = jnp.asarray(spk_emb).reshape(1, -1)
     key, kp = jax.random.split(key)
     t1 = jnp.asarray(temperature, jnp.float32)
@@ -720,6 +728,7 @@ def generate_segments(
         params, cfg, jnp.asarray(padded)[None, :], jnp.asarray(t_true, jnp.int32),
         spk_emb, kv, kp, t1, tp, g, compute_dtype=compute_dtype,
         cfg_rows=cfg_rows, prompt_guidance_scale=pg, end_of_text_token=eot,
+        blocks_fn=blocks_fn,
     )
     # The prefill token is NOT read back here: on the tunneled backend every
     # host round-trip costs dispatch latency, so the first decode runs
@@ -745,6 +754,7 @@ def generate_segments(
             params, cfg, cur, jnp.asarray(pos, jnp.int32), spk_emb, kv, kd,
             t1, tp, g, jnp.asarray(step_budget, jnp.int32), cfg.block_size,
             end_of_audio_token, compute_dtype, cfg_rows, pg, eot,
+            blocks_fn=blocks_fn,
         )
         # next seed stays on device; one fused host transfer per step
         next_cur = buf[:, jnp.maximum(lens[0] - 1, 0)]

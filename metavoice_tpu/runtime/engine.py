@@ -127,6 +127,16 @@ class ContinuousBatchingEngine:
     ):
         if segment_tokens % 2 != 0:
             raise ValueError("segment_tokens must be even (whole frames)")
+        if getattr(tts, "_tensor_parallel", 1) > 1:
+            # the engine's batched ragged decode (generate_batch/join/rebase)
+            # is single-device; TP serving scales throughput via DP replicas
+            # (one engine per replica) and latency via tensor_parallel on
+            # the direct synthesise path
+            raise ValueError(
+                "the batching engine does not support tensor_parallel TTS "
+                "instances; use tensor_parallel for the direct synthesise "
+                "path and data-parallel replicas for batched serving"
+            )
         if tts._cache_dtype == "int8_packed" and pad_multiple % 4 != 0:
             # join buckets size the temp packed cache; reject at construction
             # rather than failing the whole group at the first join

@@ -139,6 +139,7 @@ class TTS:
         enforce_min_output_duration: bool = True,
         quantisation_mode: str | None = None,
         kv_cache_dtype: str | None = None,
+        tensor_parallel: int = 1,
         telemetry_origin: str | None = None,
         telemetry_client=None,
     ):
@@ -168,7 +169,45 @@ class TTS:
         # fam/llm/fast_inference.py:41 `quantisation_mode`); int8 is FASTER
         # than bf16 here (Pallas weight-streaming kernels)
         mode = quantisation_mode or self.runtime.quantisation_mode
-        if mode == "int8_plain":
+        self._tensor_parallel = int(tensor_parallel or 1)
+        self._blocks_fn = None
+        self._tp_mesh = None
+        if self._tensor_parallel > 1:
+            # Megatron TP over a pure-tensor mesh (parallel/tp_decode.py):
+            # the block stack runs under shard_map with per-shard kernels
+            # and per-layer psums; the single-utterance synthesise path
+            # flows through the same generate loop via blocks_fn.
+            from metavoice_tpu.parallel import mesh as pmesh
+            from metavoice_tpu.parallel import tp_decode as tpd
+
+            _layers = self.c.first_stage_params.get("layers", {})
+            if any(isinstance(v, dict) for v in _layers.values()):
+                raise ValueError(
+                    "tensor_parallel requires a DENSE first-stage checkpoint:"
+                    " row-parallel shards must be requantized per device "
+                    "(parallel/tp_decode.py) — pass the .pt checkpoint with "
+                    "quantisation_mode instead of a pre-quantized .npz"
+                )
+            tp_mode = {
+                None: None, "int4": "int4", "int8": "int8",
+                "int8_packed": "int8",
+            }
+            if mode not in tp_mode:
+                raise ValueError(
+                    f"quantisation_mode {mode!r} is not supported with "
+                    "tensor_parallel (use None, 'int4' or 'int8')"
+                )
+            self._tp_mesh = pmesh.make_mesh(
+                self._tensor_parallel, tensor_parallel=self._tensor_parallel
+            )
+            self.c.first_stage_params = tpd.prepare_tp_params(
+                self.c.first_stage_params, self.c.first_stage_cfg,
+                self._tp_mesh, tp_mode[mode],
+            )
+            self._blocks_fn = tpd.make_tp_blocks_fn(
+                self.c.first_stage_cfg, self._tp_mesh
+            )
+        elif mode == "int8_plain":
             from metavoice_tpu.ops import quantized as qz
 
             # plain int8 arrays: capped by the ~390 GB/s 1-byte DMA ceiling
@@ -260,10 +299,19 @@ class TTS:
                 "magnitude slower). Pair it with quantisation_mode='int4' "
                 "for the supported fast path."
             )
-        self._kv_cache = tfm.KVCache.create(
-            self.c.first_stage_cfg, 2, self.c.first_stage_cfg.block_size,
-            dtype=self._cache_dtype or self._compute_dtype,
-        )
+        if self._tensor_parallel > 1:
+            from metavoice_tpu.parallel import tp_decode as tpd
+
+            self._kv_cache = tpd.make_tp_cache(
+                self.c.first_stage_cfg, self._tp_mesh, 2,
+                self.c.first_stage_cfg.block_size, data_sharded=False,
+                dtype=self._cache_dtype or self._compute_dtype,
+            )
+        else:
+            self._kv_cache = tfm.KVCache.create(
+                self.c.first_stage_cfg, 2, self.c.first_stage_cfg.block_size,
+                dtype=self._cache_dtype or self._compute_dtype,
+            )
         # lazily-created 3-row buffer for double (speaker+prompt) guidance —
         # without it every tuple-guidance synthesise would allocate and drop
         # a fresh ~1.8 GB cache
@@ -281,10 +329,19 @@ class TTS:
         if rows == 2:
             return self._kv_cache
         if self._kv_cache3 is None:
-            self._kv_cache3 = tfm.KVCache.create(
-                self.c.first_stage_cfg, rows, self.c.first_stage_cfg.block_size,
-                dtype=self._cache_dtype or self._compute_dtype,
-            )
+            if self._tensor_parallel > 1:
+                from metavoice_tpu.parallel import tp_decode as tpd
+
+                self._kv_cache3 = tpd.make_tp_cache(
+                    self.c.first_stage_cfg, self._tp_mesh, rows,
+                    self.c.first_stage_cfg.block_size, data_sharded=False,
+                    dtype=self._cache_dtype or self._compute_dtype,
+                )
+            else:
+                self._kv_cache3 = tfm.KVCache.create(
+                    self.c.first_stage_cfg, rows, self.c.first_stage_cfg.block_size,
+                    dtype=self._cache_dtype or self._compute_dtype,
+                )
         return self._kv_cache3
 
     # ------------------------------------------------------------------ constructors
@@ -488,6 +545,7 @@ class TTS:
                     kv_cache=self._persistent_kv_cache(g),
                     compute_dtype=self._compute_dtype,
                     cache_dtype=self._cache_dtype,
+                    blocks_fn=self._blocks_fn,
                 )
                 del seq
         # second stage (single shape — it pads to its full context)
@@ -717,6 +775,7 @@ class TTS:
             kv_cache=self._persistent_kv_cache(guidance_scale),
             compute_dtype=self._compute_dtype,
             cache_dtype=self._cache_dtype,
+            blocks_fn=self._blocks_fn,
         )
         return self._tokens_to_wav(text, prompt, seq, spk_emb, k2)
 
@@ -764,6 +823,11 @@ class TTS:
                 prompt_pad_multiple=self.runtime.prompt_pad_multiple,
                 cache_dtype=self._cache_dtype,
                 compute_dtype=self._compute_dtype,
+                blocks_fn=self._blocks_fn,
+                kv_cache=(
+                    self._persistent_kv_cache(guidance_scale)
+                    if self._tensor_parallel > 1 else None
+                ),
             ):
                 k2 = self._next_key()
                 try:
