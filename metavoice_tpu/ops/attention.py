@@ -1041,7 +1041,12 @@ def decode_attention_block_int4(
     s = k_cache.shape[1] * (4 if cache_packed else 1)
     bpad = max(8, b)
     if chunk is None:
-        chunk = _chunk_for(bh, dh)
+        # MVTPU_BLOCK_CHUNK: A/B sweep knob for the cache-stream chunk
+        # length of the per-layer block kernels (the batched quantized-KV
+        # serving path), mirroring MVTPU_STACK_CHUNK on the megakernel
+        import os as _os
+
+        chunk = int(_os.environ.get("MVTPU_BLOCK_CHUNK", _chunk_for(bh, dh)))
     gp = wqkv_sc.shape[1] // 2
     x_pad = jnp.zeros((bpad, d), jnp.bfloat16).at[:b].set(xa.astype(jnp.bfloat16))
     if starts is None:
