@@ -370,7 +370,14 @@ def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
             on_tpu = False
         if "p8" in w:  # int8-in-int32 packed serving format
             n = w["p8"].shape[-1]
-            y2 = qz.matmul_int8_i32_reference(x2, w["p8"], w["sc8"])
+            # Pallas path keeps the weight read int8 (word-streamed at the
+            # wide-dtype DMA ceiling); serves prefill and TP per-shard
+            # decode — single-device decode routes to the megakernel before
+            # reaching here
+            if on_tpu and n % 128 == 0:
+                y2 = qz.matmul_int8_i32(x2, w["p8"], w["sc8"])
+            else:
+                y2 = qz.matmul_int8_i32_reference(x2, w["p8"], w["sc8"])
             y = y2.reshape(*lead, n).astype(x.dtype)
             if b is not None:
                 y = y + b.astype(x.dtype)

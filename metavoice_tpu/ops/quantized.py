@@ -1060,6 +1060,60 @@ def quantize_params_int8_i32(params: dict) -> dict:
     return out
 
 
+def _prefill_int8_kernel(x_ref, xones_ref, pw_ref, sc_ref, o_ref):
+    x = x_ref[:]
+    xsum = jnp.dot(x, xones_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = _int8_word_matmul(x, xsum, pw_ref[:], sc_ref[:])
+
+
+def matmul_int8_i32(
+    x: jax.Array,  # (M, K) activations (any float dtype; computed in bf16)
+    pw: jax.Array,  # (K/4, N) int32 packed (pack_int8_i32)
+    sc: jax.Array,  # (16, N) bf16 (row 0 = s, row 8 = c = -128*s)
+    interpret: bool = False,
+) -> jax.Array:
+    """(M, K) @ packed-int8 (K, N) -> (M, N) f32, M-tiled Pallas kernel.
+
+    The int8 analogue of matmul_int4_i32: keeps the weight HBM read 1-byte-
+    per-element but STREAMED as int32 words at the wide-dtype DMA ceiling,
+    with the +128 bias folded into the single-group affine epilogue
+    (one c = -128*s row; see the packing notes above pack_int8_i32). Serves
+    prefill and the per-shard TP decode path — the decode megakernel has its
+    own fused wfmt="i8" route.
+    """
+    m, k = x.shape
+    n = pw.shape[1]
+    assert pw.shape[0] * 4 == k, (x.shape, pw.shape)
+    tile = next((t for t in (1024, 512, 256, 128) if n % t == 0), None)
+    if tile is None:
+        raise ValueError(f"N={n} not tileable")
+    mt = PREFILL_M_TILE
+    mpad = _round_up(max(m, 8), 8)
+    if mpad % mt != 0 and mpad > mt:
+        mpad = _round_up(mpad, mt)
+    mt = min(mt, mpad)
+    gp = sc.shape[0] // 2  # 8 sublane-pad rows; only row 0 is the real group
+    xp = jnp.zeros((mpad, k), jnp.bfloat16).at[:m].set(x.astype(jnp.bfloat16))
+    xones = group_ones(k, gp, k)  # one group spanning K (column 0)
+    out = pl.pallas_call(
+        _prefill_int8_kernel,
+        grid=(mpad // mt, n // tile),
+        in_specs=[
+            pl.BlockSpec((mt, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, gp), lambda i, j: (0, 0)),
+            pl.BlockSpec((k // 4, tile), lambda i, j: (0, j)),
+            pl.BlockSpec((2 * gp, tile), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((mt, tile), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mpad, n), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, xones, pw, sc)
+    return out[:m]
+
+
 def matmul_int8_i32_reference(x, pw, sc):
     """jnp semantics oracle for the packed-int8 matmul."""
     q = unpack_int8_i32(pw).astype(jnp.float32)

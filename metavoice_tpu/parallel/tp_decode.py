@@ -155,7 +155,8 @@ def build_tp_layers(
     for key in _COLUMN:
         if key not in out:
             continue
-        pad_out = key in ("w1", "w3")  # hidden dim feeds w2's padded K
+        # hidden dim feeds the down-projection's per-shard padded K
+        pad_out = key in ("w1", "w3", "w_fc")
         chunks = jnp.split(out[key], tp, axis=-1)
         qs = [quant(c, pad_out) for c in chunks]
         out[key] = {
@@ -269,9 +270,13 @@ def make_tp_cache(
             shape[-1] = arr.shape[-1] * n_shards
             lane_ax = (DATA_AXIS, TENSOR_AXIS) if data_sharded else TENSOR_AXIS
             sp = P(*(None,) * (arr.ndim - 1), lane_ax)
-        return jax.device_put(
-            jnp.zeros(shape, arr.dtype), NamedSharding(mesh, sp)
-        )
+        # allocate DIRECTLY sharded: an eager jnp.zeros would materialize
+        # the full global cache on device 0 (12.9 GB at batch-16 bf16 — the
+        # repo's measured capacity cliff) before resharding
+        sh = NamedSharding(mesh, sp)
+        return jax.jit(
+            lambda: jnp.zeros(tuple(shape), arr.dtype), out_shardings=sh
+        )()
 
     if local.k_scale is None:
         return tfm.KVCache(

@@ -299,19 +299,20 @@ class TTS:
                 "magnitude slower). Pair it with quantisation_mode='int4' "
                 "for the supported fast path."
             )
-        if self._tensor_parallel > 1:
-            from metavoice_tpu.parallel import tp_decode as tpd
+        if (
+            self._tensor_parallel > 1
+            and self._cache_dtype is not None
+            and jax.default_backend() == "tpu"
+        ):
+            import warnings
 
-            self._kv_cache = tpd.make_tp_cache(
-                self.c.first_stage_cfg, self._tp_mesh, 2,
-                self.c.first_stage_cfg.block_size, data_sharded=False,
-                dtype=self._cache_dtype or self._compute_dtype,
+            warnings.warn(
+                "quantized KV caches under tensor_parallel decode through "
+                "the XLA dequant path (the fused quantized-cache kernels "
+                "are single-device) — expect a large per-step slowdown; "
+                "use the bf16 cache for TP latency serving"
             )
-        else:
-            self._kv_cache = tfm.KVCache.create(
-                self.c.first_stage_cfg, 2, self.c.first_stage_cfg.block_size,
-                dtype=self._cache_dtype or self._compute_dtype,
-            )
+        self._kv_cache = self._create_kv_cache(2)
         # lazily-created 3-row buffer for double (speaker+prompt) guidance —
         # without it every tuple-guidance synthesise would allocate and drop
         # a fresh ~1.8 GB cache
@@ -329,20 +330,23 @@ class TTS:
         if rows == 2:
             return self._kv_cache
         if self._kv_cache3 is None:
-            if self._tensor_parallel > 1:
-                from metavoice_tpu.parallel import tp_decode as tpd
-
-                self._kv_cache3 = tpd.make_tp_cache(
-                    self.c.first_stage_cfg, self._tp_mesh, rows,
-                    self.c.first_stage_cfg.block_size, data_sharded=False,
-                    dtype=self._cache_dtype or self._compute_dtype,
-                )
-            else:
-                self._kv_cache3 = tfm.KVCache.create(
-                    self.c.first_stage_cfg, rows, self.c.first_stage_cfg.block_size,
-                    dtype=self._cache_dtype or self._compute_dtype,
-                )
+            self._kv_cache3 = self._create_kv_cache(rows)
         return self._kv_cache3
+
+    def _create_kv_cache(self, rows: int) -> tfm.KVCache:
+        """Persistent-cache constructor: TP-sharded when tensor_parallel."""
+        if self._tensor_parallel > 1:
+            from metavoice_tpu.parallel import tp_decode as tpd
+
+            return tpd.make_tp_cache(
+                self.c.first_stage_cfg, self._tp_mesh, rows,
+                self.c.first_stage_cfg.block_size, data_sharded=False,
+                dtype=self._cache_dtype or self._compute_dtype,
+            )
+        return tfm.KVCache.create(
+            self.c.first_stage_cfg, rows, self.c.first_stage_cfg.block_size,
+            dtype=self._cache_dtype or self._compute_dtype,
+        )
 
     # ------------------------------------------------------------------ constructors
     @classmethod

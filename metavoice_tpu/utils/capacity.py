@@ -13,6 +13,10 @@ batch 16 (32 CFG rows) the bf16 cache alone is 12.9 GB and cannot fit a
 including scale tables) fits — the capacity cliff bench.py demonstrates on
 chip (scripts/diag_batch16_capacity.py).
 
+Scope: the FIRST-STAGE weights + KV cache — the two terms that scale with
+slot count. The second stage / vocoder add a fixed ~0.3-0.6 GiB bf16 that
+the utilization margin (calibrated on full-stack OOM endpoints) absorbs.
+
 Reference counterpart: none (fam/llm/fast_inference.py simply allocates and
 hopes); the 2x-batch int8-KV lever itself is beyond the reference.
 """
@@ -120,6 +124,9 @@ class MemoryPlan:
     def describe(self) -> str:
         gb = 1024**3
         lines = [
+            "scope: FIRST-STAGE weights + KV cache (the two capacity-scale "
+            "terms; the utilization margin absorbs XLA transients — the "
+            "second stage / vocoder add ~0.3-0.6 GiB bf16 on top)",
             f"weights ({self.quantisation_mode or 'bf16'}): "
             f"{self.weights_bytes / gb:.2f} GiB",
             f"kv cache ({self.kv_cache_dtype or 'bf16'}, "

@@ -8,7 +8,7 @@
 #
 # Pre-req: /tmp/mv_int4_params.npz (scripts/diag_stack_ab.py writes it;
 # saves ~4-10 min of on-chip init+quantize per config).
-set -u
+set -u -o pipefail  # `timeout ... | tail` must surface timeout's 124
 cd "$(dirname "$0")/.."
 OUT=/tmp/kv8_ab_results.txt
 echo "=== kv8 packed A/B $(date -u +%FT%TZ) ===" >> "$OUT"
@@ -26,7 +26,7 @@ run() {  # run <kv_dtype> <batch> <timeout_s> [chunk]
   echo "--- kv=$kvd batch=$b chunk=${chunk:-auto} (timeout ${to}s)" | tee -a "$OUT"
   env MVTPU_KV_DTYPE="$kvd" MVTPU_AB_BATCH="$b" $env_extra \
     timeout "$to" python scripts/diag_kv8_packed_ab.py 2>&1 | tail -6 >> "$OUT"
-  local rc=$?
+  local rc=${PIPESTATUS[0]}
   [ $rc -eq 124 ] && echo "TIMED OUT (compile stall?)" >> "$OUT"
   return $rc
 }

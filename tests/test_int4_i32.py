@@ -399,3 +399,32 @@ def test_chunkv2_bit_identical_to_base_loop(monkeypatch):
     assert len(base) == len(v2)
     for x, y in zip(base, v2):
         assert np.array_equal(x, y)
+
+
+def test_matmul_int8_i32_kernel_matches_reference():
+    """Standalone p8 Pallas matmul (prefill + TP per-shard decode path)
+    == the jnp reference, interpret mode."""
+    key = jax.random.PRNGKey(3)
+    w = jax.random.normal(key, (256, 256), jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(4), (5, 256), jnp.bfloat16)
+    pw, sc = qz.quantize_int8_i32(w)
+    ref = qz.matmul_int8_i32_reference(x, pw, sc)
+    out = qz.matmul_int8_i32(x, pw, sc, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=0.05, rtol=0.05,
+    )
+
+
+def test_matmul_int8_i32_large_m_tiled():
+    """M above the prefill tile exercises the M-grid path."""
+    w = jax.random.normal(jax.random.PRNGKey(5), (128, 384), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(6), (300, 128), jnp.bfloat16)
+    pw, sc = qz.quantize_int8_i32(w)
+    ref = qz.matmul_int8_i32_reference(x, pw, sc)
+    out = qz.matmul_int8_i32(x, pw, sc, interpret=True)
+    # fp-order noise only: s*sum(x*b) (kernel) vs sum(x*(s*b)) (reference)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=0.6, rtol=0.1,
+    )

@@ -92,10 +92,11 @@ def test_tp_dense_decode_matches_single(params, tp):
     np.testing.assert_allclose(out, ref, atol=0.6, rtol=0.2)
 
 
-def test_tp_gelu_bias_decode_matches_single():
+@pytest.mark.parametrize("mode", [None, "int4"])
+def test_tp_gelu_bias_decode_matches_single(mode):
     """GPT-style blocks (gelu + layernorm + biases, the second-stage layer
     recipe) under TP: column bias shards with w_fc, row-parallel biases are
-    added AFTER the psum."""
+    added AFTER the psum; int4 pads the hidden shard for w_fc like w1/w3."""
     cfg = first_stage_config(
         n_layer=2, n_head=4, dim=512, block_size=64, vocab_sizes=(97,),
         intermediate_size=1024, nonlinearity_type="gelu",
@@ -106,17 +107,28 @@ def test_tp_gelu_bias_decode_matches_single():
     idx = jax.random.randint(jax.random.PRNGKey(6), (4, 6), 0, 97)
     spk = jnp.ones((4, 256), jnp.float32)
 
+    p_ref = params if mode is None else qz.quantize_params_int4_i32(params)
+    if mode is not None:
+        p_ref = dict(p_ref)
+        p_ref.pop("lm_head_q", None)
+
     def single(p, i, s, sm, kv, pos):
         return tfm.forward(
             p, cfg, i, spk_emb=s, kv_cache=kv, cache_pos=pos,
             compute_dtype=jnp.bfloat16,
         )
 
-    ref = _run_sequence(single, params, tfm.KVCache.create(cfg, 4), idx, spk)
-    p_tp = tpd.prepare_tp_params(params, cfg, m)
+    ref = _run_sequence(single, p_ref, tfm.KVCache.create(cfg, 4), idx, spk)
+    p_tp = tpd.prepare_tp_params(params, cfg, m, quantisation_mode=mode)
+    if mode is not None:
+        # layout contract: each shard's w_fc column width equals w_proj's
+        # internally padded K (the TPU kernel asserts pw.shape[0]*8 == K)
+        wfc_n = p_tp["layers"]["w_fc"]["pw"].shape[-1] // 2
+        wproj_k = p_tp["layers"]["w_proj"]["pw"].shape[1] * 8 // 2
+        assert wfc_n == wproj_k, (wfc_n, wproj_k)
     fwd = tpd.make_tp_forward_fn(cfg, m)
     out = _run_sequence(fwd, p_tp, tpd.make_tp_cache(cfg, m, 4), idx, spk)
-    np.testing.assert_allclose(out, ref, atol=0.2, rtol=0.1)
+    np.testing.assert_allclose(out, ref, atol=0.25, rtol=0.1)
 
 
 @pytest.mark.parametrize("mode,quantize_single", [
