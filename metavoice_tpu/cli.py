@@ -133,21 +133,41 @@ def cmd_serve(argv: list[str]) -> int:
         help="enable continuous batching with this max batch size",
     )
     ap.add_argument("--no_warmup", action="store_true", help="skip precompilation")
+    ap.add_argument(
+        "--replicas",
+        type=int,
+        default=1,
+        help="data-parallel replicas: one full model + batching engine per "
+        "device, requests routed least-loaded (runtime/replicas.py) — the "
+        "multi-chip throughput-serving shape; implies batching",
+    )
     args = ap.parse_args(argv)
 
     from http.server import ThreadingHTTPServer
 
     from metavoice_tpu.runtime.server import ServingConfig, make_handler
 
-    tts = _build_tts(args)
-    if not args.no_warmup:
-        print("warming up (precompiling hot programs)...")
-        tts.warmup()
-    engine = None
-    if args.batching > 0:
-        from metavoice_tpu.runtime.engine import BatchingEngine
+    if args.replicas > 1:
+        from metavoice_tpu.runtime.replicas import ReplicaPool
 
-        engine = BatchingEngine(tts, max_batch=args.batching)
+        print(f"building {args.replicas} data-parallel replicas...")
+        engine = ReplicaPool(
+            lambda i: _build_tts(args),
+            n_replicas=args.replicas,
+            warmup=not args.no_warmup,
+            slots=args.batching if args.batching > 0 else 8,
+        )
+        tts = engine.engines[0].tts
+    else:
+        tts = _build_tts(args)
+        if not args.no_warmup:
+            print("warming up (precompiling hot programs)...")
+            tts.warmup()
+        engine = None
+        if args.batching > 0:
+            from metavoice_tpu.runtime.engine import BatchingEngine
+
+            engine = BatchingEngine(tts, max_batch=args.batching)
     cfg = ServingConfig(host=args.host, port=args.port)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(tts, cfg, engine))
     print(f"serving on {cfg.host}:{cfg.port}")

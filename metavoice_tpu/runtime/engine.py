@@ -184,6 +184,15 @@ class ContinuousBatchingEngine:
         self._thread.start()
 
     # ------------------------------------------------------------------ API
+    @property
+    def load(self) -> int:
+        """Queued + in-flight request count (replica-pool dispatch signal).
+
+        Racy by design — a point-in-time scheduling hint, not an invariant.
+        """
+        busy = sum(1 for s in self._slots if not s.free)
+        return self._queue.qsize() + len(self._deferred) + busy
+
     def submit(self, text: str, spk_ref_path: str, *, stream: bool = False, **sampling):
         from metavoice_tpu.core.text import normalize_text
         from metavoice_tpu.utils.audio_io import get_cached_file
