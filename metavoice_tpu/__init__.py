@@ -51,4 +51,8 @@ def __getattr__(name):
         from metavoice_tpu.tokenizer import TrainedBPETokeniser
 
         return TrainedBPETokeniser
+    if name == "ReplicaPool":
+        from metavoice_tpu.runtime.replicas import ReplicaPool
+
+        return ReplicaPool
     raise AttributeError(f"module 'metavoice_tpu' has no attribute {name!r}")

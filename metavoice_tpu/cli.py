@@ -127,10 +127,12 @@ def cmd_serve(argv: list[str]) -> int:
     ap.add_argument("--port", type=int, default=58003)
     ap.add_argument(
         "--batching",
-        type=int,
-        default=0,
+        type=str,
+        default="0",
         metavar="MAX_BATCH",
-        help="enable continuous batching with this max batch size",
+        help="enable continuous batching with this max batch size; 'auto' "
+        "sizes the slot pool from the exact HBM capacity plan "
+        "(utils/capacity.py) for the loaded quantisation + KV cache config",
     )
     ap.add_argument("--no_warmup", action="store_true", help="skip precompilation")
     ap.add_argument(
@@ -151,11 +153,15 @@ def cmd_serve(argv: list[str]) -> int:
         from metavoice_tpu.runtime.replicas import ReplicaPool
 
         print(f"building {args.replicas} data-parallel replicas...")
+        _slots = (
+            "auto" if args.batching == "auto"
+            else int(args.batching) if int(args.batching) > 0 else 8
+        )
         engine = ReplicaPool(
             lambda i: _build_tts(args),
             n_replicas=args.replicas,
             warmup=not args.no_warmup,
-            slots=args.batching if args.batching > 0 else 8,
+            slots=_slots,
         )
         tts = engine.engines[0].tts
     else:
@@ -164,10 +170,15 @@ def cmd_serve(argv: list[str]) -> int:
             print("warming up (precompiling hot programs)...")
             tts.warmup()
         engine = None
-        if args.batching > 0:
+        if args.batching == "auto":
+            from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+
+            engine = ContinuousBatchingEngine(tts, slots="auto")
+            print(f"auto-sized batching engine: {engine.n_slots} slots")
+        elif int(args.batching) > 0:
             from metavoice_tpu.runtime.engine import BatchingEngine
 
-            engine = BatchingEngine(tts, max_batch=args.batching)
+            engine = BatchingEngine(tts, max_batch=int(args.batching))
     cfg = ServingConfig(host=args.host, port=args.port)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(tts, cfg, engine))
     print(f"serving on {cfg.host}:{cfg.port}")

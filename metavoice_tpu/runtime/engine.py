@@ -119,12 +119,14 @@ class ContinuousBatchingEngine:
     def __init__(
         self,
         tts,
-        slots: int = 8,
+        slots: int | str = 8,
         segment_tokens: int = 64,
         pad_multiple: int = 128,
         min_decode_budget: int = 64,
         rebase_margin: int | None = None,
     ):
+        if slots == "auto":
+            slots = self._auto_slots(tts)
         if segment_tokens % 2 != 0:
             raise ValueError("segment_tokens must be even (whole frames)")
         if getattr(tts, "_tensor_parallel", 1) > 1:
@@ -182,6 +184,38 @@ class ContinuousBatchingEngine:
         self._running = True
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    @staticmethod
+    def _auto_slots(tts, cap_at: int = 32) -> int:
+        """Size the slot pool from the exact HBM plan (utils/capacity.py).
+
+        Detects the weight quantisation from the loaded param leaves and the
+        cache dtype from the TTS runtime, then takes the largest slot count
+        whose weights+cache plan fits the chip — capped at ``cap_at`` (2x the
+        measured batch-16 sweet spot; beyond it the chunk loop's per-row
+        overhead, not memory, is the binding constraint).
+        """
+        import jax.numpy as _jnp
+
+        from metavoice_tpu.utils import capacity as cap
+
+        qmode = None
+        for v in tts.c.first_stage_params.get("layers", {}).values():
+            if isinstance(v, dict):
+                if "pw" in v:
+                    qmode = "int4"
+                elif "p8" in v:
+                    qmode = "int8"
+                elif "q" in v and "zeros" not in v:
+                    qmode = "int8_plain"
+                break
+        kvd = tts._cache_dtype
+        kvd = "int8" if kvd == _jnp.int8 else kvd  # "int8_packed" | None pass through
+        n = cap.max_slots(
+            tts.c.first_stage_cfg, quantisation_mode=qmode, kv_cache_dtype=kvd,
+            limit=cap_at,
+        )
+        return max(1, n)
 
     # ------------------------------------------------------------------ API
     @property

@@ -87,3 +87,21 @@ def test_cli_capacity_runs(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "fits: True" in out and "max slots" in out
+
+
+def test_engine_auto_slots(tmp_path):
+    """slots='auto' sizes the pool from the capacity plan of the LOADED
+    config (small dev model -> memory-unconstrained -> the 32-slot cap)."""
+    import jax
+
+    from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+    from metavoice_tpu.runtime.tts import TTS
+
+    tts = TTS.from_random(
+        jax.random.PRNGKey(0), small=True, output_dir=str(tmp_path)
+    )
+    eng = ContinuousBatchingEngine(tts, slots="auto")
+    try:
+        assert eng.n_slots == 32  # tiny model: capped, not memory-bound
+    finally:
+        eng.shutdown()
