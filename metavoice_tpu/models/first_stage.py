@@ -22,6 +22,7 @@ README.md:98).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -198,6 +199,7 @@ def _decode_fn(
     prompt_guidance_scale: jax.Array | float = 1.0,
     end_of_text_token: jax.Array | int = 0,
     blocks_fn=None,
+    decode_steps: int = 1,
 ) -> tuple[jax.Array, jax.Array, tfm.KVCache]:
     """Run the full decode loop on device. Returns (tokens (B, max_steps),
     lengths (B,), cache). ``tokens[b, :lengths[b]]`` are valid and include
@@ -233,7 +235,7 @@ def _decode_fn(
             & (s.pos < block_size)
         )
 
-    def body(s: DecodeState) -> DecodeState:
+    def one_step(s: DecodeState) -> DecodeState:
         key, sub = jax.random.split(s.key)
         idx2 = _cfg_rows(s.cur_token, cfg_rows)[:, None]  # (cfg_rows*B, 1)
         if cfg_rows == 3:
@@ -282,6 +284,19 @@ def _decode_fn(
             out_len=out_len,
         )
 
+    # decode_steps > 1 (perf experiment): run N sequential steps per
+    # while_loop iteration to amortize the loop's per-iteration mechanics
+    # (the measured 562 -> ~680 tok/s residual is loop bookkeeping, not
+    # kernel time — CLAUDE.md round-3 facts). Steps after the first run
+    # under a lax.cond replicating the loop condition, so the emitted
+    # tokens are BIT-IDENTICAL to the 1-step loop (the key chain, cache
+    # writes and EOA latching are all inside one_step).
+    def body(s: DecodeState) -> DecodeState:
+        s = one_step(s)
+        for _ in range(decode_steps - 1):
+            s = jax.lax.cond(cond(s), one_step, lambda x: x, s)
+        return s
+
     final = jax.lax.while_loop(cond, body, state)
     return final.out_buf, final.out_len, final.kv
 
@@ -290,7 +305,7 @@ decode = jax.jit(
     _decode_fn,
     static_argnames=(
         "cfg", "max_steps", "end_of_audio_token", "compute_dtype", "cfg_rows",
-        "blocks_fn",
+        "blocks_fn", "decode_steps",
     ),
 )
 
@@ -327,6 +342,7 @@ def generate(
     compute_dtype=jnp.bfloat16,
     cache_dtype=None,
     blocks_fn=None,
+    decode_steps: int | None = None,
 ):
     """Host-facing single-utterance generation (batch 1).
 
@@ -409,6 +425,10 @@ def generate(
         prompt_guidance,
         eot,
         blocks_fn=blocks_fn,
+        # loop-mechanics experiment knob; env default so bench/diag runs can
+        # sweep it without API plumbing
+        decode_steps=decode_steps
+        or int(os.environ.get("MVTPU_DECODE_STEPS", "1")),
     )
 
     # single fused host transfer: [first, n, tokens...] (each np.asarray is
