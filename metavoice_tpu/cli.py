@@ -144,6 +144,11 @@ def cmd_serve(argv: list[str]) -> int:
         "multi-chip throughput-serving shape; implies batching",
     )
     args = ap.parse_args(argv)
+    if args.batching != "auto":
+        try:
+            args.batching = int(args.batching)
+        except ValueError:
+            ap.error("--batching must be an integer or 'auto'")
 
     from http.server import ThreadingHTTPServer
 
@@ -155,7 +160,7 @@ def cmd_serve(argv: list[str]) -> int:
         print(f"building {args.replicas} data-parallel replicas...")
         _slots = (
             "auto" if args.batching == "auto"
-            else int(args.batching) if int(args.batching) > 0 else 8
+            else args.batching if args.batching > 0 else 8
         )
         engine = ReplicaPool(
             lambda i: _build_tts(args),
@@ -175,10 +180,10 @@ def cmd_serve(argv: list[str]) -> int:
 
             engine = ContinuousBatchingEngine(tts, slots="auto")
             print(f"auto-sized batching engine: {engine.n_slots} slots")
-        elif int(args.batching) > 0:
+        elif args.batching > 0:
             from metavoice_tpu.runtime.engine import BatchingEngine
 
-            engine = BatchingEngine(tts, max_batch=int(args.batching))
+            engine = BatchingEngine(tts, max_batch=args.batching)
     cfg = ServingConfig(host=args.host, port=args.port)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(tts, cfg, engine))
     print(f"serving on {cfg.host}:{cfg.port}")

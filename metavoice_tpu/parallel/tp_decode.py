@@ -162,6 +162,14 @@ def build_tp_layers(
         out[key] = {
             k: jnp.concatenate([q[k] for q in qs], axis=-1) for k in qs[0]
         }
+    if quantisation_mode == "int4" and "w_fc_b" in out:
+        # the column bias must match w_fc's PER-SHARD padded width (pad
+        # hidden units are zero-activation, so a zero bias keeps them inert)
+        bchunks = [
+            _pad_cols(c, 8 * qz.I32_GROUPSIZE)
+            for c in jnp.split(out["w_fc_b"], tp, axis=-1)
+        ]
+        out["w_fc_b"] = jnp.concatenate(bchunks, axis=-1)
     for key in _ROW:
         if key not in out:
             continue

@@ -195,8 +195,6 @@ class ContinuousBatchingEngine:
         measured batch-16 sweet spot; beyond it the chunk loop's per-row
         overhead, not memory, is the binding constraint).
         """
-        import jax.numpy as _jnp
-
         from metavoice_tpu.utils import capacity as cap
 
         qmode = None
@@ -210,7 +208,7 @@ class ContinuousBatchingEngine:
                     qmode = "int8_plain"
                 break
         kvd = tts._cache_dtype
-        kvd = "int8" if kvd == _jnp.int8 else kvd  # "int8_packed" | None pass through
+        kvd = "int8" if kvd == jnp.int8 else kvd  # "int8_packed" | None pass through
         n = cap.max_slots(
             tts.c.first_stage_cfg, quantisation_mode=qmode, kv_cache_dtype=kvd,
             limit=cap_at,

@@ -27,6 +27,32 @@ import jax
 from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
 
 
+def _commit_tts_to_device(tts, dev) -> None:
+    """device_put-COMMIT a TTS instance's model state to one device.
+
+    Committed inputs pin every jit execution that consumes them, regardless
+    of which thread dispatches (the engine worker runs outside any
+    ``jax.default_device`` scope).
+    """
+
+    def commit(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, dev) if isinstance(x, jax.Array) else x,
+            tree,
+        )
+
+    c = tts.c
+    c.first_stage_params = commit(c.first_stage_params)
+    c.second_stage_params = commit(c.second_stage_params)
+    c.spk_params = commit(c.spk_params)
+    c.encodec_params = commit(c.encodec_params)
+    if c.mbd_params is not None:
+        c.mbd_params = commit(c.mbd_params)
+    tts._kv_cache = commit(tts._kv_cache)
+    if tts._kv_cache3 is not None:
+        tts._kv_cache3 = commit(tts._kv_cache3)
+
+
 class ReplicaPool:
     """N independent (TTS, engine) replicas behind one submit queue.
 
@@ -48,16 +74,32 @@ class ReplicaPool:
         n = n_replicas or len(devices)
         if n < 1:
             raise ValueError(f"need >= 1 replica, got {n}")
+        if n > len(devices):
+            # silently stacking several full replicas (weights + cache) on
+            # one chip OOMs at production sizes and scales nothing
+            raise ValueError(
+                f"{n} replicas > {len(devices)} devices — one full model + "
+                "engine per device is the contract; raise device count or "
+                "lower --replicas"
+            )
         self.engines: list[ContinuousBatchingEngine] = []
         self.devices = []
         self._submitted = []
         for i in range(n):
-            dev = devices[i % len(devices)]
+            dev = devices[i]
             with jax.default_device(dev):
                 tts = build_tts(i)
+                # jax.default_device only scopes THIS thread's dispatches:
+                # arrays it places are UNCOMMITTED, and the engine worker
+                # thread runs outside the scope — without an explicit
+                # device_put commit, every replica's decode migrates to
+                # device 0 on first use (verified on the CPU mesh). Commit
+                # all model state so jit executions follow it to `dev`.
+                _commit_tts_to_device(tts, dev)
                 if warmup:
                     tts.warmup()
                 eng = ContinuousBatchingEngine(tts, **engine_kwargs)
+                eng._kv = jax.device_put(eng._kv, dev)
             self.engines.append(eng)
             self.devices.append(dev)
             self._submitted.append(0)

@@ -60,6 +60,13 @@ def test_pool_serves_concurrent_requests_across_replicas(pool, ref_wav):
     # least-loaded dispatch spread the burst over both replicas
     assert stats["replica_0_submitted"] >= 1
     assert stats["replica_1_submitted"] >= 1
+    # pinning HOLDS after execution: uncommitted arrays would have migrated
+    # to device 0 the moment the worker thread (outside any default_device
+    # scope) dispatched with them
+    for i, eng in enumerate(pool.engines):
+        assert eng._kv.k.devices() == {pool.devices[i]}
+        w = eng.tts.c.first_stage_params["layers"]["wqkv"]
+        assert w.devices() == {pool.devices[i]}
 
 
 def test_pool_streaming_passthrough(pool, ref_wav):

@@ -131,6 +131,39 @@ def test_tp_gelu_bias_decode_matches_single(mode):
     np.testing.assert_allclose(out, ref, atol=0.25, rtol=0.1)
 
 
+def test_tp_gelu_int4_shard_padding_fires():
+    """int4 gelu TP where the per-shard hidden width is NOT already
+    8*groupsize-aligned: dim=256 -> hidden 4*256=1024, tp=4 -> 256/shard ->
+    padded to 1024. Pins that w_fc AND its bias pad together (an unpadded
+    bias broadcast-crashes in _linear) and that the padded path still
+    matches the single-device int4 forward."""
+    cfg = first_stage_config(
+        n_layer=1, n_head=4, dim=256, block_size=32, vocab_sizes=(97,),
+        nonlinearity_type="gelu", norm_type="layernorm", bias=True,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    m = pmesh.make_mesh(8, tensor_parallel=4)  # data=2
+    p_tp = tpd.prepare_tp_params(params, cfg, m, quantisation_mode="int4")
+    pad_w = 8 * qz.I32_GROUPSIZE  # 1024 per shard
+    assert p_tp["layers"]["w_fc"]["pw"].shape[-1] == 4 * pad_w
+    assert p_tp["layers"]["w_fc_b"].shape[-1] == 4 * pad_w
+
+    idx = jax.random.randint(jax.random.PRNGKey(8), (2, 5), 0, 97)
+    spk = jnp.ones((2, 256), jnp.float32)
+    p_q = qz.quantize_params_int4_i32(params)
+    p_q.pop("lm_head_q", None)
+    ref = _run_sequence(
+        lambda p, i, s, sm, kv, pos: tfm.forward(
+            p, cfg, i, spk_emb=s, kv_cache=kv, cache_pos=pos,
+            compute_dtype=jnp.bfloat16,
+        ),
+        p_q, tfm.KVCache.create(cfg, 2), idx, spk,
+    )
+    fwd = tpd.make_tp_forward_fn(cfg, m)
+    out = _run_sequence(fwd, p_tp, tpd.make_tp_cache(cfg, m, 2), idx, spk)
+    np.testing.assert_allclose(out, ref, atol=0.25, rtol=0.1)
+
+
 @pytest.mark.parametrize("mode,quantize_single", [
     ("int4", qz.quantize_params_int4_i32),
     ("int8", qz.quantize_params_int8_i32),
