@@ -296,9 +296,16 @@ class ContinuousBatchingEngine:
                 # not be reused. The worker thread itself must survive.
                 for i in self._actives():
                     self._fail(i, e)
-                self._kv = tfm.KVCache.create(
-                    self._cfg, 2 * self.n_slots, self._block,
-                    dtype=self._cache_dtype,
+                # rebuild ON THE SAME DEVICE: replica engines hold a
+                # device_put-committed cache (runtime/replicas.py) and an
+                # uncommitted rebuild would drift to device 0
+                dev = next(iter(self._kv.k.devices()))
+                self._kv = jax.device_put(
+                    tfm.KVCache.create(
+                        self._cfg, 2 * self.n_slots, self._block,
+                        dtype=self._cache_dtype,
+                    ),
+                    dev,
                 )
                 self._pos = 0
             if not self._running:

@@ -79,3 +79,29 @@ def test_pool_streaming_passthrough(pool, ref_wav):
 def test_pool_stats_shape(pool):
     s = pool.stats
     assert "rebases" in s and "replica_0_load" in s and "replica_1_load" in s
+
+
+def test_replica_error_recovery_keeps_pinning(pool, ref_wav):
+    """A worker-loop failure fails the in-flight request, the engine
+    self-heals, and the REBUILT cache stays committed to the replica's
+    device (an uncommitted rebuild would drift to device 0)."""
+    eng = pool.engines[1]
+    orig = eng._step_segment
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        raise RuntimeError("injected decode failure")
+
+    eng._step_segment = boom
+    try:
+        fut = eng.submit("This request fails.", ref_wav)
+        with pytest.raises(RuntimeError, match="injected"):
+            fut.result(timeout=300)
+    finally:
+        eng._step_segment = orig
+    assert calls["n"] >= 1
+    assert eng._kv.k.devices() == {pool.devices[1]}
+    # and the engine still serves afterwards
+    ok = eng.submit("Back to life.", ref_wav).result(timeout=600)
+    assert isinstance(ok, str)
