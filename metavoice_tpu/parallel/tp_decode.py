@@ -390,6 +390,58 @@ def make_tp_forward_fn(cfg: TransformerConfig, mesh: Mesh):
     return jax.jit(fwd, static_argnames=())
 
 
+def make_tp_forward_nocache_fn(cfg: TransformerConfig, mesh: Mesh):
+    """Non-cached TP forward: the non-causal second stage's block shape.
+
+    Returns ``fn(params_tp, idx, spk_emb, kv=None) -> logits list`` running
+    the uncached block stack (the all-timesteps path, cfg.causal=False)
+    under shard_map with local heads and per-layer psums, batch over the
+    data axis. The ~10M second stage does not NEED TP for speed; this
+    exists so every pipeline stage is shardable under the same layout
+    contract (multi-hierarchy wtes and lm_heads stay replicated).
+    """
+    tp = mesh.shape[TENSOR_AXIS]
+    lcfg = local_view(cfg, tp)
+
+    def blocks(blk, x, mask):
+        xo, _ = tfm.apply_blocks(
+            blk, lcfg, x, mask, None, None, tp_axis=TENSOR_AXIS
+        )
+        return xo
+
+    def fwd(params, idx, spk_emb):
+        t = idx.shape[-1]
+        positions = jnp.arange(t)
+        x = tfm.embed_inputs(
+            params, cfg, idx, positions, spk_emb, None, jnp.bfloat16
+        )
+        mask = (
+            None
+            if not cfg.causal
+            else tfm.causal_mask_for(positions, t)[None, None]
+        )
+        blk, blk_specs = _blk_subtree(params)
+        in_specs = (blk_specs, P(DATA_AXIS, None, None))
+        args = (blk, x)
+        if mask is not None:
+            in_specs = in_specs + (P(None, None, None, None),)
+            args = args + (mask,)
+            body = blocks
+        else:
+            def body(blk, x):  # shard_map rejects None operands
+                return blocks(blk, x, None)
+        x = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P(DATA_AXIS, None, None),
+            check_vma=False,
+        )(*args)
+        return tfm.output_logits(params, cfg, x)
+
+    return jax.jit(fwd)
+
+
 def make_tp_blocks_fn(cfg: TransformerConfig, mesh: Mesh):
     """Block-stack hook for models/first_stage.prefill/decode (blocks_fn=).
 
@@ -454,6 +506,7 @@ def tp_generate(
 
 __all__ = [
     "local_view",
+    "make_tp_forward_nocache_fn",
     "permute_qkv_cols",
     "build_tp_layers",
     "layer_specs",

@@ -192,6 +192,32 @@ def test_tp_quantized_decode_matches_single(params, mode, quantize_single):
     np.testing.assert_allclose(out, ref, atol=0.2, rtol=0.1)
 
 
+def test_tp_second_stage_forward_matches_single():
+    """The non-causal second stage (multi-hierarchy wtes, per-codebook
+    lm_heads, gelu+layernorm+bias, NO cache) runs under the same TP layout
+    and matches the single-device forward — every pipeline stage shardable."""
+    from metavoice_tpu.core.config import second_stage_config
+
+    cfg = second_stage_config(n_layer=2, block_size=64)
+    params = tfm.init_params(jax.random.PRNGKey(12), cfg, dtype=jnp.float32)
+    m = pmesh.make_mesh(8, tensor_parallel=2)
+    idx = jax.random.randint(jax.random.PRNGKey(13), (4, 2, 12), 0, 1000)
+    spk = jnp.ones((4, 256), jnp.float32)
+
+    ref, _ = tfm.forward(
+        params, cfg, idx, spk_emb=spk, compute_dtype=jnp.bfloat16
+    )
+    p_tp = tpd.prepare_tp_params(params, cfg, m)
+    fwd = tpd.make_tp_forward_nocache_fn(cfg, m)
+    out = fwd(p_tp, idx, spk)
+    assert len(out) == len(cfg.target_vocab_sizes)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(r, np.float32),
+            atol=0.25, rtol=0.1,
+        )
+
+
 def test_qkv_permutation_gives_contiguous_heads(params):
     """Device i's wqkv column block must be [q_i | k_i | v_i] — the naive
     natural split would mix q of one device with k of another."""
