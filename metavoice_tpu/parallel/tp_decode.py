@@ -393,7 +393,7 @@ def make_tp_forward_fn(cfg: TransformerConfig, mesh: Mesh):
 def make_tp_forward_nocache_fn(cfg: TransformerConfig, mesh: Mesh):
     """Non-cached TP forward: the non-causal second stage's block shape.
 
-    Returns ``fn(params_tp, idx, spk_emb, kv=None) -> logits list`` running
+    Returns ``fn(params_tp, idx, spk_emb) -> logits list`` running
     the uncached block stack (the all-timesteps path, cfg.causal=False)
     under shard_map with local heads and per-layer psums, batch over the
     data axis. The ~10M second stage does not NEED TP for speed; this

@@ -298,15 +298,20 @@ class ContinuousBatchingEngine:
                     self._fail(i, e)
                 # rebuild ON THE SAME DEVICE: replica engines hold a
                 # device_put-committed cache (runtime/replicas.py) and an
-                # uncommitted rebuild would drift to device 0
-                dev = next(iter(self._kv.k.devices()))
-                self._kv = jax.device_put(
-                    tfm.KVCache.create(
+                # uncommitted rebuild would drift to device 0. Read the
+                # device via .sharding — .devices() raises on a cache the
+                # failed call already DONATED (deleted buffers), which
+                # would kill this worker inside its own recovery handler.
+                # Create under default_device(dev) so the zeros never
+                # transit device 0 (a transient full-cache double
+                # allocation there could OOM the healthy replica).
+                dev = next(iter(self._kv.k.sharding.device_set))
+                with jax.default_device(dev):
+                    fresh = tfm.KVCache.create(
                         self._cfg, 2 * self.n_slots, self._block,
                         dtype=self._cache_dtype,
-                    ),
-                    dev,
-                )
+                    )
+                self._kv = jax.device_put(fresh, dev)
                 self._pos = 0
             if not self._running:
                 return

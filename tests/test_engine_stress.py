@@ -84,8 +84,12 @@ def test_engine_mixed_traffic_soak(tmp_path, ref_wav):
     assert len(results) == 16
     failures = [r for r in results if isinstance(r[3], Exception)]
     assert not failures, failures
+    # EVERY non-abandoned request must succeed (a count threshold would
+    # both flake on abandon-heavy draws and tolerate silent bad outputs)
+    bad = [r for r in results if r[3] is False]
+    assert not bad, bad
     completed = [r for r in results if r[3] is True]
-    assert len(completed) >= 8  # the non-abandoned majority all succeeded
+    assert len(completed) >= 1
 
     # the engine survived the churn and still serves
     final = eng.submit("still alive.", ref_wav, max_new_tokens=16).result(timeout=600)

@@ -101,7 +101,9 @@ def test_replica_error_recovery_keeps_pinning(pool, ref_wav):
     finally:
         eng._step_segment = orig
     assert calls["n"] >= 1
-    assert eng._kv.k.devices() == {pool.devices[1]}
-    # and the engine still serves afterwards
+    # and the engine still serves afterwards; assert pinning only AFTER a
+    # successful request — the future fails BEFORE the rebuild, so checking
+    # earlier can read the pre-failure cache and pass vacuously
     ok = eng.submit("Back to life.", ref_wav).result(timeout=600)
     assert isinstance(ok, str)
+    assert eng._kv.k.devices() == {pool.devices[1]}
