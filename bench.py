@@ -419,8 +419,22 @@ def main():
         wall = time.perf_counter() - t0
         dur = aio.duration_s(out_path)
         chunked_rtf = wall / max(dur, 1e-6)
-        log(f"chunked long-text (warm, 256 tok/chunk): {wall:.2f}s wall for {dur:.2f}s audio -> RTF {chunked_rtf:.3f}")
+        # wall/audio is only meaningful with trained weights: random weights
+        # yield degenerate short audio per chunk, so also normalize by the
+        # token budget actually decoded (150 first-stage tok/s of audio:
+        # 75 Hz EnCodec frames x 2 hierarchies) — the trained-weights
+        # equivalent where every chunk fills its 256-token budget.
+        from metavoice_tpu.core.text import chunk_text as _ct
+        chunked_n = len(_ct(long_text) or [""])
+        chunked_wall = wall
+        chunked_rtf_tok = wall / (chunked_n * 256 / 150.0)
+        log(
+            f"chunked long-text (warm, {chunked_n} chunks x 256 tok): "
+            f"{wall:.2f}s wall for {dur:.2f}s audio -> raw RTF {chunked_rtf:.3f}, "
+            f"token-normalized RTF {chunked_rtf_tok:.3f}"
+        )
     except Exception as e:
+        chunked_n = chunked_wall = chunked_rtf_tok = None
         log(f"chunked RTF measurement skipped: {e}")
 
     # ---- continuous-batching serving latency under Poisson arrivals
@@ -492,6 +506,13 @@ def main():
         "ttfa_note": "p50 of 5 runs, time to first synthesise_streaming segment (40-token first segment), cached speaker emb",
         "ttfa_cold_s": round(ttfa_cold, 3) if ttfa_cold else None,
         "chunked_rtf": round(chunked_rtf, 3) if chunked_rtf else None,
+        "chunked_rtf_token_norm": round(chunked_rtf_tok, 3) if chunked_rtf_tok else None,
+        "chunked_note": (
+            f"{chunked_n} chunks x 256 tok; raw RTF divides by the degenerate "
+            "random-weight audio duration — token_norm divides by the decoded "
+            "token budget at 150 tok/s of audio (trained-weights equivalent)"
+            if chunked_rtf_tok else None
+        ),
         "engine_poisson_p50_s": round(eng_p50, 2) if eng_p50 else None,
         "engine_poisson_p95_s": round(eng_p95, 2) if eng_p95 else None,
         "engine_aggregate_serving_rtf": round(eng_agg_rtf, 3) if eng_agg_rtf else None,
