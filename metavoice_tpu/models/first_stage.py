@@ -386,23 +386,27 @@ def generate(
     prompt_guidance = jnp.asarray(prompt_g, jnp.float32)
     eot = jnp.asarray(end_of_text_token, jnp.int32)
 
-    first_token, kv_cache = prefill(
-        params,
-        cfg,
-        jnp.asarray(padded)[None, :],
-        jnp.asarray(t_true, jnp.int32),
-        spk_emb,
-        kv_cache,
-        key_prefill,
-        temperature,
-        top_p_a,
-        guidance,
-        compute_dtype=compute_dtype,
-        cfg_rows=cfg_rows,
-        prompt_guidance_scale=prompt_guidance,
-        end_of_text_token=eot,
-        blocks_fn=blocks_fn,
-    )
+    from metavoice_tpu.utils import phases
+
+    with phases.phase("fs.prefill"):
+        first_token, kv_cache = prefill(
+            params,
+            cfg,
+            jnp.asarray(padded)[None, :],
+            jnp.asarray(t_true, jnp.int32),
+            spk_emb,
+            kv_cache,
+            key_prefill,
+            temperature,
+            top_p_a,
+            guidance,
+            compute_dtype=compute_dtype,
+            cfg_rows=cfg_rows,
+            prompt_guidance_scale=prompt_guidance,
+            end_of_text_token=eot,
+            blocks_fn=blocks_fn,
+        )
+        phases.sync(first_token)
 
     # decode buffer is statically sized by the block; dynamic caps bound the loop
     buf_steps = cfg.block_size
@@ -433,13 +437,14 @@ def generate(
 
     # single fused host transfer: [first, n, tokens...] (each np.asarray is
     # its own dispatch round-trip on the tunneled backend)
-    fetch = np.asarray(
-        jnp.concatenate([
-            first_token.reshape(-1).astype(jnp.int32),
-            out_len.reshape(-1).astype(jnp.int32),
-            out_buf[0].astype(jnp.int32),
-        ])
-    )
+    with phases.phase("fs.decode"):
+        fetch = np.asarray(
+            jnp.concatenate([
+                first_token.reshape(-1).astype(jnp.int32),
+                out_len.reshape(-1).astype(jnp.int32),
+                out_buf[0].astype(jnp.int32),
+            ])
+        )
     n = int(fetch[1])
     return np.concatenate(
         [np.asarray(prompt_tokens, np.int32), fetch[:1], fetch[2 : 2 + n]]

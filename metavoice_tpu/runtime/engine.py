@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -42,6 +43,7 @@ import numpy as np
 from metavoice_tpu.core import tokens as T
 from metavoice_tpu.models import first_stage as fs
 from metavoice_tpu.models import transformer as tfm
+from metavoice_tpu.utils import phases
 
 
 class StreamHandle:
@@ -178,8 +180,13 @@ class ContinuousBatchingEngine:
         self._key = jax.random.PRNGKey(tts.runtime.seed + 1)
         self._queue: "queue.Queue[SynthesisRequest | None]" = queue.Queue()
         self._deferred: list[SynthesisRequest] = []
-        # scheduling observability (read by /metrics and the serving bench)
-        self.stats = {"rebases": 0, "reclaimed_positions": 0, "truncations": 0}
+        # scheduling observability (read by /metrics and the serving bench):
+        # segments/row_tokens expose slot occupancy (row_tokens / (segments *
+        # n_slots * segment_tokens) = fraction of decoded rows doing real work)
+        self.stats = {
+            "rebases": 0, "reclaimed_positions": 0, "truncations": 0,
+            "segments": 0, "row_tokens": 0, "joins": 0,
+        }
         self._render_pool = ThreadPoolExecutor(max_workers=2)
         self._running = True
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -363,14 +370,15 @@ class ContinuousBatchingEngine:
                 prompts.append([0])
         padded, pad_lens = fs.left_pad_prompts(prompts, bucket)
         self._key, kp = jax.random.split(self._key)
-        first, self._kv = fs.prefill_batch(
-            c.first_stage_params, self._cfg,
-            jnp.asarray(padded), jnp.asarray(pad_lens),
-            jnp.asarray(self._spk), self._kv, kp,
-            jnp.asarray(self._t), jnp.asarray(self._p), jnp.asarray(self._g),
-            compute_dtype=self.tts._compute_dtype,
-        )
-        first = np.asarray(first)
+        with phases.phase("eng.group_prefill"):
+            first, self._kv = fs.prefill_batch(
+                c.first_stage_params, self._cfg,
+                jnp.asarray(padded), jnp.asarray(pad_lens),
+                jnp.asarray(self._spk), self._kv, kp,
+                jnp.asarray(self._t), jnp.asarray(self._p), jnp.asarray(self._g),
+                compute_dtype=self.tts._compute_dtype,
+            )
+            first = np.asarray(first)
         self._pos = bucket
         self._pad = np.asarray(pad_lens, np.int32).copy()
         for i in range(self.n_slots):
@@ -404,6 +412,7 @@ class ContinuousBatchingEngine:
             return  # nothing meaningful to reclaim
         sj = jnp.asarray(s, jnp.int32)
         pj = jnp.asarray(self._pos, jnp.int32)
+        _t0 = time.perf_counter() if phases.enabled() else 0.0
         if self._kv.packed:
             # REBASE_ALIGN (128) is a multiple of 4, so the shift moves whole
             # words and every byte lane stays in place (bit-exact, like the
@@ -421,6 +430,9 @@ class ContinuousBatchingEngine:
             k, v = fs.shift_cache_left(self._kv.k, self._kv.v, sj, pj)
             ks = vs = None
         self._kv = tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
+        if phases.enabled():
+            phases.sync(self._kv.k)
+            phases.add("eng.rebase", time.perf_counter() - _t0)
         self._pos -= s
         self._pad = np.maximum(self._pad - s, 0)
         self.stats["rebases"] += 1
@@ -449,6 +461,11 @@ class ContinuousBatchingEngine:
 
     def _join(self, slot: int, req: SynthesisRequest, bucket: int):
         """Prefill into a temp cache, then land the rows at [P-bucket, P)."""
+        with phases.phase("eng.join"):
+            self._join_inner(slot, req, bucket)
+        self.stats["joins"] += 1
+
+    def _join_inner(self, slot: int, req: SynthesisRequest, bucket: int):
         c = self.tts.c
         quantized = self._kv.quantized
         # the slot's sampling params must be the JOINER's before its first
@@ -495,6 +512,7 @@ class ContinuousBatchingEngine:
             else:
                 ks = vs = None
         self._kv = tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
+        phases.sync(self._kv.k)  # attribute the merge's device time here
         self._slots[slot] = _Slot(req=req)
         self._spk[slot] = req.spk_emb
         # window start = P - len(prompt): logical positions continue the
@@ -517,34 +535,38 @@ class ContinuousBatchingEngine:
             return
         self._key, kd = jax.random.split(self._key)
         seg = min(self.segment_tokens, self._block - self._pos)
-        buf, lens, self._kv = fs.decode_batch(
-            c.first_stage_params, self._cfg,
-            jnp.asarray(self._cur), jnp.asarray(self._pos, jnp.int32),
-            jnp.asarray(self._pad), jnp.asarray(self._spk), self._kv, kd,
-            jnp.asarray(self._t), jnp.asarray(self._p), jnp.asarray(self._g),
-            jnp.asarray(seg, jnp.int32), self.segment_tokens,
-            T.END_OF_AUDIO_TOKEN, self.tts._compute_dtype,
-        )
-        fetch = np.asarray(
-            jnp.concatenate(
-                [lens.reshape(-1, 1).astype(jnp.int32), buf.astype(jnp.int32)], axis=1
+        with phases.phase("eng.decode"):
+            buf, lens, self._kv = fs.decode_batch(
+                c.first_stage_params, self._cfg,
+                jnp.asarray(self._cur), jnp.asarray(self._pos, jnp.int32),
+                jnp.asarray(self._pad), jnp.asarray(self._spk), self._kv, kd,
+                jnp.asarray(self._t), jnp.asarray(self._p), jnp.asarray(self._g),
+                jnp.asarray(seg, jnp.int32), self.segment_tokens,
+                T.END_OF_AUDIO_TOKEN, self.tts._compute_dtype,
             )
-        )
+            fetch = np.asarray(
+                jnp.concatenate(
+                    [lens.reshape(-1, 1).astype(jnp.int32), buf.astype(jnp.int32)], axis=1
+                )
+            )
         lens_h = fetch[:, 0]
         steps = int(lens_h.max()) if len(lens_h) else 0
+        self.stats["segments"] += 1
+        self.stats["row_tokens"] += int(lens_h.sum())
         if steps == 0:
             # no row advanced (all done or at block limit): finish actives
             for i in self._actives():
                 self._complete(i)
             return
         self._pos += steps
-        for i in self._actives():
-            n = int(lens_h[i])
-            if n == 0:
-                continue
-            toks = fetch[i, 1 : 1 + n].tolist()
-            self._cur[i] = toks[-1]
-            self._note_tokens(i, toks)
+        with phases.phase("eng.note"):
+            for i in self._actives():
+                n = int(lens_h[i])
+                if n == 0:
+                    continue
+                toks = fetch[i, 1 : 1 + n].tolist()
+                self._cur[i] = toks[-1]
+                self._note_tokens(i, toks)
 
     # ------------------------------------------------------------------ per-slot plumbing
     def _note_tokens(self, slot: int, toks: list):
@@ -587,10 +609,11 @@ class ContinuousBatchingEngine:
         chunk = np.asarray(s.tokens[s.rendered : s.rendered + n], np.int32)
         self._key, kr = jax.random.split(self._key)
         try:
-            wav = self.tts._tokens_to_wav(
-                req.text, req.prompt_tokens, chunk, req.spk_emb, kr, fused=True,
-                streaming_segment=True,
-            )
+            with phases.phase("eng.stream_render"):
+                wav = self.tts._tokens_to_wav(
+                    req.text, req.prompt_tokens, chunk, req.spk_emb, kr, fused=True,
+                    streaming_segment=True,
+                )
             req.handle._push(wav)
             s.rendered += n  # only consumed once actually rendered
         except RuntimeError:
@@ -638,11 +661,16 @@ class ContinuousBatchingEngine:
                 raise RuntimeError(
                     f"first stage produced no audio tokens for: {req.text!r}"
                 )
-            wav = self.tts._tokens_to_wav(
-                req.text, req.prompt_tokens, np.asarray(tokens, np.int32),
-                req.spk_emb, key,
-            )
-            req.future.set_result(self.tts.write_wav_output(req.text, wav))
+            # NOTE for profiling: this runs on a render-pool thread; its wall
+            # time INCLUDES waiting for the serialized device tunnel while the
+            # worker thread decodes — contention shows up here by design.
+            with phases.phase("eng.render_full"):
+                wav = self.tts._tokens_to_wav(
+                    req.text, req.prompt_tokens, np.asarray(tokens, np.int32),
+                    req.spk_emb, key,
+                )
+            with phases.phase("eng.write_wav"):
+                req.future.set_result(self.tts.write_wav_output(req.text, wav))
         except Exception as e:
             req.future.set_exception(e)
 

@@ -52,6 +52,7 @@ from metavoice_tpu.models import speaker_encoder as se
 from metavoice_tpu.models import transformer as tfm
 from metavoice_tpu.tokenizer import TrainedBPETokeniser
 from metavoice_tpu.utils import audio_io as aio
+from metavoice_tpu.utils import phases
 
 MAX_CHARS_PER_CHUNK = 220  # reference truncation point (fam/llm/inference.py:537)
 
@@ -647,23 +648,26 @@ class TTS:
             raise RuntimeError(f"first stage produced no audio tokens for: {text!r}")
 
         if fused and self.c.vocoder == "encodec":
-            wav = self._stage2_vocode_fused(prompt_tokens, coarse, spk_emb, key)
+            with phases.phase("tts.stage2_vocode_fused"):
+                wav = self._stage2_vocode_fused(prompt_tokens, coarse, spk_emb, key)
             if wav is not None:
                 if self.c.enhancer is not None:
-                    wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
+                    with phases.phase("tts.enhancer"):
+                        wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
                 return wav.astype(np.float32)
 
-        full_codes = ss.complete_hierarchies(
-            self.c.second_stage_params,
-            self.c.second_stage_cfg,
-            prompt_tokens,
-            coarse,
-            jnp.asarray(spk_emb),
-            key=key,
-            temperature=1.0,
-            top_k=200,
-            compute_dtype=self._compute_dtype,
-        )  # (8, T_audio)
+        with phases.phase("tts.stage2"):
+            full_codes = ss.complete_hierarchies(
+                self.c.second_stage_params,
+                self.c.second_stage_cfg,
+                prompt_tokens,
+                coarse,
+                jnp.asarray(spk_emb),
+                key=key,
+                temperature=1.0,
+                top_k=200,
+                compute_dtype=self._compute_dtype,
+            )  # (8, T_audio)
 
         # bucket the code length so the vocoder compiles once per bucket,
         # not once per utterance length: 1/3 s granularity under 1 s (the
@@ -680,13 +684,14 @@ class TTS:
             from metavoice_tpu.models import mbd as mbd_mod
 
             kv_key = self._next_key()
-            wav = np.asarray(
-                mbd_mod.tokens_to_wav(
-                    self.c.mbd_params, self.c.mbd_cfg, self.c.encodec_params,
-                    jnp.asarray(full_codes), kv_key,
-                    encodec_cfg=self.c.encodec_cfg,
-                )
-            )[0]
+            with phases.phase("tts.vocoder_mbd"):
+                wav = np.asarray(
+                    mbd_mod.tokens_to_wav(
+                        self.c.mbd_params, self.c.mbd_cfg, self.c.encodec_params,
+                        jnp.asarray(full_codes), kv_key,
+                        encodec_cfg=self.c.encodec_cfg,
+                    )
+                )[0]
             # reference decoders.py:88-91 rejects MBD output < 9600 samples
             # (400 ms @ 24 kHz) as degenerate, pre-trim — mirror that here.
             # Streaming SEGMENTS are legitimately short (a first segment is
@@ -696,12 +701,14 @@ class TTS:
             ):
                 raise RuntimeError("wav predicted is shorter than 400ms!")
         else:
-            wav = np.asarray(
-                ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, full_codes)
-            )[0]
+            with phases.phase("tts.vocoder"):
+                wav = np.asarray(
+                    ec.decode_codes(self.c.encodec_params, self.c.encodec_cfg, full_codes)
+                )[0]
         wav = wav[: t_audio * self.c.encodec_cfg.hop_length]
         if self.c.enhancer is not None:
-            wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
+            with phases.phase("tts.enhancer"):
+                wav = self.c.enhancer(wav, self.c.encodec_cfg.sample_rate)
         return wav.astype(np.float32)
 
     def _stage2_vocode_fused(
@@ -762,7 +769,8 @@ class TTS:
     ) -> np.ndarray:
         """One <=220-char chunk -> 24 kHz waveform (float32)."""
         k1, k2 = jax.random.split(key)
-        prompt = self.c.tokenizer.encode(text)
+        with phases.phase("tts.tokenize"):
+            prompt = self.c.tokenizer.encode(text)
 
         seq = fs.generate(
             self.c.first_stage_params,
@@ -865,18 +873,20 @@ class TTS:
         spk_ref_path = aio.get_cached_file(spk_ref_path)
         if self._enforce_min_ref:
             aio.check_audio_file(spk_ref_path)
-        spk_emb = self._get_speaker_embedding(spk_ref_path)
+        with phases.phase("tts.spk_emb"):
+            spk_emb = self._get_speaker_embedding(spk_ref_path)
 
         chunks = chunk_text(text, MAX_CHARS_PER_CHUNK) or [""]
         wavs = []
         for chunk in chunks:
             sub = self._next_key()
-            wavs.append(
-                self._synthesise_chunk(
-                    chunk, spk_emb, top_p, guidance_scale, temperature, sub,
-                    max_new_tokens=max_new_tokens,
+            with phases.phase("tts.chunk"):
+                wavs.append(
+                    self._synthesise_chunk(
+                        chunk, spk_emb, top_p, guidance_scale, temperature, sub,
+                        max_new_tokens=max_new_tokens,
+                    )
                 )
-            )
         gap = np.zeros(int(0.1 * self.c.encodec_cfg.sample_rate), np.float32)
         wav = wavs[0] if len(wavs) == 1 else np.concatenate(
             [w for pair in zip(wavs, [gap] * len(wavs)) for w in pair][:-1]
@@ -884,7 +894,8 @@ class TTS:
 
         digest = hashlib.md5(f"{text}{spk_ref_path}{time.time()}".encode()).hexdigest()[:12]
         out_path = os.path.join(self.output_dir, f"synth_{digest}.wav")
-        aio.write_wav_loudness_normalized(out_path, wav, self.c.encodec_cfg.sample_rate)
+        with phases.phase("tts.write_wav"):
+            aio.write_wav_loudness_normalized(out_path, wav, self.c.encodec_cfg.sample_rate)
 
         elapsed = time.time() - start
         duration = len(wav) / self.c.encodec_cfg.sample_rate
