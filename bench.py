@@ -424,8 +424,12 @@ def main():
         # token budget actually decoded (150 first-stage tok/s of audio:
         # 75 Hz EnCodec frames x 2 hierarchies) — the trained-weights
         # equivalent where every chunk fills its 256-token budget.
+        # Chunk count mirrors the synthesise call exactly (normalize + the
+        # runtime's MAX_CHARS_PER_CHUNK) so the two cannot silently diverge.
         from metavoice_tpu.core.text import chunk_text as _ct
-        chunked_n = len(_ct(long_text) or [""])
+        from metavoice_tpu.core.text import normalize_text as _nt
+        from metavoice_tpu.runtime.tts import MAX_CHARS_PER_CHUNK as _mc
+        chunked_n = len(_ct(_nt(long_text), _mc) or [""])
         chunked_wall = wall
         chunked_rtf_tok = wall / (chunked_n * 256 / 150.0)
         log(
@@ -437,45 +441,82 @@ def main():
         chunked_n = chunked_wall = chunked_rtf_tok = None
         log(f"chunked RTF measurement skipped: {e}")
 
-    # ---- continuous-batching serving latency under Poisson arrivals
+    # ---- continuous-batching serving latency under MIXED Poisson arrivals
     # (BASELINE config 5: 8-16 concurrent zero-shot requests, continuous
-    # decode). Requests join mid-flight at segment boundaries; per-request
-    # latency = submit -> wav file written.
-    eng_p50 = eng_p95 = eng_agg_rtf = None
+    # decode). The workload exercises the engine's distinguishing machinery:
+    # two prompt buckets (short text -> 128, long text -> 256), 25% streaming
+    # requests riding the same batch, and a rebase margin that forces at
+    # least one in-place cache rebase mid-run. Per-request latency =
+    # submit -> wav file written (streams: -> final segment received).
+    eng_p50 = eng_p95 = eng_agg_rtf = eng_eff_tps = None
+    eng_stats = {}
     try:
+        import threading as _threading
+
         from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
 
-        eng = ContinuousBatchingEngine(tts, slots=8, segment_tokens=64)
+        eng = ContinuousBatchingEngine(
+            tts, slots=8, segment_tokens=64, rebase_margin=1024
+        )
         # realistic utterance budget: ~3.4 s of audio per request (random
         # weights rarely sample end-of-audio, so uncapped requests run to
         # the block limit — ~13 s utterances — and the latency percentiles
         # measure utterance length, not serving)
         req_tokens = 512
-        # warm EVERY engine program before timing: the group prefill and
-        # segment decode (first submit), the mid-flight JOIN programs
-        # (2-row temp prefill + cache merge — second submit arrives while
-        # the first decodes), and the render path
-        f1 = eng.submit(text, ref_path, max_new_tokens=req_tokens)
-        time.sleep(1.0)
-        f2 = eng.submit(text, ref_path, max_new_tokens=req_tokens)
-        f1.result(timeout=2400)
-        f2.result(timeout=2400)
+        # engine warmup precompiles the full envelope (group prefill per
+        # bucket, segment decode, join, rebase, renders) — the same call a
+        # production `serve --batching` boot makes; replaces the round-3
+        # hand-warm throwaway requests
+        t0 = time.perf_counter()
+        eng.warmup()
+        log(f"engine warmup: {time.perf_counter()-t0:.1f}s")
+        for k in eng.stats:
+            eng.stats[k] = 0
+
+        long_prompt_text = (
+            "This request carries a deliberately long prompt so that it "
+            "lands in the two-hundred-and-fifty-six token prompt bucket "
+            "instead of the short one. " * 4
+        )
+
+        def _consume_stream(handle, out):
+            # streaming consumer: record time of last segment
+            n = 0
+            for _seg in handle:
+                n += 1
+            out["done_t"] = time.perf_counter()
+            out["segments"] = n
 
         rng_l = np.random.default_rng(0)
         n_req = 12
-        futs, submit_t = [], []
+        futs, submit_t, stream_outs = [], [], []
         t_start = time.perf_counter()
         for i in range(n_req):
-            futs.append(eng.submit(text, ref_path, max_new_tokens=req_tokens))
+            txt = long_prompt_text if i % 3 == 2 else text
+            if i % 4 == 3:  # 25% streaming
+                h = eng.submit(txt, ref_path, stream=True, max_new_tokens=req_tokens)
+                out = {}
+                th = _threading.Thread(target=_consume_stream, args=(h, out))
+                th.start()
+                stream_outs.append((out, th, time.perf_counter()))
+                futs.append(None)
+            else:
+                futs.append(eng.submit(txt, ref_path, max_new_tokens=req_tokens))
             submit_t.append(time.perf_counter())
             time.sleep(float(rng_l.exponential(0.25)))
         lats, paths = [], []
         for f, ts in zip(futs, submit_t):
+            if f is None:
+                continue
             try:
                 paths.append(f.result(timeout=1200))
                 lats.append(time.perf_counter() - ts)
-            except Exception:
-                pass
+            except Exception as e:
+                log(f"engine request failed: {e}")
+        for out, th, ts in stream_outs:
+            th.join(timeout=1200)
+            if "done_t" in out:
+                lats.append(out["done_t"] - ts)
         # completion wall-clock is shared; per-request latency measured from
         # its own submit time (late requests overlap earlier decodes)
         if lats:
@@ -484,11 +525,20 @@ def main():
             eng_p50 = float(np.percentile(lats, 50))
             eng_p95 = float(np.percentile(lats, 95))
             eng_agg_rtf = wall_all / max(audio_all, 1e-6)
+            # effective throughput: tokens actually decoded per second of
+            # wall (the round-3 blind spot: raw batch decode did 2889 agg
+            # tok/s while the engine delivered ~317 effective)
+            eng_eff_tps = eng.stats["row_tokens"] / wall_all
+            occupancy = eng.stats["row_tokens"] / max(
+                eng.stats["segments"] * eng.n_slots * eng.segment_tokens, 1
+            )
+            eng_stats = dict(eng.stats, occupancy=round(occupancy, 3))
             log(
-                f"engine Poisson({n_req} req x {req_tokens} tok, mean gap 250 ms): "
-                f"p50 {eng_p50:.2f}s p95 {eng_p95:.2f}s, {audio_all:.1f}s audio "
-                f"in {wall_all:.1f}s wall -> aggregate serving RTF {eng_agg_rtf:.3f} "
-                f"({len(lats)} ok)"
+                f"engine mixed Poisson({n_req} req x {req_tokens} tok, 2 prompt "
+                f"buckets, 3 streams, mean gap 250 ms): p50 {eng_p50:.2f}s "
+                f"p95 {eng_p95:.2f}s, {audio_all:.1f}s audio in {wall_all:.1f}s "
+                f"wall -> serving RTF {eng_agg_rtf:.3f}, effective "
+                f"{eng_eff_tps:.0f} agg tok/s ({len(lats)} ok); stats {eng_stats}"
             )
         eng.shutdown()
     except Exception as e:
@@ -506,6 +556,7 @@ def main():
         "ttfa_note": "p50 of 5 runs, time to first synthesise_streaming segment (40-token first segment), cached speaker emb",
         "ttfa_cold_s": round(ttfa_cold, 3) if ttfa_cold else None,
         "chunked_rtf": round(chunked_rtf, 3) if chunked_rtf else None,
+        "chunked_wall_s": round(chunked_wall, 2) if chunked_wall else None,
         "chunked_rtf_token_norm": round(chunked_rtf_tok, 3) if chunked_rtf_tok else None,
         "chunked_note": (
             f"{chunked_n} chunks x 256 tok; raw RTF divides by the degenerate "
@@ -516,7 +567,13 @@ def main():
         "engine_poisson_p50_s": round(eng_p50, 2) if eng_p50 else None,
         "engine_poisson_p95_s": round(eng_p95, 2) if eng_p95 else None,
         "engine_aggregate_serving_rtf": round(eng_agg_rtf, 3) if eng_agg_rtf else None,
-        "engine_note": "12 Poisson arrivals of ~3.4s utterances on 8 slots, mid-flight joins; latency = submit -> wav written",
+        "engine_effective_agg_tok_s": round(eng_eff_tps, 1) if eng_eff_tps else None,
+        "engine_stats": eng_stats or None,
+        "engine_note": (
+            "12 mixed Poisson arrivals of ~3.4s utterances on 8 slots: 2 "
+            "prompt buckets (128/256), 25% streaming, rebase-forcing margin; "
+            "latency = submit -> wav written (streams: final segment)"
+        ),
         "vs_baseline_note": "denominator 300 tok/s is BASELINE.json's north-star target; the reference publishes no GPU decode figure (BASELINE.json.published is empty)",
         "batch8_aggregate_tokens_per_sec": round(batch_tps, 1) if batch_tps else None,
         "batch16_int8kv_aggregate_tokens_per_sec": (

@@ -184,6 +184,12 @@ def cmd_serve(argv: list[str]) -> int:
             from metavoice_tpu.runtime.engine import BatchingEngine
 
             engine = BatchingEngine(tts, max_batch=args.batching)
+        if engine is not None and not args.no_warmup:
+            # the engine has its own program envelope (group prefill, segment
+            # decode, join, rebase) — without this the first batched request
+            # compiles for minutes on the TPU
+            print("warming up batching engine programs...")
+            engine.warmup(warm_tts=False)  # tts.warmup() already ran above
     cfg = ServingConfig(host=args.host, port=args.port)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(tts, cfg, engine))
     print(f"serving on {cfg.host}:{cfg.port}")

@@ -251,6 +251,109 @@ class ContinuousBatchingEngine:
         self._queue.put(req)
         return req.handle if stream else req.future
 
+    def warmup(self, prompt_buckets: tuple[int, ...] = (128, 256), warm_tts: bool = True):
+        """Precompile the engine's FULL program envelope before serving.
+
+        TTS.warmup() covers only the single-request path; the engine runs its
+        own programs — n_slots-row group prefill per prompt bucket, the
+        segment decode, the mid-flight join (1-row temp prefill + cache
+        landing), and the rebase shifts. Without this, a production
+        ``serve --batching`` boot compiles on the first real request
+        (minutes on this TPU). Counterpart of the lazy warmup the reference
+        pays inside build_model (fam/llm/fast_inference_utils.py:374-390).
+
+        Must run BEFORE serving traffic: it drives the shared KV cache
+        through the real (donating) programs and then resets the group state.
+        ``warm_tts`` also runs TTS.warmup() for the render-path programs
+        (stage 2, vocoder buckets, fused streaming renders).
+        """
+        if self._actives():
+            raise RuntimeError("engine warmup must run before serving traffic")
+        if warm_tts:
+            self.tts.warmup()
+        c, cfg = self.tts.c, self._cfg
+        key = jax.random.PRNGKey(0)
+        cdt = self.tts._compute_dtype
+        prompt = [T.TEXT_OFFSET, T.TEXT_OFFSET + 1]
+        t, p, g = jnp.asarray(self._t), jnp.asarray(self._p), jnp.asarray(self._g)
+        spk = jnp.asarray(self._spk)
+        for b in dict.fromkeys(self._bucket(x) for x in prompt_buckets):
+            # group prefill: the n_slots-row program at this bucket
+            padded, lens = fs.left_pad_prompts([prompt] * self.n_slots, b)
+            first, self._kv = fs.prefill_batch(
+                c.first_stage_params, cfg, jnp.asarray(padded), jnp.asarray(lens),
+                spk, self._kv, key, t, p, g, compute_dtype=cdt,
+            )
+            np.asarray(first)
+            self._pos = b
+            # mid-flight join: 1-row temp prefill + the cache-landing merges
+            temp = tfm.KVCache.create(cfg, 2, b, dtype=self._cache_dtype)
+            padded1, lens1 = fs.left_pad_prompts([prompt], b)
+            f1, temp = fs.prefill_batch(
+                c.first_stage_params, cfg, jnp.asarray(padded1), jnp.asarray(lens1),
+                jnp.asarray(self._spk[0])[None, :],  # exact _join expression
+                temp, key, t[:1], p[:1], g[:1], compute_dtype=cdt,
+            )
+            np.asarray(f1)
+            phys = jnp.asarray(0, jnp.int32)
+            rc = jnp.asarray(0, jnp.int32)
+            ru = jnp.asarray(self.n_slots, jnp.int32)
+            if self._kv.packed:
+                k, v = fs.merge_slot_cache_packed(
+                    self._kv.k, self._kv.v, temp.k, temp.v, phys, rc, ru
+                )
+                ks, vs = fs.merge_slot_scales_packed(
+                    self._kv.k_scale, self._kv.v_scale,
+                    temp.k_scale, temp.v_scale, phys, rc, ru, cfg.n_head,
+                )
+            else:
+                k, v = fs.merge_slot_cache(
+                    self._kv.k, self._kv.v, temp.k, temp.v, phys, rc, ru
+                )
+                if self._kv.quantized:
+                    ks, vs = fs.merge_slot_scales(
+                        self._kv.k_scale, self._kv.v_scale,
+                        temp.k_scale, temp.v_scale, phys, rc, ru, cfg.n_head,
+                    )
+                else:
+                    ks = vs = None
+            self._kv = tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
+        # segment decode (one program: seg is a traced operand), fetched with
+        # the exact _step_segment expression so its eager concat/reshape ops
+        # are warmed too
+        _buf, lens_d, self._kv = fs.decode_batch(
+            c.first_stage_params, cfg, jnp.asarray(self._cur),
+            jnp.asarray(self._pos, jnp.int32), jnp.asarray(self._pad), spk,
+            self._kv, key, t, p, g, jnp.asarray(2, jnp.int32),
+            self.segment_tokens, T.END_OF_AUDIO_TOKEN, cdt,
+        )
+        np.asarray(
+            jnp.concatenate(
+                [lens_d.reshape(-1, 1).astype(jnp.int32), _buf.astype(jnp.int32)],
+                axis=1,
+            )
+        )
+        # rebase shifts (value-independent programs)
+        sj = jnp.asarray(fs.REBASE_ALIGN, jnp.int32)
+        pj = jnp.asarray(self._pos, jnp.int32)
+        if self._kv.packed:
+            k, v = fs.shift_cache_left_packed(self._kv.k, self._kv.v, sj, pj)
+            ks, vs = fs.shift_scales_left_packed(
+                self._kv.k_scale, self._kv.v_scale, sj, pj
+            )
+        elif self._kv.quantized:
+            k, v = fs.shift_cache_left(self._kv.k, self._kv.v, sj, pj)
+            ks, vs = fs.shift_scales_left(self._kv.k_scale, self._kv.v_scale, sj, pj)
+        else:
+            k, v = fs.shift_cache_left(self._kv.k, self._kv.v, sj, pj)
+            ks = vs = None
+        self._kv = tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
+        np.asarray(k.ravel()[:1])  # flush before state reset
+        # reset group state: the next real group prefills from position 0
+        self._pos = 0
+        self._cur[:] = T.END_OF_AUDIO_TOKEN
+        self._pad[:] = 0
+
     def shutdown(self):
         self._running = False
         self._queue.put(None)

@@ -96,10 +96,14 @@ class ReplicaPool:
                 # device 0 on first use (verified on the CPU mesh). Commit
                 # all model state so jit executions follow it to `dev`.
                 _commit_tts_to_device(tts, dev)
-                if warmup:
-                    tts.warmup()
                 eng = ContinuousBatchingEngine(tts, **engine_kwargs)
                 eng._kv = jax.device_put(eng._kv, dev)
+                if warmup:
+                    # after the cache commit so the warmed programs run (and
+                    # leave their donated outputs) on THIS replica's device;
+                    # warms both the TTS render programs and the engine's
+                    # group-prefill/decode/join/rebase envelope
+                    eng.warmup()
             self.engines.append(eng)
             self.devices.append(dev)
             self._submitted.append(0)
