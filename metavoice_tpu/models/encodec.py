@@ -207,8 +207,14 @@ def decode_latent(params: Params, cfg: EncodecConfig, latent: jax.Array) -> jax.
     return x[..., 0]  # (B, T*hop)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def decode_codes(params: Params, cfg: EncodecConfig, codes: jax.Array) -> jax.Array:
-    """codes (n_q, T) or (B, n_q, T) -> waveform (B, samples)."""
+    """codes (n_q, T) or (B, n_q, T) -> waveform (B, samples).
+
+    Jitted END-TO-END: the eager rvq_decode gathers alone cost ~8 tunnel
+    dispatches (~200 ms of a 285 ms production render, measured in
+    scripts/diag_render_profile.py) — as one program the whole decode is
+    ~58 ms including the waveform fetch."""
     latent = rvq_decode(params["codebooks"], jnp.asarray(codes))
     return decode_latent(params, cfg, latent)
 
@@ -231,8 +237,11 @@ def encode_latent(params: Params, cfg: EncodecConfig, wav: jax.Array) -> jax.Arr
     return x
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def encode_codes(params: Params, cfg: EncodecConfig, wav: jax.Array) -> jax.Array:
-    """waveform (B, T) -> codes (B, n_q, T//hop)."""
+    """waveform (B, T) -> codes (B, n_q, T//hop). One program (see
+    decode_codes): the n_q eager argmin/gather rounds of rvq_encode each
+    cost a tunnel dispatch otherwise."""
     latent = encode_latent(params, cfg, wav)
     return rvq_encode(params["codebooks"], latent, cfg.n_q)
 

@@ -459,7 +459,11 @@ class TTS:
                     )
         else:
             p1, cfg1, tok_info = ck.load_first_stage_pt(first_stage_path)
-        p2, cfg2, tok_info2 = ck.load_second_stage_pt(second_stage_path)
+        if second_stage_path.endswith(".npz"):
+            # native checkpoint (training/second_stage.save_second_stage)
+            p2, cfg2, tok_info2 = ck.load_second_stage_npz(second_stage_path)
+        else:
+            p2, cfg2, tok_info2 = ck.load_second_stage_pt(second_stage_path)
         spk = ck.load_speaker_encoder_pt(speaker_encoder_path)
         tok_info = tok_info or tok_info2
         tokenizer = TrainedBPETokeniser(**tok_info) if tok_info else TrainedBPETokeniser()

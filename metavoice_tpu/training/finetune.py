@@ -83,7 +83,14 @@ def trainable_mask(params: Any, model_cfg: TransformerConfig, last_n_blocks: int
     Matches reference freezing (finetune.py:236-244): everything frozen
     except the last N transformer blocks and the final norm. Stacked layer
     leaves get a per-layer (L, 1, ...) multiplier instead of a boolean.
+
+    ``last_n_blocks < 0`` trains EVERYTHING (embeddings, heads, speaker
+    conditioning included) — the from-scratch mode the end-to-end
+    trained-system test uses; the reference has no equivalent (it only
+    finetunes from its pretrained checkpoint).
     """
+    if last_n_blocks < 0:
+        return jax.tree.map(lambda p: jnp.ones((), jnp.float32), params)
     l = model_cfg.n_layer
     layer_gate = (jnp.arange(l) >= l - last_n_blocks).astype(jnp.float32)
 

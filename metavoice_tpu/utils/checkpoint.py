@@ -194,6 +194,34 @@ def load_second_stage_pt(path: str, dtype=np.float32):
     return params, cfg, tokenizer_info
 
 
+def load_second_stage_npz(path: str):
+    """Native .npz second stage -> (params, cfg, tokenizer_info).
+
+    Counterpart of :func:`load_second_stage_pt` for checkpoints produced
+    in-repo (training/second_stage.save_second_stage) — no torch read.
+    """
+    params, meta = load_npz(path)
+    args = meta["model_args"]
+    m = meta.get("meta", {})
+    cfg = TransformerConfig(
+        block_size=args["block_size"],
+        n_layer=args["n_layer"],
+        n_head=args["n_head"],
+        dim=args["n_embd"],
+        vocab_sizes=tuple(args["vocab_sizes"]),
+        target_vocab_sizes=(
+            tuple(args["target_vocab_sizes"])
+            if args.get("target_vocab_sizes") else None
+        ),
+        causal=args.get("causal", False),
+        norm_type=args.get("norm_type", "layernorm"),
+        nonlinearity_type=args.get("nonlinearity_type", "gelu"),
+        bias=args.get("bias", True),
+        speaker_emb_dim=m.get("speaker_emb_size", 256),
+    )
+    return params, cfg, m.get("tokenizer", {})
+
+
 def load_speaker_encoder_pt(path: str, dtype=np.float32) -> SpeakerEncoderParams:
     """speaker_encoder.pt {model_state: ...} -> SpeakerEncoderParams.
 
