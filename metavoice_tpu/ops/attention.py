@@ -62,7 +62,7 @@ def _decode_attn_kernel(
     chunk,
     chunkv2,
     # scalar prefetch
-    idx_ref,  # (2,) int32: [layer, pos]
+    idx_ref,  # (3,) int32: [layer, pos, min_start]
     # inputs
     q_ref,  # (BH, Dh) VMEM
     k_new_ref,  # (1, BH, Dh) VMEM
@@ -97,6 +97,12 @@ def _decode_attn_kernel(
 
     # 2) flash accumulation over the valid prefix [0, pos]
     n_chunks = (pos + chunk) // chunk  # ceil((pos+1)/chunk)
+    # chunks entirely below min(starts) are fully masked for EVERY row —
+    # skip their DMA+compute outright (bit-exact: masked scores are -1e30
+    # and contribute exactly 0). In the continuous-batching engine the
+    # retired/joined rows push min(starts) toward pos, and the dead-prefix
+    # cache stream dominates long-position decode.
+    first = idx_ref[2] // chunk
     scale = 1.0 / np.sqrt(dh)
     q = q_ref[:].astype(jnp.float32) * scale  # (BH, Dh)
 
@@ -114,7 +120,7 @@ def _decode_attn_kernel(
             ),
         )
 
-    dk, dv = get_dma(0, 0)
+    dk, dv = get_dma(jax.lax.rem(first, 2), first)
     dk.start()
     dv.start()
 
@@ -149,7 +155,7 @@ def _decode_attn_kernel(
             return (m_new, l_new, acc)
 
         _, l_f, acc_f = jax.lax.fori_loop(
-            0,
+            first,
             n_chunks,
             body2,
             (
@@ -196,7 +202,7 @@ def _decode_attn_kernel(
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
         return _
 
-    jax.lax.fori_loop(0, n_chunks, body, None)
+    jax.lax.fori_loop(first, n_chunks, body, None)
     y_ref[:] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(y_ref.dtype)
 
 
@@ -230,7 +236,14 @@ def decode_attention(
     # last two dims, so slicing single S rows stays legal
     k_flat = k_cache.reshape(l, s, bh, dh)
     v_flat = v_cache.reshape(l, s, bh, dh)
-    idx = jnp.stack([layer.astype(jnp.int32), pos.astype(jnp.int32)])
+    # [layer, pos, min_start]: the kernel skips cache chunks entirely below
+    # min(starts) — fully masked for every row, so bit-exact (clamped to pos
+    # so the chunk-loop prologue DMA can never run past the valid range)
+    idx = jnp.stack([
+        layer.astype(jnp.int32),
+        pos.astype(jnp.int32),
+        jnp.minimum(jnp.min(starts.astype(jnp.int32)), pos.astype(jnp.int32)),
+    ])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -324,7 +337,7 @@ def _decode_block_kernel(
     chunk: int,
     chunkv2: bool,
     # scalar prefetch
-    idx_ref,  # (2,) int32: [layer, pos]
+    idx_ref,  # (3,) int32: [layer, pos, min_start]
     # inputs
     x_ref,  # (Bpad, D) bf16 VMEM (normed input, rows >= B zero-padded)
     sqkv_ref,  # (1, 3D) f32 VMEM qkv scales
@@ -398,6 +411,7 @@ def _decode_block_kernel(
 
     # ---- phase 3: flash attention over the valid prefix -----------------------
     n_chunks = (pos + chunk) // chunk
+    first = idx_ref[2] // chunk  # skip fully-masked chunks below min(starts)
 
     def get_dma(slot, c):
         return (
@@ -409,7 +423,7 @@ def _decode_block_kernel(
             ),
         )
 
-    dk, dv = get_dma(0, 0)
+    dk, dv = get_dma(jax.lax.rem(first, 2), first)
     dk.start()
     dv.start()
 
@@ -445,7 +459,7 @@ def _decode_block_kernel(
             return (m_new, l_new, acc)
 
         _, l_f, acc_f = jax.lax.fori_loop(
-            0,
+            first,
             n_chunks,
             attn_body2,
             (
@@ -488,7 +502,7 @@ def _decode_block_kernel(
             m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
             return _
 
-        jax.lax.fori_loop(0, n_chunks, attn_body, None)
+        jax.lax.fori_loop(first, n_chunks, attn_body, None)
         y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
     # pad rows back to Bpad for the MXU (concatenate: scatter doesn't lower)
     if bpad > b:
@@ -536,7 +550,7 @@ def _decode_block_int4_kernel(
     kv8_mode: str,
     chunkv2: bool,
     # scalar prefetch
-    idx_ref,  # (2,) int32: [layer, pos]
+    idx_ref,  # (3,) int32: [layer, pos, min_start]
     # inputs
     x_ref,  # (Bpad, D) bf16 VMEM (normed input, rows >= B zero-padded)
     xones_ref,  # (D, Gp) bf16 VMEM group-sum matrix
@@ -721,6 +735,7 @@ def _decode_block_int4_kernel(
 
     # ---- phase 3: flash attention over the valid prefix ---------------------
     n_chunks = (pos + chunk) // chunk
+    first = idx_ref[2] // chunk  # skip fully-masked chunks below min(starts)
 
     def get_dma(slot, c):
         if cache_packed:
@@ -761,7 +776,7 @@ def _decode_block_int4_kernel(
             ))
         return copies
 
-    for dma in get_dma(0, 0):
+    for dma in get_dma(jax.lax.rem(first, 2), first):
         dma.start()
 
     def _load_kv(slot):
@@ -852,7 +867,7 @@ def _decode_block_int4_kernel(
             return (m_new, l_new, acc)
 
         _, l_f, acc_f = jax.lax.fori_loop(
-            0,
+            first,
             n_chunks,
             attn_body_p,
             (
@@ -904,7 +919,7 @@ def _decode_block_int4_kernel(
             return (m_new, l_new, acc)
 
         _, l_f, acc_f = jax.lax.fori_loop(
-            0,
+            first,
             n_chunks,
             attn_body2,
             (
@@ -957,7 +972,7 @@ def _decode_block_int4_kernel(
             m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
             return _
 
-        jax.lax.fori_loop(0, n_chunks, attn_body, None)
+        jax.lax.fori_loop(first, n_chunks, attn_body, None)
         y_attn = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).reshape(b, d).astype(jnp.bfloat16)
     if bpad > b:
         y_pad = jnp.concatenate([y_attn, jnp.zeros((bpad - b, d), jnp.bfloat16)], axis=0)
@@ -1054,7 +1069,14 @@ def decode_attention_block_int4(
     starts_bh = jnp.repeat(starts.astype(jnp.int32), n_head).reshape(bh, 1)
     k_flat = k_cache.reshape(l, k_cache.shape[1], bh, dh)
     v_flat = v_cache.reshape(l, v_cache.shape[1], bh, dh)
-    idx = jnp.stack([layer.astype(jnp.int32), pos.astype(jnp.int32)])
+    # [layer, pos, min_start]: the kernel skips cache chunks entirely below
+    # min(starts) — fully masked for every row, so bit-exact (clamped to pos
+    # so the chunk-loop prologue DMA can never run past the valid range)
+    idx = jnp.stack([
+        layer.astype(jnp.int32),
+        pos.astype(jnp.int32),
+        jnp.minimum(jnp.min(starts.astype(jnp.int32)), pos.astype(jnp.int32)),
+    ])
     xones = group_ones(d, gp, groupsize)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x
@@ -1222,7 +1244,14 @@ def decode_attention_block_int8(
     starts_bh = jnp.repeat(starts.astype(jnp.int32), n_head).reshape(bh, 1)
     k_flat = k_cache.reshape(l, s, bh, dh)
     v_flat = v_cache.reshape(l, s, bh, dh)
-    idx = jnp.stack([layer.astype(jnp.int32), pos.astype(jnp.int32)])
+    # [layer, pos, min_start]: the kernel skips cache chunks entirely below
+    # min(starts) — fully masked for every row, so bit-exact (clamped to pos
+    # so the chunk-loop prologue DMA can never run past the valid range)
+    idx = jnp.stack([
+        layer.astype(jnp.int32),
+        pos.astype(jnp.int32),
+        jnp.minimum(jnp.min(starts.astype(jnp.int32)), pos.astype(jnp.int32)),
+    ])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

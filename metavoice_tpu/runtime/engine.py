@@ -679,6 +679,7 @@ class ContinuousBatchingEngine:
             # client abandoned the stream: free the slot, stop decoding it
             self._slots[slot] = _Slot()
             self._cur[slot] = T.END_OF_AUDIO_TOKEN
+            self._pad[slot] = self._pos  # empty window: lets min(starts) rise
             s.req.handle._finish()
             return
         finished = False
@@ -729,6 +730,10 @@ class ContinuousBatchingEngine:
         req = s.req
         self._slots[slot] = _Slot()  # free immediately; render off-thread
         self._cur[slot] = T.END_OF_AUDIO_TOKEN
+        # a freed row's window is empty: advance its start so the decode
+        # kernels' min(starts) prefix skip reclaims the retired rows' cache
+        # stream (and rebase can reclaim more positions)
+        self._pad[slot] = self._pos
         if req is None:
             return
         if req.stream:
@@ -781,6 +786,7 @@ class ContinuousBatchingEngine:
         s = self._slots[slot]
         self._slots[slot] = _Slot()
         self._cur[slot] = T.END_OF_AUDIO_TOKEN
+        self._pad[slot] = self._pos
         if s.req is not None:
             self._fail_request(s.req, e)
 

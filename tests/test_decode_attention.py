@@ -61,3 +61,29 @@ def test_new_kv_written_at_pos():
     np.testing.assert_allclose(np.asarray(vc[1, 7]), np.asarray(v_new), atol=1e-6)
     # other layers untouched
     np.testing.assert_allclose(np.asarray(kc[0]), np.asarray(k_cache[0]), atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "pos,starts",
+    [
+        (400, (256, 300)),  # skip lands exactly on a chunk boundary
+        (400, (270, 390)),  # skip lands mid-chunk
+        (400, (400, 400)),  # whole window empty except the new row
+        (300, (0, 290)),    # one row still spans the full prefix -> no skip
+    ],
+)
+def test_prefix_skip_matches_reference(pos, starts):
+    """Chunks below min(starts) are skipped entirely (VERDICT r4: the dead
+    cache prefix dominated long-position engine decode). Must stay bit-exact
+    vs the oracle for any starts placement relative to chunk boundaries."""
+    q, k_new, v_new, k_cache, v_cache = _setup()
+    layer = jnp.asarray(1, jnp.int32)
+    pos_a = jnp.asarray(pos, jnp.int32)
+    st = jnp.asarray(starts, jnp.int32)
+    y_ref, _, _ = A.decode_attention_reference(
+        q, k_new, v_new, k_cache, v_cache, layer, pos_a, starts=st
+    )
+    y, _, _ = A.decode_attention(
+        q, k_new, v_new, k_cache, v_cache, layer, pos_a, starts=st, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-3, rtol=1e-2)
