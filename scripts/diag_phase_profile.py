@@ -97,10 +97,14 @@ def build_tts():
         tokenizer=TrainedBPETokeniser(),
         enhancer=get_enhancer("spectral_gate"),
     )
+    kv = os.environ.get("MVTPU_PROFILE_KV") or None  # e.g. int8_packed
     tts = TTS(
         comps, output_dir="/tmp/mvtpu_profile",
         enforce_min_ref_duration=False, enforce_min_output_duration=False,
+        kv_cache_dtype=kv,
     )
+    if kv:
+        log(f"kv_cache_dtype={kv}")
     return tts
 
 
