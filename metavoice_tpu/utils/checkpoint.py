@@ -298,15 +298,37 @@ def _unflatten(flat: dict[str, np.ndarray]) -> Any:
 
 
 def save_npz(path: str, params: Any, meta: dict | None = None) -> None:
+    # .npy cannot represent bfloat16: np.load round-trips it as an opaque
+    # void ("|V2") array. Store those leaves widened to f32 and record their
+    # keys in a reserved entry so load_npz can narrow them back.
     flat = _flatten(params)
+    bf16_keys = sorted(k for k, v in flat.items() if v.dtype.name == "bfloat16")
+    flat = {
+        k: (v.astype(np.float32) if k in set(bf16_keys) else v)
+        for k, v in flat.items()
+    }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, __meta__=json.dumps(meta or {}), **flat)
+    np.savez(
+        path,
+        __meta__=json.dumps(meta or {}),
+        __bf16_keys__=np.asarray(bf16_keys),
+        **flat,
+    )
 
 
 def load_npz(path: str) -> tuple[Any, dict]:
+    import ml_dtypes
+
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"])) if "__meta__" in data else {}
-    flat = {k: data[k] for k in data.files if k != "__meta__"}
+    bf16 = (
+        set(data["__bf16_keys__"].tolist()) if "__bf16_keys__" in data else set()
+    )
+    flat = {
+        k: (data[k].astype(ml_dtypes.bfloat16) if k in bf16 else data[k])
+        for k in data.files
+        if k not in ("__meta__", "__bf16_keys__")
+    }
     return _unflatten(flat), meta
 
 
