@@ -52,14 +52,14 @@ def main():
     }
 
     t0 = time.perf_counter()
-    state, metrics = step_fn(state, batch, frozen)
+    state, metrics = step_fn(state, batch)
     loss0 = float(np.asarray(metrics["loss"]))
     log(f"compile+first step: {time.perf_counter()-t0:.1f}s (loss {loss0:.3f})")
 
     times = []
     for i in range(4):
         t0 = time.perf_counter()
-        state, metrics = step_fn(state, batch, frozen)
+        state, metrics = step_fn(state, batch)
         loss = float(np.asarray(metrics["loss"]))  # forced host transfer
         dt = time.perf_counter() - t0
         times.append(dt)
