@@ -395,154 +395,52 @@ def main():
     except Exception as e:
         log(f"cold TTFA measurement skipped: {e}")
 
-    # ---- long-text chunked RTF (BASELINE config 2): multi-chunk synthesise
-    chunked_rtf = None
+    # ---- serving scenarios (chunked long-text + engine mixed Poisson):
+    # measured in a FRESH subprocess (scripts/bench_serving.py). A long-
+    # lived dispatch-heavy process measurably degrades on the tunneled
+    # backend: at the END of a ~25-min bench process the identical engine
+    # workload measured 316 effective agg tok/s / p50 16.5 s vs 631 / 4.25 s
+    # in a fresh process minutes later (round-4 measurements; chunked
+    # inflated 1.07 -> 1.69 s the same way). A production server IS a fresh
+    # process that only serves, so the isolated number is the honest one;
+    # the child logs before/after RTT probes so a degraded run is visible.
+    serving_extras = {}
     try:
-        long_text = (
-            "The quick brown fox jumps over the lazy dog while the band plays on. "
-            "Meanwhile the river keeps moving under the old stone bridge, carrying "
-            "leaves and late afternoon light toward the quiet harbor. "
-            "Every sentence in this paragraph becomes its own synthesis chunk, "
-            "so the chunked pipeline and the concatenation path are measured end to end."
-        )
-        # first call compiles any unseen vocoder/prompt buckets; the metric
-        # is the steady-state second call (serving == warm process). Cap the
-        # per-chunk budget at 256 tokens: random weights rarely sample
-        # end-of-audio, so an uncapped chunk decodes to the ~1920-token
-        # block limit while the second stage truncates the audio — the
-        # wall/audio ratio then measures the truncation, not the pipeline.
-        # (Real checkpoints end utterances naturally; the cap mirrors the
-        # headline metric's fixed-length methodology.)
-        tts.synthesise(long_text, ref_path, max_new_tokens=256)
+        import subprocess
+
+        from metavoice_tpu.utils import checkpoint as _ck
+
+        params_npz = "/tmp/mvtpu_bench_fs_int4.npz"
         t0 = time.perf_counter()
-        out_path = tts.synthesise(long_text, ref_path, max_new_tokens=256)
-        wall = time.perf_counter() - t0
-        dur = aio.duration_s(out_path)
-        chunked_rtf = wall / max(dur, 1e-6)
-        # wall/audio is only meaningful with trained weights: random weights
-        # yield degenerate short audio per chunk, so also normalize by the
-        # token budget actually decoded (150 first-stage tok/s of audio:
-        # 75 Hz EnCodec frames x 2 hierarchies) — the trained-weights
-        # equivalent where every chunk fills its 256-token budget.
-        # Chunk count mirrors the synthesise call exactly (normalize + the
-        # runtime's MAX_CHARS_PER_CHUNK) so the two cannot silently diverge.
-        from metavoice_tpu.core.text import chunk_text as _ct
-        from metavoice_tpu.core.text import normalize_text as _nt
-        from metavoice_tpu.runtime.tts import MAX_CHARS_PER_CHUNK as _mc
-        chunked_n = len(_ct(_nt(long_text), _mc) or [""])
-        chunked_wall = wall
-        chunked_rtf_tok = wall / (chunked_n * 256 / 150.0)
-        log(
-            f"chunked long-text (warm, {chunked_n} chunks x 256 tok): "
-            f"{wall:.2f}s wall for {dur:.2f}s audio -> raw RTF {chunked_rtf:.3f}, "
-            f"token-normalized RTF {chunked_rtf_tok:.3f}"
+        _ck.save_npz(params_npz, jax.tree.map(np.asarray, params))
+        log(f"saved int4 params for serving child in {time.perf_counter()-t0:.1f}s")
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_serving.py"),
+             params_npz],
+            capture_output=True, text=True, timeout=3000,
         )
-    except Exception as e:
-        chunked_n = chunked_wall = chunked_rtf_tok = None
-        log(f"chunked RTF measurement skipped: {e}")
-
-    # ---- continuous-batching serving latency under MIXED Poisson arrivals
-    # (BASELINE config 5: 8-16 concurrent zero-shot requests, continuous
-    # decode). The workload exercises the engine's distinguishing machinery:
-    # two prompt buckets (short text -> 128, long text -> 256), 25% streaming
-    # requests riding the same batch, and a rebase margin that forces at
-    # least one in-place cache rebase mid-run. Per-request latency =
-    # submit -> wav file written (streams: -> final segment received).
-    eng_p50 = eng_p95 = eng_agg_rtf = eng_eff_tps = None
-    eng_stats = {}
-    try:
-        import threading as _threading
-
-        from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
-
-        eng = ContinuousBatchingEngine(
-            tts, slots=8, segment_tokens=64, rebase_margin=1024
-        )
-        # realistic utterance budget: ~3.4 s of audio per request (random
-        # weights rarely sample end-of-audio, so uncapped requests run to
-        # the block limit — ~13 s utterances — and the latency percentiles
-        # measure utterance length, not serving)
-        req_tokens = 512
-        # engine warmup precompiles the full envelope (group prefill per
-        # bucket, segment decode, join, rebase, renders) — the same call a
-        # production `serve --batching` boot makes; replaces the round-3
-        # hand-warm throwaway requests
-        t0 = time.perf_counter()
-        eng.warmup()
-        log(f"engine warmup: {time.perf_counter()-t0:.1f}s")
-        for k in eng.stats:
-            eng.stats[k] = 0
-
-        long_prompt_text = (
-            "This request carries a deliberately long prompt so that it "
-            "lands in the two-hundred-and-fifty-six token prompt bucket "
-            "instead of the short one. " * 4
-        )
-
-        def _consume_stream(handle, out):
-            # streaming consumer: record time of last segment
-            n = 0
-            for _seg in handle:
-                n += 1
-            out["done_t"] = time.perf_counter()
-            out["segments"] = n
-
-        rng_l = np.random.default_rng(0)
-        n_req = 12
-        futs, submit_t, stream_outs = [], [], []
-        t_start = time.perf_counter()
-        for i in range(n_req):
-            txt = long_prompt_text if i % 3 == 2 else text
-            if i % 4 == 3:  # 25% streaming
-                h = eng.submit(txt, ref_path, stream=True, max_new_tokens=req_tokens)
-                out = {}
-                th = _threading.Thread(target=_consume_stream, args=(h, out))
-                th.start()
-                stream_outs.append((out, th, time.perf_counter()))
-                futs.append(None)
-            else:
-                futs.append(eng.submit(txt, ref_path, max_new_tokens=req_tokens))
-            submit_t.append(time.perf_counter())
-            time.sleep(float(rng_l.exponential(0.25)))
-        lats, paths = [], []
-        for f, ts in zip(futs, submit_t):
-            if f is None:
+        for line in (r.stderr or "").splitlines():
+            if "cpu_aot" in line or "Platform" in line:
                 continue
-            try:
-                paths.append(f.result(timeout=1200))
-                lats.append(time.perf_counter() - ts)
-            except Exception as e:
-                log(f"engine request failed: {e}")
-        for out, th, ts in stream_outs:
-            th.join(timeout=1200)
-            if "done_t" in out:
-                lats.append(out["done_t"] - ts)
-        # completion wall-clock is shared; per-request latency measured from
-        # its own submit time (late requests overlap earlier decodes)
-        if lats:
-            wall_all = time.perf_counter() - t_start
-            audio_all = sum(aio.duration_s(p) for p in paths)
-            eng_p50 = float(np.percentile(lats, 50))
-            eng_p95 = float(np.percentile(lats, 95))
-            eng_agg_rtf = wall_all / max(audio_all, 1e-6)
-            # effective throughput: tokens actually decoded per second of
-            # wall (the round-3 blind spot: raw batch decode did 2889 agg
-            # tok/s while the engine delivered ~317 effective)
-            eng_eff_tps = eng.stats["row_tokens"] / wall_all
-            occupancy = eng.stats["row_tokens"] / max(
-                eng.stats["segments"] * eng.n_slots * eng.segment_tokens, 1
-            )
-            eng_stats = dict(eng.stats, occupancy=round(occupancy, 3))
-            log(
-                f"engine mixed Poisson({n_req} req x {req_tokens} tok, 2 prompt "
-                f"buckets, 3 streams, mean gap 250 ms): p50 {eng_p50:.2f}s "
-                f"p95 {eng_p95:.2f}s, {audio_all:.1f}s audio in {wall_all:.1f}s "
-                f"wall -> serving RTF {eng_agg_rtf:.3f}, effective "
-                f"{eng_eff_tps:.0f} agg tok/s ({len(lats)} ok); stats {eng_stats}"
-            )
-        eng.shutdown()
+            log(f"[serving] {line}")
+        if r.returncode == 0 and r.stdout.strip():
+            serving_extras = json.loads(r.stdout.strip().splitlines()[-1])
+        else:
+            log(f"serving child failed rc={r.returncode}")
     except Exception as e:
-        log(f"engine latency measurement skipped: {e}")
+        log(f"serving sections skipped: {e}")
+    chunked_rtf = serving_extras.get("chunked_rtf")
+    chunked_wall = serving_extras.get("chunked_wall_s")
+    chunked_rtf_tok = serving_extras.get("chunked_rtf_token_norm")
+    chunked_n = serving_extras.get("chunked_n")
+    eng_p50 = serving_extras.get("engine_poisson_p50_s")
+    eng_p95 = serving_extras.get("engine_poisson_p95_s")
+    eng_agg_rtf = serving_extras.get("engine_aggregate_serving_rtf")
+    eng_eff_tps = serving_extras.get("engine_effective_agg_tok_s")
+    eng_stats = serving_extras.get("engine_stats") or {}
+    serving_rtt = serving_extras.get("serving_rtt_probe_ms")
 
     # ---- on-chip finetune step (VERDICT r3 missing #2): one real-scale
     # last-1-block bf16 train step. Subprocess-isolated: a crashed oversized
@@ -595,8 +493,10 @@ def main():
         "engine_note": (
             "12 mixed Poisson arrivals of ~3.4s utterances on 8 slots: 2 "
             "prompt buckets (128/256), 25% streaming, rebase-forcing margin; "
-            "latency = submit -> wav written (streams: final segment)"
+            "latency = submit -> wav written (streams: final segment); "
+            "measured in a fresh subprocess (scripts/bench_serving.py)"
         ),
+        "serving_rtt_probe_ms": serving_rtt,
         "vs_baseline_note": "denominator 300 tok/s is BASELINE.json's north-star target; the reference publishes no GPU decode figure (BASELINE.json.published is empty)",
         "batch8_aggregate_tokens_per_sec": round(batch_tps, 1) if batch_tps else None,
         "batch16_int8kv_aggregate_tokens_per_sec": (

@@ -103,6 +103,10 @@ class _Slot:
     req: SynthesisRequest | None = None
     tokens: list = field(default_factory=list)  # generated audio tokens (no EOA)
     rendered: int = 0  # tokens already sent through the streaming vocoder
+    # streaming renders are CHAINED per request on the render pool so
+    # segments stay ordered while the worker thread keeps decoding
+    render_chain: Future | None = None
+    carry: np.ndarray | None = None  # frames a render returned unconsumed
 
     @property
     def free(self) -> bool:
@@ -696,34 +700,80 @@ class ContinuousBatchingEngine:
             s.tokens = s.tokens[: s.req.max_new_tokens]
             finished = True
         if s.req is not None and s.req.stream and not finished:
-            self._stream_render(slot, final=False)
+            self._stream_render(slot)
         if finished:
             self._complete(slot)
 
-    def _stream_render(self, slot: int, final: bool):
-        """Send this slot's un-rendered whole frames through stage2+vocoder."""
+    def _chain_render(self, s: _Slot, fn):
+        """Queue ``fn`` on the render pool strictly AFTER this slot's
+        previously queued render, so a request's segments arrive in order —
+        without blocking the worker thread (the round-3 design rendered
+        stream segments INSIDE the worker loop, serializing ~0.3 s of
+        stage2+vocoder against every decode segment: with 25% streaming
+        traffic that alone blew engine p50 from ~4 s to ~17 s) and without
+        occupying a pool worker while waiting (chained via done-callback,
+        not an in-pool join, so two queued renders of the same request can
+        never deadlock the 2-worker pool)."""
+        done = Future()
+
+        def run():
+            try:
+                fn()
+            finally:
+                done.set_result(None)
+
+        prev, s.render_chain = s.render_chain, done
+        if prev is None:
+            try:
+                self._render_pool.submit(run)
+            except RuntimeError:  # pool shut down: run inline so a stream's
+                run()  # finalize still closes its handle (no hung consumer)
+        else:
+
+            def _go(_):
+                try:
+                    self._render_pool.submit(run)
+                except RuntimeError:  # pool shut down mid-chain
+                    run()
+
+            prev.add_done_callback(_go)
+
+    def _stream_render(self, slot: int):
+        """Queue this slot's un-rendered whole frames for stage2+vocoder.
+
+        Runs asynchronously on the render pool (chained per request); the
+        worker thread only snapshots the chunk and advances ``rendered``.
+        ``carry`` threads tokens a render could not turn into a whole audio
+        frame through the serial chain — only chain tasks touch it, so it
+        needs no lock.
+        """
         s = self._slots[slot]
         req = s.req
         avail = len(s.tokens) - s.rendered
-        if not final and avail < self.segment_tokens:
+        if avail < self.segment_tokens:
             return  # accumulate a full segment before rendering
         n = (avail // 2) * 2
         if n <= 0:
             return
         chunk = np.asarray(s.tokens[s.rendered : s.rendered + n], np.int32)
+        s.rendered += n
         self._key, kr = jax.random.split(self._key)
-        try:
-            with phases.phase("eng.stream_render"):
-                wav = self.tts._tokens_to_wav(
-                    req.text, req.prompt_tokens, chunk, req.spk_emb, kr, fused=True,
-                    streaming_segment=True,
-                )
-            req.handle._push(wav)
-            s.rendered += n  # only consumed once actually rendered
-        except RuntimeError:
-            # no complete audio frame yet: leave `rendered` so the tokens
-            # are retried with the next (larger) accumulation
-            pass
+
+        def task():
+            pending = chunk if s.carry is None else np.concatenate([s.carry, chunk])
+            s.carry = None
+            try:
+                with phases.phase("eng.stream_render"):
+                    wav = self.tts._tokens_to_wav(
+                        req.text, req.prompt_tokens, pending, req.spk_emb, kr,
+                        fused=True, streaming_segment=True,
+                    )
+                req.handle._push(wav)
+            except RuntimeError:
+                # no complete audio frame yet: retry with the next chunk
+                s.carry = pending
+
+        self._chain_render(s, task)
 
     def _complete(self, slot: int):
         s = self._slots[slot]
@@ -737,31 +787,45 @@ class ContinuousBatchingEngine:
         if req is None:
             return
         if req.stream:
-            # flush remaining frames inline (ordering), then close
-            self._slots_finalize_stream(s, req)
+            # queue the final flush BEHIND any in-flight segment renders
+            # (per-request chain keeps ordering), then close the stream
+            self._finalize_stream(s, req)
             return
         tokens = list(s.tokens)
         self._key, kr = jax.random.split(self._key)
         self._render_pool.submit(self._render_full, req, tokens, kr)
 
-    def _slots_finalize_stream(self, s: _Slot, req: SynthesisRequest):
-        try:
-            avail = len(s.tokens) - s.rendered
-            n = (avail // 2) * 2
-            if n > 0:
-                chunk = np.asarray(s.tokens[s.rendered : s.rendered + n], np.int32)
-                self._key, kr = jax.random.split(self._key)
-                try:
-                    wav = self.tts._tokens_to_wav(
-                        req.text, req.prompt_tokens, chunk, req.spk_emb, kr,
-                        fused=True, streaming_segment=True,
-                    )
-                    req.handle._push(wav)
-                except RuntimeError:
-                    pass
-            req.handle._finish()
-        except Exception as e:  # pragma: no cover
-            req.handle._finish(e)
+    def _finalize_stream(self, s: _Slot, req: SynthesisRequest):
+        avail = len(s.tokens) - s.rendered
+        n = (avail // 2) * 2
+        chunk = (
+            np.asarray(s.tokens[s.rendered : s.rendered + n], np.int32)
+            if n > 0
+            else None
+        )
+        s.rendered += n
+        self._key, kr = jax.random.split(self._key)
+
+        def task():
+            try:
+                parts = [p for p in (s.carry, chunk) if p is not None and len(p)]
+                s.carry = None
+                if parts:
+                    pending = np.concatenate(parts) if len(parts) > 1 else parts[0]
+                    try:
+                        with phases.phase("eng.stream_render"):
+                            wav = self.tts._tokens_to_wav(
+                                req.text, req.prompt_tokens, pending, req.spk_emb,
+                                kr, fused=True, streaming_segment=True,
+                            )
+                        req.handle._push(wav)
+                    except RuntimeError:
+                        pass  # leftover tokens held no whole audio frame
+                req.handle._finish()
+            except Exception as e:  # pragma: no cover
+                req.handle._finish(e)
+
+        self._chain_render(s, task)
 
     def _render_full(self, req: SynthesisRequest, tokens: list, key):
         try:

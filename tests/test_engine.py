@@ -168,6 +168,18 @@ def test_staggered_arrival_streams_before_earlier_finishes(tmp_path, ref_wav, mo
     # make decodes effectively endless so 'A still running' is guaranteed
     monkeypatch.setattr(T, "END_OF_AUDIO_TOKEN", 10**6)
     tts = TTS.from_random(jax.random.PRNGKey(3), small=True, output_dir=str(tmp_path))
+    # This test pins a SCHEDULING property (B gets audio mid-flight), so make
+    # renders content-independent: random weights occasionally sample a
+    # single-hierarchy token stream for B (no complete audio frame -> every
+    # render legitimately raises), which would fail the test on content, not
+    # scheduling. Real renders are covered by test_streaming_rides_the_batcher.
+    monkeypatch.setattr(
+        type(tts),
+        "_tokens_to_wav",
+        lambda self, text, prompt, toks, *a, **kw: np.zeros(
+            max(1, len(toks)) * 160, np.float32
+        ),
+    )
     eng = ContinuousBatchingEngine(tts, slots=2, segment_tokens=8)
     try:
         hA = eng.submit("First long request.", ref_wav, stream=True)
@@ -351,5 +363,111 @@ def test_engine_rebase_under_sustained_load(tmp_path, ref_wav, monkeypatch):
             assert os.path.exists(f.result(timeout=900))
         assert eng.stats["rebases"] >= 1, eng.stats
         assert eng.stats["truncations"] == 0, eng.stats
+    finally:
+        eng.shutdown()
+
+
+def test_stream_renders_do_not_block_decode(tmp_path, ref_wav, monkeypatch):
+    """Round-4 orchestration fix: stream segment renders run ASYNC on the
+    render pool (chained per request), so a slow render must not stall the
+    worker's decode loop. With a render that sleeps 0.5 s, the engine must
+    keep decoding (token count grows) while the first render is in flight —
+    the round-3 design rendered inside the worker loop, which serialized
+    every stream render against every decode segment (p50 16.8 s vs 4.2 s
+    on the mixed Poisson workload)."""
+    import time as _time
+
+    from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+
+    monkeypatch.setattr(T, "END_OF_AUDIO_TOKEN", 10**6)  # endless decode
+    tts = TTS.from_random(jax.random.PRNGKey(3), small=True, output_dir=str(tmp_path))
+    render_calls = []
+
+    def slow_render(self, text, prompt, toks, *a, **kw):
+        render_calls.append(len(toks))
+        _time.sleep(0.5)
+        return np.zeros(max(1, len(toks)) * 160, np.float32)
+
+    monkeypatch.setattr(type(tts), "_tokens_to_wav", slow_render)
+    eng = ContinuousBatchingEngine(tts, slots=2, segment_tokens=8)
+    try:
+        h = eng.submit("Decode must not wait for renders.", ref_wav, stream=True)
+        seg = h._q.get(timeout=300)  # first render done (0.5 s sleep passed)
+        assert isinstance(seg, np.ndarray)
+        toks_at_first_push = len(eng._slots[0].tokens) if not eng._slots[0].free else 0
+        _time.sleep(1.0)  # two more render slots' worth of wall time
+        toks_later = len(eng._slots[0].tokens) if not eng._slots[0].free else 10**9
+        # the worker decoded MANY more segments than renders completed: with
+        # blocking renders it could only add ~8 tokens per 0.5 s render
+        assert toks_later - toks_at_first_push > 3 * eng.segment_tokens
+    finally:
+        eng.shutdown()
+
+
+def test_stream_segments_arrive_in_decode_order(tmp_path, ref_wav, monkeypatch):
+    """Async chained renders must preserve per-request segment order even
+    when many segments queue behind a slow render pool."""
+    from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+
+    tts = TTS.from_random(jax.random.PRNGKey(3), small=True, output_dir=str(tmp_path))
+
+    def tagged_render(self, text, prompt, toks, *a, **kw):
+        # encode the chunk's FIRST generated token index into the wav length
+        return np.zeros(len(toks), np.float32)
+
+    monkeypatch.setattr(type(tts), "_tokens_to_wav", tagged_render)
+    eng = ContinuousBatchingEngine(tts, slots=2, segment_tokens=8)
+    try:
+        h = eng.submit(
+            "Order must hold under queued renders.", ref_wav, stream=True,
+            max_new_tokens=64,
+        )
+        segs = list(h)
+        assert segs, "no segments"
+        # segments tile the token stream in order: each chunk starts where
+        # the previous ended, so cumulative lengths are strictly increasing
+        # and total <= the budget (wav length == chunk token count here)
+        total = sum(len(s) for s in segs)
+        assert total <= 64 and all(len(s) > 0 for s in segs)
+        assert len(segs) >= total // (2 * eng.segment_tokens)
+    finally:
+        eng.shutdown()
+
+
+def test_stream_render_carry_retries_unrenderable_tokens(tmp_path, ref_wav, monkeypatch):
+    """A render that raises RuntimeError (no whole audio frame yet) must not
+    lose its tokens: they carry into the next chained render, and the final
+    flush still renders everything exactly once."""
+    from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+
+    tts = TTS.from_random(jax.random.PRNGKey(3), small=True, output_dir=str(tmp_path))
+    calls = {"n": 0, "seen": []}
+
+    def flaky_render(self, text, prompt, toks, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] % 2 == 1:  # every odd render attempt fails
+            raise RuntimeError("no complete frame yet")
+        calls["seen"].append(np.asarray(toks).copy())
+        return np.zeros(len(toks), np.float32)
+
+    monkeypatch.setattr(type(tts), "_tokens_to_wav", flaky_render)
+    eng = ContinuousBatchingEngine(tts, slots=2, segment_tokens=8)
+    try:
+        h = eng.submit(
+            "Carried tokens must not be lost.", ref_wav, stream=True,
+            max_new_tokens=48,
+        )
+        segs = list(h)
+        rendered_tokens = np.concatenate(calls["seen"]) if calls["seen"] else np.array([])
+        # every successful render's chunk length matches its pushed wav, and
+        # the union of rendered chunks is a prefix-tiling (no gaps, no dupes):
+        # total pushed == total tokens successfully rendered
+        assert sum(len(s) for s in segs) == len(rendered_tokens)
+        # failed attempts' tokens were retried: at least one successful render
+        # contains MORE than one chunk's worth of tokens (carry + new chunk)
+        if calls["n"] >= 2 and calls["seen"]:
+            assert max(len(c) for c in calls["seen"]) > eng.segment_tokens or len(
+                calls["seen"]
+            ) == 1
     finally:
         eng.shutdown()
