@@ -33,6 +33,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -44,6 +45,13 @@ from metavoice_tpu.core import tokens as T
 from metavoice_tpu.models import first_stage as fs
 from metavoice_tpu.models import transformer as tfm
 from metavoice_tpu.utils import phases
+
+
+@jax.jit
+def _set_at(cur, idx, val):
+    """cur.at[idx].set(val) with a TRACED index: one compiled program for
+    every slot, instead of one eager .at[i].set program per Python int."""
+    return cur.at[idx].set(val)
 
 
 class StreamHandle:
@@ -104,9 +112,13 @@ class _Slot:
     tokens: list = field(default_factory=list)  # generated audio tokens (no EOA)
     rendered: int = 0  # tokens already sent through the streaming vocoder
     # streaming renders are CHAINED per request on the render pool so
-    # segments stay ordered while the worker thread keeps decoding
+    # segments stay ordered while the worker thread keeps decoding; chunks
+    # queue in `pending` and each chain task drains ALL of it in one render,
+    # so a backlog coalesces into fewer, larger renders (self-pacing under
+    # more streams than the pool keeps up with) instead of growing unboundedly
     render_chain: Future | None = None
-    carry: np.ndarray | None = None  # frames a render returned unconsumed
+    pending: deque = field(default_factory=deque)
+    lock: threading.Lock = field(default_factory=threading.Lock)
 
     @property
     def free(self) -> bool:
@@ -182,6 +194,13 @@ class ContinuousBatchingEngine:
         self._p = np.full((slots, 1), 0.95, np.float32)
         self._g = np.full((slots, 1), 3.0, np.float32)
         self._key = jax.random.PRNGKey(tts.runtime.seed + 1)
+        # joins stash their first sampled token as a DEVICE array here; it is
+        # composed into `cur` on device and fetched WITH the next segment's
+        # fetch. A synchronous int(np.asarray(first)) at join time drains the
+        # whole serialized device queue (in-flight renders + decode) inside
+        # the worker loop — measured 1.1 s per join, 65% of the mixed-Poisson
+        # wall (round 4, scripts/bench_serving.py phase report).
+        self._pending_first: dict[int, jax.Array] = {}
         self._queue: "queue.Queue[SynthesisRequest | None]" = queue.Queue()
         self._deferred: list[SynthesisRequest] = []
         # scheduling observability (read by /metrics and the serving bench):
@@ -324,16 +343,23 @@ class ContinuousBatchingEngine:
             self._kv = tfm.KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
         # segment decode (one program: seg is a traced operand), fetched with
         # the exact _step_segment expression so its eager concat/reshape ops
-        # are warmed too
+        # are warmed too — including the join first-token compose (_set_at)
+        cur_w = _set_at(
+            jnp.asarray(self._cur), 0, jnp.asarray(f1).reshape(-1)[0]
+        )
         _buf, lens_d, self._kv = fs.decode_batch(
-            c.first_stage_params, cfg, jnp.asarray(self._cur),
+            c.first_stage_params, cfg, cur_w,
             jnp.asarray(self._pos, jnp.int32), jnp.asarray(self._pad), spk,
             self._kv, key, t, p, g, jnp.asarray(2, jnp.int32),
             self.segment_tokens, T.END_OF_AUDIO_TOKEN, cdt,
         )
         np.asarray(
             jnp.concatenate(
-                [lens_d.reshape(-1, 1).astype(jnp.int32), _buf.astype(jnp.int32)],
+                [
+                    cur_w.reshape(-1, 1).astype(jnp.int32),
+                    lens_d.reshape(-1, 1).astype(jnp.int32),
+                    _buf.astype(jnp.int32),
+                ],
                 axis=1,
             )
         )
@@ -408,6 +434,7 @@ class ContinuousBatchingEngine:
                 # in-flight request and rebuild the cache — prefill/decode
                 # DONATE it, so after an aborted call the old buffers must
                 # not be reused. The worker thread itself must survive.
+                self._pending_first.clear()
                 for i in self._actives():
                     self._fail(i, e)
                 # rebuild ON THE SAME DEVICE: replica engines hold a
@@ -625,9 +652,9 @@ class ContinuousBatchingEngine:
         # window start = P - len(prompt): logical positions continue the
         # prompt's own timeline (decode embeds wpe[pos - pad])
         self._pad[slot] = self._pos - min(len(req.prompt_tokens), bucket)
-        tok = int(np.asarray(first)[0])
-        self._cur[slot] = tok
-        self._note_tokens(slot, [tok])
+        # NO host fetch here: stash the device array; _step_segment composes
+        # it into `cur` on device and notes the token after its own fetch
+        self._pending_first[slot] = first.reshape(-1)
 
     # ------------------------------------------------------------------ decode segment
     def _step_segment(self):
@@ -642,10 +669,15 @@ class ContinuousBatchingEngine:
             return
         self._key, kd = jax.random.split(self._key)
         seg = min(self.segment_tokens, self._block - self._pos)
+        # compose joiners' stashed first tokens into cur ON DEVICE (tiny
+        # dispatches, no fetch) and ride them through the segment's one fetch
+        cur = jnp.asarray(self._cur)
+        for slot, fd in self._pending_first.items():
+            cur = _set_at(cur, slot, fd[0])
         with phases.phase("eng.decode"):
             buf, lens, self._kv = fs.decode_batch(
                 c.first_stage_params, self._cfg,
-                jnp.asarray(self._cur), jnp.asarray(self._pos, jnp.int32),
+                cur, jnp.asarray(self._pos, jnp.int32),
                 jnp.asarray(self._pad), jnp.asarray(self._spk), self._kv, kd,
                 jnp.asarray(self._t), jnp.asarray(self._p), jnp.asarray(self._g),
                 jnp.asarray(seg, jnp.int32), self.segment_tokens,
@@ -653,10 +685,23 @@ class ContinuousBatchingEngine:
             )
             fetch = np.asarray(
                 jnp.concatenate(
-                    [lens.reshape(-1, 1).astype(jnp.int32), buf.astype(jnp.int32)], axis=1
+                    [
+                        cur.reshape(-1, 1).astype(jnp.int32),
+                        lens.reshape(-1, 1).astype(jnp.int32),
+                        buf.astype(jnp.int32),
+                    ],
+                    axis=1,
                 )
             )
-        lens_h = fetch[:, 0]
+        cur_h, lens_h = fetch[:, 0], fetch[:, 1]
+        # resolve deferred joins: note each first token BEFORE this segment's
+        # tokens for that slot (stream/EOA/budget semantics see them in order)
+        pend, self._pending_first = self._pending_first, {}
+        for slot in sorted(pend):
+            if self._slots[slot].free:
+                continue
+            self._cur[slot] = cur_h[slot]
+            self._note_tokens(slot, [int(cur_h[slot])])
         steps = int(lens_h.max()) if len(lens_h) else 0
         self.stats["segments"] += 1
         self.stats["row_tokens"] += int(lens_h.sum())
@@ -671,7 +716,7 @@ class ContinuousBatchingEngine:
                 n = int(lens_h[i])
                 if n == 0:
                     continue
-                toks = fetch[i, 1 : 1 + n].tolist()
+                toks = fetch[i, 2 : 2 + n].tolist()
                 self._cur[i] = toks[-1]
                 self._note_tokens(i, toks)
 
@@ -742,10 +787,12 @@ class ContinuousBatchingEngine:
         """Queue this slot's un-rendered whole frames for stage2+vocoder.
 
         Runs asynchronously on the render pool (chained per request); the
-        worker thread only snapshots the chunk and advances ``rendered``.
-        ``carry`` threads tokens a render could not turn into a whole audio
-        frame through the serial chain — only chain tasks touch it, so it
-        needs no lock.
+        worker thread only snapshots the chunk into ``pending`` and advances
+        ``rendered``. Each chain task drains EVERYTHING pending in one
+        render, so if renders fall behind decode the backlog coalesces into
+        fewer, larger renders; a render that raises RuntimeError (no whole
+        audio frame in the span yet) pushes its tokens back to the front of
+        ``pending`` so nothing is lost.
         """
         s = self._slots[slot]
         req = s.req
@@ -757,21 +804,28 @@ class ContinuousBatchingEngine:
             return
         chunk = np.asarray(s.tokens[s.rendered : s.rendered + n], np.int32)
         s.rendered += n
+        with s.lock:
+            s.pending.append(chunk)
         self._key, kr = jax.random.split(self._key)
 
         def task():
-            pending = chunk if s.carry is None else np.concatenate([s.carry, chunk])
-            s.carry = None
+            with s.lock:
+                if not s.pending:
+                    return  # drained by an earlier coalesced render
+                parts = list(s.pending)
+                s.pending.clear()
+            toks = parts[0] if len(parts) == 1 else np.concatenate(parts)
             try:
                 with phases.phase("eng.stream_render"):
                     wav = self.tts._tokens_to_wav(
-                        req.text, req.prompt_tokens, pending, req.spk_emb, kr,
+                        req.text, req.prompt_tokens, toks, req.spk_emb, kr,
                         fused=True, streaming_segment=True,
                     )
                 req.handle._push(wav)
             except RuntimeError:
                 # no complete audio frame yet: retry with the next chunk
-                s.carry = pending
+                with s.lock:
+                    s.pending.appendleft(toks)
 
         self._chain_render(s, task)
 
@@ -798,24 +852,25 @@ class ContinuousBatchingEngine:
     def _finalize_stream(self, s: _Slot, req: SynthesisRequest):
         avail = len(s.tokens) - s.rendered
         n = (avail // 2) * 2
-        chunk = (
-            np.asarray(s.tokens[s.rendered : s.rendered + n], np.int32)
-            if n > 0
-            else None
-        )
-        s.rendered += n
+        if n > 0:
+            with s.lock:
+                s.pending.append(
+                    np.asarray(s.tokens[s.rendered : s.rendered + n], np.int32)
+                )
+            s.rendered += n
         self._key, kr = jax.random.split(self._key)
 
         def task():
             try:
-                parts = [p for p in (s.carry, chunk) if p is not None and len(p)]
-                s.carry = None
+                with s.lock:
+                    parts = list(s.pending)
+                    s.pending.clear()
                 if parts:
-                    pending = np.concatenate(parts) if len(parts) > 1 else parts[0]
+                    toks = parts[0] if len(parts) == 1 else np.concatenate(parts)
                     try:
                         with phases.phase("eng.stream_render"):
                             wav = self.tts._tokens_to_wav(
-                                req.text, req.prompt_tokens, pending, req.spk_emb,
+                                req.text, req.prompt_tokens, toks, req.spk_emb,
                                 kr, fused=True, streaming_segment=True,
                             )
                         req.handle._push(wav)

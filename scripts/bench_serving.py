@@ -169,13 +169,21 @@ def main():
             sink["done_t"] = time.perf_counter()
             sink["segments"] = n
 
+        from metavoice_tpu.utils import phases
+
+        if os.environ.get("MVTPU_PHASE_TIMERS"):
+            phases.reset()
+            phases.enable()
         rng_l = np.random.default_rng(0)
         n_req = 12
         futs, submit_t, stream_outs = [], [], []
         t_start = time.perf_counter()
+        # bisect knobs (diagnosis only; the recorded metric uses neither)
+        no_long = bool(os.environ.get("MVTPU_BENCH_NO_LONGPROMPT"))
+        no_streams = bool(os.environ.get("MVTPU_BENCH_NO_STREAMS"))
         for i in range(n_req):
-            txt = long_prompt_text if i % 3 == 2 else text
-            if i % 4 == 3:  # 25% streaming
+            txt = long_prompt_text if (i % 3 == 2 and not no_long) else text
+            if i % 4 == 3 and not no_streams:  # 25% streaming
                 h = eng.submit(txt, ref_path, stream=True, max_new_tokens=req_tokens)
                 sink = {}
                 th = threading.Thread(target=_consume_stream, args=(h, sink))
@@ -223,6 +231,9 @@ def main():
                 f"{out['engine_effective_agg_tok_s']} agg tok/s ({len(lats)} ok); "
                 f"stats {out['engine_stats']}"
             )
+        if os.environ.get("MVTPU_PHASE_TIMERS"):
+            phases.enable(False)
+            log(phases.format_report(time.perf_counter() - t_start))
         eng.shutdown()
     except Exception as e:
         log(f"engine latency measurement skipped: {e}")

@@ -471,3 +471,33 @@ def test_stream_render_carry_retries_unrenderable_tokens(tmp_path, ref_wav, monk
             ) == 1
     finally:
         eng.shutdown()
+
+
+def test_stream_render_backlog_coalesces(tmp_path, ref_wav, monkeypatch):
+    """When renders fall behind decode, queued chunks coalesce: each chain
+    task drains everything pending in ONE render, so the backlog stays
+    bounded (fewer, larger segments) and no token is rendered twice or lost."""
+    import time as _time
+
+    from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
+
+    monkeypatch.setattr(T, "END_OF_AUDIO_TOKEN", 10**6)  # fixed-length decode
+    tts = TTS.from_random(jax.random.PRNGKey(3), small=True, output_dir=str(tmp_path))
+
+    def slow_tagged_render(self, text, prompt, toks, *a, **kw):
+        _time.sleep(0.3)  # force a backlog: decode outpaces renders
+        return np.zeros(len(toks), np.float32)  # wav length == token count
+
+    monkeypatch.setattr(type(tts), "_tokens_to_wav", slow_tagged_render)
+    eng = ContinuousBatchingEngine(tts, slots=2, segment_tokens=8)
+    try:
+        h = eng.submit(
+            "Backlog must coalesce.", ref_wav, stream=True, max_new_tokens=96
+        )
+        segs = list(h)
+        total = sum(len(s) for s in segs)
+        assert total == 96, f"tokens lost or duplicated: {total}"
+        # ~12 chunks decoded; with 0.3 s renders most must have coalesced
+        assert len(segs) < 9, f"no coalescing: {len(segs)} renders for 12 chunks"
+    finally:
+        eng.shutdown()
