@@ -44,6 +44,15 @@ def _add_model_args(ap: argparse.ArgumentParser) -> None:
         "DMA ceiling with shift-based unpack instead of the relayout-bound "
         "i8 converts that make plain 'int8' ~20%% slower than bf16",
     )
+    ap.add_argument(
+        "--draft_checkpoint",
+        help="small first-stage-format ckpt (.pt/.npz) enabling speculative "
+        "decoding for single-stream synthesis (models/spec_decode.py)",
+    )
+    ap.add_argument(
+        "--speculative_gamma", type=int, default=4,
+        help="tokens proposed per speculation round (with --draft_checkpoint)",
+    )
     ap.add_argument("--seed", type=int, default=1337)
     ap.add_argument("--output_dir", default="outputs")
     ap.add_argument(
@@ -73,6 +82,8 @@ def _build_tts(args):
         args.second_stage_path,
         args.speaker_encoder_path,
         encodec_path=args.encodec_path,
+        draft_checkpoint=getattr(args, "draft_checkpoint", None),
+        speculative_gamma=getattr(args, "speculative_gamma", 4),
         output_dir=args.output_dir,
         quantisation_mode=args.quantisation_mode,
         kv_cache_dtype=args.kv_cache_dtype,

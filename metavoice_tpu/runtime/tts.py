@@ -143,6 +143,9 @@ class TTS:
         tensor_parallel: int = 1,
         telemetry_origin: str | None = None,
         telemetry_client=None,
+        draft_params=None,
+        draft_cfg=None,
+        speculative_gamma: int = 4,
     ):
         self.c = components
         if components.vocoder not in ("encodec", "mbd"):
@@ -241,6 +244,25 @@ class TTS:
                 f"Invalid quantisation mode {mode}! Must be either 'int4', "
                 "'int8', 'int8_packed' or 'int8_plain'!"
             )
+        # speculative decoding (models/spec_decode.py): a small draft model
+        # proposes `speculative_gamma` tokens per round and the first stage
+        # verifies them in ONE multi-token forward; the emitted distribution
+        # is exactly the ordinary sampling distribution (oracle-tested).
+        # B=1 single-stream only; the draft stays dense (it is small) and
+        # the spec path uses bf16 KV caches regardless of kv_cache_dtype.
+        if draft_params is not None and draft_cfg is None:
+            raise ValueError("draft_params requires draft_cfg")
+        if draft_params is not None and self._tensor_parallel > 1:
+            raise ValueError(
+                "speculative decoding is not supported with tensor_parallel"
+            )
+        self._draft_params = draft_params
+        self._draft_cfg = draft_cfg
+        self._spec_gamma = int(speculative_gamma)
+        # cumulative acceptance ledger, exposed for observability:
+        # accepted/proposed = draft acceptance rate, emitted/rounds = tokens
+        # gained per target forward (ordinary decoding's rate is 1.0)
+        self.spec_stats = {"accepted": 0, "proposed": 0, "rounds": 0, "emitted": 0}
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         # anonymous usage telemetry (reference fast_inference.py:62,173-193);
@@ -415,6 +437,7 @@ class TTS:
         speaker_encoder_path: str,
         encodec_path: str | None = None,
         encodec_cfg: "ec.EncodecConfig | None" = None,
+        draft_checkpoint: str | None = None,
         **kwargs,
     ) -> "TTS":
         """Build from converted reference checkpoints (utils/checkpoint).
@@ -424,8 +447,28 @@ class TTS:
         fam/llm/fast_inference.py:88-92 via audiocraft) or a native ``.npz``;
         without it the vocoder is RANDOM-weight EnCodec — fine for smoke
         tests, silence-adjacent noise for real use.
+
+        ``draft_checkpoint`` (first-stage-format ``.pt``/``.npz``, e.g. a
+        small model trained with the in-repo trainer) enables speculative
+        decoding for single-stream synthesis (models/spec_decode.py); tune
+        the window with ``speculative_gamma``.
         """
         from metavoice_tpu.utils import checkpoint as ck
+
+        if draft_checkpoint:
+            if draft_checkpoint.endswith(".npz"):
+                dp, dcfg, _, d_quant = ck.load_first_stage_npz(draft_checkpoint)
+                if d_quant:
+                    raise ValueError(
+                        "draft_checkpoint must be a DENSE checkpoint (the "
+                        "draft is small; quantized drafts are not supported)"
+                    )
+            else:
+                dp, dcfg, _ = ck.load_first_stage_pt(draft_checkpoint)
+            kwargs["draft_params"] = jax.tree.map(
+                lambda a: jnp.asarray(a, jnp.bfloat16), dp
+            )
+            kwargs["draft_cfg"] = dcfg
 
         pre_quantised = None
         if first_stage_path.endswith(".npz"):
@@ -776,23 +819,47 @@ class TTS:
         with phases.phase("tts.tokenize"):
             prompt = self.c.tokenizer.encode(text)
 
-        seq = fs.generate(
-            self.c.first_stage_params,
-            self.c.first_stage_cfg,
-            prompt,
-            jnp.asarray(spk_emb),
-            key=k1,
-            temperature=temperature,
-            top_p=top_p,
-            guidance_scale=guidance_scale,
-            max_new_tokens=max_new_tokens,
-            end_of_text_token=self.c.tokenizer.eot_token,
-            prompt_pad_multiple=self.runtime.prompt_pad_multiple,
-            kv_cache=self._persistent_kv_cache(guidance_scale),
-            compute_dtype=self._compute_dtype,
-            cache_dtype=self._cache_dtype,
-            blocks_fn=self._blocks_fn,
-        )
+        if self._draft_params is not None:
+            from metavoice_tpu.models import spec_decode as sd
+
+            seq, st = sd.generate_spec(
+                self.c.first_stage_params,
+                self.c.first_stage_cfg,
+                self._draft_params,
+                self._draft_cfg,
+                prompt,
+                jnp.asarray(spk_emb),
+                key=k1,
+                gamma=self._spec_gamma,
+                temperature=temperature,
+                top_p=top_p,
+                guidance_scale=guidance_scale,
+                max_new_tokens=max_new_tokens,
+                end_of_text_token=self.c.tokenizer.eot_token,
+                prompt_pad_multiple=self.runtime.prompt_pad_multiple,
+                compute_dtype=self._compute_dtype,
+                return_stats=True,
+            )
+            for k, v in st.items():
+                self.spec_stats[k] += v
+        else:
+            seq = fs.generate(
+                self.c.first_stage_params,
+                self.c.first_stage_cfg,
+                prompt,
+                jnp.asarray(spk_emb),
+                key=k1,
+                temperature=temperature,
+                top_p=top_p,
+                guidance_scale=guidance_scale,
+                max_new_tokens=max_new_tokens,
+                end_of_text_token=self.c.tokenizer.eot_token,
+                prompt_pad_multiple=self.runtime.prompt_pad_multiple,
+                kv_cache=self._persistent_kv_cache(guidance_scale),
+                compute_dtype=self._compute_dtype,
+                cache_dtype=self._cache_dtype,
+                blocks_fn=self._blocks_fn,
+            )
         return self._tokens_to_wav(text, prompt, seq, spk_emb, k2)
 
     def synthesise_streaming(
