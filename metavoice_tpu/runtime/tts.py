@@ -600,6 +600,28 @@ class TTS:
                     blocks_fn=self._blocks_fn,
                 )
                 del seq
+                if self._draft_params is not None:
+                    # speculative path: one spec program per (gamma,
+                    # cfg_rows) — the verify lax.switch compiles ALL its
+                    # position-bucket branches in this one call — plus the
+                    # draft's prefill at this prompt bucket
+                    from metavoice_tpu.models import spec_decode as sd_mod
+
+                    sd_mod.generate_spec(
+                        self.c.first_stage_params,
+                        self.c.first_stage_cfg,
+                        self._draft_params,
+                        self._draft_cfg,
+                        padded,
+                        spk,
+                        key=key,
+                        gamma=self._spec_gamma,
+                        max_new_tokens=self._spec_gamma + 1,
+                        guidance_scale=g,
+                        end_of_text_token=eot,
+                        prompt_pad_multiple=bucket,
+                        compute_dtype=self._compute_dtype,
+                    )
         # second stage (single shape — it pads to its full context)
         coarse = [[1, 2, 3, 4], [5, 6, 7, 8]]
         codes = ss.complete_hierarchies(

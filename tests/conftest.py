@@ -23,37 +23,39 @@ import jax  # noqa: E402
 # plugin): tests must be hermetic and able to fake an 8-device mesh.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: XLA compiles are slow in this environment;
-# cache them across test runs. The dir is fingerprinted by the host's CPU
-# flags: XLA:CPU AOT executables are compiled FOR the build host's
-# microarchitecture and the cache key does not include it, so entries
-# written by a different machine (sessions of one build can land on
-# different hosts) deserialize into SIGILL/SIGSEGV — observed as
-# intermittent segfaults in compilation_cache.get_executable_and_time with
-# cpu_aot_loader feature-mismatch warnings. A per-microarch dir makes
-# foreign entries invisible instead of fatal. The TPU bench/diag scripts
-# keep the shared ~/.cache/mvtpu_jax (TPU executables come from the remote
-# compile helper and are host-independent).
-import hashlib
+# Persistent compilation cache: OFF by default for the test suite.
+# XLA:CPU AOT executable (de)serialization is not reliable on every host:
+# three full-suite runs segfaulted INSIDE jax's compilation_cache — twice in
+# get_executable_and_time (deserialize) and once in put_executable_and_time
+# (serialize), always around the largest CPU programs (full-scale TP
+# shard_map, train step) — and cpu_aot_loader logs machine-feature
+# mismatches for entries written by other hosts of the same build (the
+# cache key does not include the CPU microarch). Correctness of a suite run
+# beats warm-start speed, so caching is opt-in for local iteration:
+#   MVTPU_TEST_CACHE=1 python -m pytest tests/ -q
+# The opt-in dir is fingerprinted by the host's CPU flags so foreign-host
+# entries are invisible rather than fatal. TPU bench/diag scripts keep the
+# shared ~/.cache/mvtpu_jax (TPU executables come from the remote compile
+# helper and are host-independent).
+if os.environ.get("MVTPU_TEST_CACHE"):
+    import hashlib
 
+    def _cpu_fingerprint() -> str:
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        return hashlib.md5(line.encode()).hexdigest()[:10]
+        except OSError:
+            pass
+        return "generic"
 
-def _cpu_fingerprint() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:10]
-    except OSError:
-        pass
-    return "generic"
-
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.expanduser(f"~/.cache/mvtpu_jax_cpu_{_cpu_fingerprint()}"),
-)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser(f"~/.cache/mvtpu_jax_cpu_{_cpu_fingerprint()}"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_report_header(config):
