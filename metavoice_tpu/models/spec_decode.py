@@ -61,9 +61,6 @@ from metavoice_tpu.core.config import TransformerConfig
 from metavoice_tpu.models import first_stage as fs
 from metavoice_tpu.models import transformer as tfm
 
-# verify-attention prefix-bound granularity (see _spec_decode_fn)
-VERIFY_BUCKET = 512
-
 
 def accept_emit(
     key: jax.Array,
@@ -161,18 +158,15 @@ def _spec_decode_fn(
     spk2_d = fs._cfg_rows(spk_emb, cfg_rows)
     mask2 = fs.make_spk_cond_mask(1, cfg_rows)
     block_limit = min(cfg_t.block_size, cfg_d.block_size)
-    # Verify-attention position buckets: the generic T=gamma attention would
-    # otherwise read the FULL static cache every round (~0.8 GB at block
-    # 2048 — the dominant term in the measured 5 ms round cost,
-    # docs/PERFORMANCE.md). A lax.switch over static prefix bounds
-    # (apply_blocks attn_len) keeps the read proportional to the live
-    # prefix; each branch compiles once.
-    v_buckets = list(range(
-        min(VERIFY_BUCKET, block_limit), block_limit + 1, VERIFY_BUCKET
-    ))
-    if v_buckets[-1] != block_limit:
-        v_buckets.append(block_limit)
-    v_barr = jnp.asarray(v_buckets, jnp.int32)
+    # NOTE (measured dead end, round 4): bounding the verify attention to
+    # the live cache prefix via a lax.switch over static attn_len buckets —
+    # to avoid reading the FULL static cache (~0.8 GB/round at block 2048)
+    # — made T_round 5.0 -> 121.8 ms on the v5e: a branched conditional
+    # around the block stack defeats XLA's in-place aliasing of the carried
+    # KV caches (and the kernel-path routing) far more expensively than the
+    # full-prefix read it saves. A length-bounded MULTI-TOKEN Pallas
+    # decode-attention kernel (the T=1 kernels already stream only
+    # [0, pos]) is the correct future lever.
 
     def _guided_probs(logits_rows: jax.Array) -> jax.Array:
         """(cfg_rows, ..., V) raw logits -> (..., V) final sampled dist."""
@@ -222,21 +216,8 @@ def _spec_decode_fn(
         x = tfm.embed_inputs(
             params_t, cfg_t, idx2, positions, spk2_t, mask2, compute_dtype
         )
-
-        def _verify_branch(blen):
-            def br(xb, kvb, posb):
-                am = tfm.causal_mask_for(posb + jnp.arange(gamma), blen)[None, None]
-                return tfm.apply_blocks(
-                    params_t, cfg_t, xb, am, kvb, posb, attn_len=blen
-                )
-            return br
-
-        # smallest bucket covering every query's keys (pos+gamma <= bucket;
-        # the loop condition guarantees pos+gamma <= block_limit)
-        bidx = jnp.sum((s.pos + gamma) > v_barr)
-        out, kv_t_new = jax.lax.switch(
-            bidx, [_verify_branch(b) for b in v_buckets], x, s.kv_t, s.pos
-        )
+        am = tfm.causal_mask_for(positions, s.kv_t.max_seq_len)[None, None]
+        out, kv_t_new = tfm.apply_blocks(params_t, cfg_t, x, am, s.kv_t, s.pos)
         logits = tfm.output_logits(params_t, cfg_t, out)[0]  # (R, G, V)
         ps = _guided_probs(logits)  # (G, V)
         emitted, n_emit, done, n_acc = accept_emit(

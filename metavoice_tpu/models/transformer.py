@@ -625,19 +625,8 @@ def apply_blocks(
     dropout_key: jax.Array | None = None,
     fused_head: bool = False,
     tp_axis: str | None = None,
-    attn_len: int | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Run the L-layer block stack as one ``lax.scan``.
-
-    ``attn_len`` (static, generic cached path only): bound the attention
-    read to the first ``attn_len`` cache positions instead of the full
-    static buffer. The caller guarantees ``cache_pos + T <= attn_len`` and
-    passes a key-axis mask of width ``attn_len``. Masked-out keys score
-    exp(-inf)=0 either way, so results are unchanged — this only bounds
-    the HBM traffic and FLOPs, which otherwise scale with the FULL buffer
-    (0.8 GB/round for a T=4 speculative verify at block 2048). The fused
-    single-token TPU kernels already length-bound their cache stream and
-    ignore this.
 
     ``tp_axis``: set ONLY inside a shard_map whose params/cache are Megatron
     tensor-parallel LOCAL shards (parallel/tp_decode.py) and whose ``cfg`` is
@@ -989,12 +978,6 @@ def apply_blocks(
                     )
                     layer_k = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
                     layer_v = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
-                if attn_len is not None:
-                    # static prefix bound (see docstring): the slice starts
-                    # at 0 with a static size, so XLA shrinks the attention
-                    # loop bounds instead of materializing a copy
-                    layer_k = layer_k[:attn_len]
-                    layer_v = layer_v[:attn_len]
                 y = _attend_seq_major(q, layer_k, layer_v, cfg, mask, x.dtype)
             proj = _linear(y, lp["wo"])
             if tp_axis is not None:
