@@ -60,3 +60,30 @@ if os.environ.get("MVTPU_TEST_CACHE"):
 
 def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()}, devices: {jax.device_count()}"
+
+
+# The modules that compile the LARGEST XLA:CPU programs (full-scale 24L
+# shard_map TP decode, sharded train steps) run FIRST: four full-suite runs
+# segfaulted inside the XLA:CPU compiler / executable (de)serialization
+# when exactly these programs compiled ~30 minutes into an aged process
+# (hundreds of live executables, fragmented heap), while every module
+# passes standalone in a fresh process. Front-loading them compiles the big
+# programs while the process is young; within-file and all other ordering
+# is preserved.
+_HEAVY_FIRST = [
+    "test_tp_decode.py",
+    "test_tts_tp.py",
+    "test_sharding.py",
+    "test_training.py",
+    "test_trainer_e2e.py",
+]
+
+
+def pytest_collection_modifyitems(session, config, items):
+    def rank(item):
+        name = os.path.basename(str(item.fspath))
+        if name in _HEAVY_FIRST:
+            return (0, _HEAVY_FIRST.index(name))
+        return (1, 0)
+
+    items.sort(key=rank)
