@@ -99,6 +99,20 @@ def main():
     rtt0 = rtt_probe_ms()
     log(f"RTT probe (start): {rtt0:.1f} ms")
     out = {}
+    # Host CPU contention invalidates the engine latency numbers: a full
+    # pytest suite running concurrently inflated mixed-Poisson p50 from
+    # 6.9 s to 16.5 s with IDENTICAL engine stats (round 4). Record the
+    # 1-minute load average so a polluted run is self-identifying.
+    load1 = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    out["host_load_per_cpu"] = round(load1 / ncpu, 2)
+    # threshold ncpu + 0.5: our own startup accounts for up to ~1 core of
+    # the 1-minute average; anything beyond that is a competing process
+    if load1 > ncpu + 0.5:
+        log(
+            f"WARNING: host load {load1:.1f} on {ncpu} CPUs — engine "
+            "latency numbers below are unreliable under contention"
+        )
 
     # ---- long-text chunked RTF (BASELINE config 2): multi-chunk synthesise
     try:
