@@ -173,6 +173,39 @@ def test_from_checkpoints_full_synthesise(tmp_path):
     assert len(wav) > 0 and np.isfinite(wav).all()
 
 
+def test_from_checkpoints_draft_checkpoint(tmp_path):
+    """draft_checkpoint= loads a first-stage-format .pt as the speculative
+    draft: self-draft here, so synthesis must run the spec path with
+    near-total acceptance through the PUBLIC loader + synthesise surface
+    (bf16 jitter between the T=1 draft and T=gamma verify forwards makes
+    p/q ~ 1 +- epsilon rather than exactly 1)."""
+    p1 = str(tmp_path / "first_stage.pt")
+    p2 = str(tmp_path / "second_stage.pt")
+    p3 = str(tmp_path / "speaker_encoder.pt")
+    _save_first_stage(p1)
+    _save_second_stage(p2)
+    _save_speaker_encoder(p3)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random-encodec warning
+        tts = TTS.from_checkpoints(
+            p1, p2, p3, encodec_cfg=ECFG,
+            draft_checkpoint=p1, speculative_gamma=4,
+            output_dir=str(tmp_path / "out"),
+            enforce_min_ref_duration=False,
+            enforce_min_output_duration=False,
+        )
+    sr = 16000
+    t = np.arange(31 * sr) / sr
+    ref = str(tmp_path / "ref.wav")
+    aio.write_wav(ref, (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+    tts.synthesise("Draft checkpoint chain test.", ref, max_new_tokens=24)
+    st = tts.spec_stats
+    assert st["rounds"] >= 1
+    assert st["accepted"] / max(st["proposed"], 1) >= 0.8, st
+
+
 def test_from_checkpoints_warns_without_encodec(tmp_path):
     p1 = str(tmp_path / "first_stage.pt")
     p2 = str(tmp_path / "second_stage.pt")
