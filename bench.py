@@ -485,6 +485,10 @@ def main():
             "token budget at 150 tok/s of audio (trained-weights equivalent)"
             if chunked_rtf_tok else None
         ),
+        # >1.5 on this 1-core host means a competing process contaminated the
+        # serving latencies (measured: a concurrent pytest suite inflated
+        # p50 6.9 -> 16.5 s with identical engine stats)
+        "serving_host_load_per_cpu": serving_extras.get("host_load_per_cpu"),
         "engine_poisson_p50_s": round(eng_p50, 2) if eng_p50 else None,
         "engine_poisson_p95_s": round(eng_p95, 2) if eng_p95 else None,
         "engine_aggregate_serving_rtf": round(eng_agg_rtf, 3) if eng_agg_rtf else None,
