@@ -297,6 +297,12 @@ def generate_spec(
     :func:`first_stage.generate`'s contract: returns the full sequence
     [prompt ++ first ++ emitted] as 1-D numpy (EOA included if emitted).
 
+    One divergence near the context limit: the loop needs a full ``gamma``
+    window of cache headroom per round (`pos + gamma <= block_size`), so a
+    generation that runs into the block limit without an EOA can come up to
+    ``gamma - 1`` tokens shorter than ``fs.generate`` with identical
+    arguments. TTS chunking never operates that close to the limit.
+
     Both models prefill the same prompt (the target's prefill samples the
     first token, exactly as ordinary generation does; the draft's prefill
     only fills its cache). ``return_stats=True`` additionally returns

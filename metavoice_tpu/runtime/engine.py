@@ -826,6 +826,8 @@ class ContinuousBatchingEngine:
                 # no complete audio frame yet: retry with the next chunk
                 with s.lock:
                     s.pending.appendleft(toks)
+            except Exception as e:  # surface unexpected render errors to the
+                req.handle._finish(e)  # stream consumer (don't drop silently)
 
         self._chain_render(s, task)
 

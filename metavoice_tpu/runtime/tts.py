@@ -602,9 +602,9 @@ class TTS:
                 del seq
                 if self._draft_params is not None:
                     # speculative path: one spec program per (gamma,
-                    # cfg_rows) — the verify lax.switch compiles ALL its
-                    # position-bucket branches in this one call — plus the
-                    # draft's prefill at this prompt bucket
+                    # cfg_rows) — the draft scan + the T=gamma verify over
+                    # the full static cache prefix — plus the draft's
+                    # prefill at this prompt bucket
                     from metavoice_tpu.models import spec_decode as sd_mod
 
                     sd_mod.generate_spec(

@@ -382,11 +382,17 @@ def load_first_stage_npz(path: str):
 
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"])) if "__meta__" in data else {}
+    # bf16 narrowing keys come from either writer: the quantize CLI records
+    # them inside __meta__ (save_first_stage_quantized), the generic save_npz
+    # (training/trainer.py checkpoints, draft checkpoints) as a reserved
+    # __bf16_keys__ array entry that must not leak into the params pytree.
     bf16 = set(meta.get("bf16_keys") or [])
+    if "__bf16_keys__" in data:
+        bf16 |= set(data["__bf16_keys__"].tolist())
     flat = {
         k: (data[k].astype(ml_dtypes.bfloat16) if k in bf16 else data[k])
         for k in data.files
-        if k != "__meta__"
+        if k not in ("__meta__", "__bf16_keys__")
     }
     params = _unflatten(flat)
     tok_info = meta.get("tokenizer") or (meta.get("meta") or {}).get("tokenizer") or {}

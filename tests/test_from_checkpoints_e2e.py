@@ -244,6 +244,33 @@ def test_finetuned_npz_honors_model_args(tmp_path):
     )
 
 
+def test_finetuned_bf16_npz_loads_clean(tmp_path):
+    """A bf16-trained trainer .npz (save_npz writes a reserved __bf16_keys__
+    entry) loads through load_first_stage_npz with no stray leaf in the
+    params pytree and its bf16 leaves narrowed back (ADVICE r4 medium)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from metavoice_tpu.models import transformer as _tfm
+    from metavoice_tpu.training import finetune as ft
+    from metavoice_tpu.training.trainer import save_checkpoint
+    from metavoice_tpu.utils import checkpoint as ck
+
+    params = _tfm.init_params(_jax.random.PRNGKey(0), FIRST, dtype=_jnp.bfloat16)
+    state = ft.TrainState(params=params, opt_state=None, step=3)
+    path = save_checkpoint(
+        str(tmp_path), "ftbf16", state, FIRST, ft.FinetuneConfig(),
+        best_val_loss=2.0, tokenizer_info={},
+    )
+    loaded, cfg, _tok, qmode = ck.load_first_stage_npz(path)
+    assert "__bf16_keys__" not in loaded
+    assert np.asarray(loaded["wtes"][0]).dtype.name == "bfloat16"
+    assert np.asarray(loaded["layers"]["attn_norm_w"]).dtype.name == "bfloat16"
+    # and the loaded pytree jit-dispatches (the stray unicode leaf used to
+    # fail conversion here)
+    _jax.tree.map(_jnp.asarray, loaded)
+
+
 def test_prequantized_npz_checkpoint_roundtrip(tmp_path):
     """quantize CLI -> .npz -> TTS.from_checkpoints: packed arrays load
     with dtypes intact, the load-time quantize pass is skipped, and the
