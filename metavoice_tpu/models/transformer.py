@@ -688,14 +688,30 @@ def apply_blocks(
         t = x.shape[1]
         # single-token decode on TPU takes the fused flash-decoding kernel:
         # one Pallas call replaces cache updates + masked attention AND only
-        # streams the valid [0, pos] cache prefix from HBM
+        # streams the valid [0, pos] cache prefix from HBM. GQA
+        # (n_local_heads < n_head) is supported by the plain kernel (it
+        # routes through the kv-head-space multi kernel); the block-fused
+        # int8/int4 kernels additionally require MHA (gated below).
         use_fused = (
             t == 1
-            and cfg.n_local_heads == cfg.n_head
             # Mosaic tiling constraints: head_dim must fill the 128 lanes
             # and the flattened B*H rows the 8 sublanes
             and cfg.head_dim % 128 == 0
             and (x.shape[0] * cfg.n_head) % 8 == 0
+            and (x.shape[0] * cfg.n_local_heads) % 8 == 0
+            and jax.default_backend() == "tpu"
+        )
+        # short multi-token cached forwards (the speculative T=gamma verify,
+        # models/spec_decode.py) take the length-bounded multi-query kernel:
+        # it streams only [min(starts), pos+T) instead of the FULL static
+        # cache the XLA path reads — the dominant cost of the verify round.
+        # Prefill never lands here (prompt buckets are >= 128 tokens).
+        # Assumes contiguous query positions [cache_pos, cache_pos+T) with
+        # causal masking — exactly what every cached caller passes.
+        use_fused_multi = (
+            1 < t <= 16
+            and cfg.head_dim % 128 == 0
+            and (x.shape[0] * cfg.n_local_heads) % 8 == 0
             and jax.default_backend() == "tpu"
         )
 
@@ -712,6 +728,7 @@ def apply_blocks(
 
         _mega_ok = (
             use_fused
+            and cfg.n_local_heads == cfg.n_head  # block kernels are MHA-only
             and tp_axis is None  # block kernels fuse across the TP psums
             and cfg.nonlinearity_type == "swiglu"
             and cfg.dim % 1024 == 0
@@ -862,6 +879,7 @@ def apply_blocks(
             xa = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg.norm_type, cfg.norm_eps)
             if (
                 use_fused
+                and cfg.n_local_heads == cfg.n_head  # block kernel is MHA-only
                 and tp_axis is None  # fuses wo + residual across the psum
                 and not quantized_cache
                 and _is_int8(lp["wqkv"])
@@ -908,6 +926,24 @@ def apply_blocks(
                     starts=attn_starts,
                 )
                 y = y3.reshape(x.shape[0], 1, cfg.n_head * cfg.head_dim).astype(x.dtype)
+            elif use_fused_multi and not quantized_cache:
+                from metavoice_tpu.ops.attention import decode_attention_multi
+
+                y4, k_full, v_full = decode_attention_multi(
+                    q,  # (B, H, T, Dh)
+                    k_new,
+                    v_new,
+                    k_full,
+                    v_full,
+                    li,
+                    jnp.asarray(cache_pos, jnp.int32),
+                    starts=attn_starts,
+                )
+                y = (
+                    y4.transpose(0, 2, 1, 3)
+                    .reshape(x.shape[0], t, cfg.n_head * cfg.head_dim)
+                    .astype(x.dtype)
+                )
             else:
                 # prefill / CPU path: windowed in-place update on the carry
                 t_win = k_new.shape[2]

@@ -220,9 +220,25 @@ def decode_attention(
     """One fused decode-attention step for one layer.
 
     Returns (y (B, H, Dh), k_cache, v_cache) with the caches updated in
-    place at (layer, pos).
+    place at (layer, pos). GQA (cache heads H_kv < H, inferred from
+    k_new.shape[1]) routes through the multi-token kernel with T=1 — its
+    chunk loop runs in kv-head space, so the cache stream shrinks by
+    H/H_kv with no per-chunk repeat relayout.
     """
     b, h, dh = q.shape
+    if k_new.shape[1] != h:
+        y4, k_out, v_out = decode_attention_multi(
+            q[:, :, None, :],
+            k_new[:, :, None, :],
+            v_new[:, :, None, :],
+            k_cache,
+            v_cache,
+            layer,
+            pos,
+            starts=starts,
+            interpret=interpret,
+        )
+        return y4[:, :, 0, :], k_out, v_out
     l, s, _, _, _ = k_cache.shape
     bh = b * h
     chunk = _chunk_for(bh, dh)
@@ -294,8 +310,14 @@ def decode_attention(
 
 
 def decode_attention_reference(q, k_new, v_new, k_cache, v_cache, layer, pos, starts=None):
-    """jnp semantics oracle (and CPU path) for decode_attention."""
+    """jnp semantics oracle (and CPU path) for decode_attention.
+
+    GQA-capable: the cache carries ``H_kv = k_new.shape[1]`` heads; when
+    H_kv < H the keys/values are broadcast over the ``H // H_kv`` query
+    heads of each group (reference fam/llm/fast_model.py:208-221
+    repeat_interleave semantics)."""
     b, h, dh = q.shape
+    h_kv = k_new.shape[1]
     k_cache = jax.lax.dynamic_update_slice(
         k_cache, k_new[None, None].astype(k_cache.dtype), (layer, pos, 0, 0, 0)
     )
@@ -304,6 +326,9 @@ def decode_attention_reference(q, k_new, v_new, k_cache, v_cache, layer, pos, st
     )
     lk = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
     lv = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+    if h_kv != h:
+        lk = jnp.repeat(lk, h // h_kv, axis=2)
+        lv = jnp.repeat(lv, h // h_kv, axis=2)
     s = jnp.einsum("bhd,sbhd->bhs", q.astype(jnp.float32), lk.astype(jnp.float32))
     s = s / np.sqrt(dh)
     slot = jnp.arange(lk.shape[0])
@@ -313,6 +338,266 @@ def decode_attention_reference(q, k_new, v_new, k_cache, v_cache, layer, pos, st
     s = jnp.where(valid, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     y = jnp.einsum("bhs,sbhd->bhd", p, lv.astype(jnp.float32))
+    return y.astype(q.dtype), k_cache, v_cache
+
+
+# --------------------------------------------------------------------------------------
+# Multi-token (T >= 1) decode attention: the speculative-verify kernel
+# --------------------------------------------------------------------------------------
+#
+# Speculative decoding verifies gamma drafted tokens with ONE target forward
+# (models/spec_decode.py). Round 4 routed that T=gamma attention through the
+# XLA prefill path, which streams the FULL static (S, B, H, Dh) cache per
+# layer — most of the measured 2.75x per-round overhead. This kernel is the
+# flash-decode kernel generalized to T queries at positions [pos, pos+T):
+#
+#   * the T new K/V rows are written into the HBM cache in one DMA,
+#   * the chunk loop streams only [min(starts), pos+T) — length-bounded,
+#     exactly like the T=1 kernels,
+#   * each query t masks slots <= pos + t (causal within the window),
+#   * the T (and, under GQA, the g = H/H_kv per-kv-head query) score blocks
+#     are a STATIC Python loop inside the chunk body, so the cache chunk is
+#     DMA'd once and reused T*g times — the whole point of speculation.
+#
+# GQA layout choice: K/V chunks stay in KV-HEAD space ((C, B*H_kv, Dh) as
+# DMA'd) and the g query heads of each group are separate (B*H_kv, Dh) score
+# rounds — NOT a jnp.repeat of K/V to query-head count, which would be a
+# per-chunk O(C*B*H*Dh) VPU relayout (the exact cost class that made the
+# int8 KV cache a wash; see CLAUDE.md). VPU work is identical to MHA at the
+# same total query count; the cache read shrinks by H/H_kv.
+
+
+def _decode_attn_multi_kernel(
+    chunk: int,
+    t_q: int,
+    g: int,
+    # scalar prefetch
+    idx_ref,  # (3,) int32: [layer, pos, min_start]
+    # inputs
+    q_ref,  # (T*g, BKV, Dh) VMEM — row j = t*g + i, col r = b*H_kv + hkv
+    k_new_ref,  # (T, BKV, Dh) VMEM
+    v_new_ref,  # (T, BKV, Dh) VMEM
+    starts_ref,  # (BKV, 1) int32 VMEM: per-row first valid cache slot
+    k_hbm,  # (L, S, BKV, Dh) HBM (aliased output)
+    v_hbm,
+    # outputs
+    y_ref,  # (T*g, BKV, Dh) VMEM
+    k_out,
+    v_out,
+    # scratch
+    k_buf,  # (2, CHUNK, BKV, Dh)
+    v_buf,
+    sems,  # DMA (2, 2)
+    w_sems,  # DMA (2,)
+):
+    li = idx_ref[0]
+    pos = idx_ref[1]
+    bkv, dh = q_ref.shape[1], q_ref.shape[2]
+
+    # 1) write the T new K/V rows into the cache at [pos, pos+T)
+    kw = pltpu.make_async_copy(k_new_ref, k_out.at[li, pl.ds(pos, t_q)], w_sems.at[0])
+    vw = pltpu.make_async_copy(v_new_ref, v_out.at[li, pl.ds(pos, t_q)], w_sems.at[1])
+    kw.start()
+    vw.start()
+    kw.wait()
+    vw.wait()
+
+    # 2) flash accumulation over [min(starts), pos + T)
+    n_chunks = (pos + t_q - 1) // chunk + 1
+    first = idx_ref[2] // chunk
+    scale = 1.0 / np.sqrt(dh)
+
+    def get_dma(slot, c):
+        return (
+            pltpu.make_async_copy(
+                k_out.at[li, pl.ds(c * chunk, chunk)], k_buf.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                v_out.at[li, pl.ds(c * chunk, chunk)], v_buf.at[slot], sems.at[slot, 1]
+            ),
+        )
+
+    dk, dv = get_dma(jax.lax.rem(first, 2), first)
+    dk.start()
+    dv.start()
+
+    starts_row = starts_ref[:].reshape(1, bkv)
+
+    def body(c, carry):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            nk, nv = get_dma(jax.lax.rem(c + 1, 2), c + 1)
+            nk.start()
+            nv.start()
+
+        ck, cv = get_dma(slot, c)
+        ck.wait()
+        cv.wait()
+        k = k_buf[slot].astype(jnp.float32)  # (C, BKV, Dh)
+        v = v_buf[slot].astype(jnp.float32)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, bkv), 0) + c * chunk
+        base_valid = ids >= starts_row  # (C, BKV)
+        out = []
+        for t in range(t_q):
+            bound = pos + t
+            valid_t = base_valid & (ids <= bound)
+            for i in range(g):
+                j = t * g + i
+                m_prev, l_prev, acc = carry[j]
+                q_j = q_ref[j].astype(jnp.float32) * scale  # (BKV, Dh)
+                s = jnp.sum(q_j[None, :, :] * k, axis=-1)  # (C, BKV)
+                s = jnp.where(valid_t, s, -1e30)
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)  # (1, BKV)
+                p = jnp.exp(s - m_new)  # (C, BKV)
+                l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+                acc = acc * alpha.reshape(bkv, 1) + jnp.sum(p[:, :, None] * v, axis=0)
+                out.append((m_new, l_new, acc))
+        return tuple(out)
+
+    init = tuple(
+        (
+            jnp.full((1, bkv), -1e30, jnp.float32),
+            jnp.zeros((1, bkv), jnp.float32),
+            jnp.zeros((bkv, dh), jnp.float32),
+        )
+        for _ in range(t_q * g)
+    )
+    final = jax.lax.fori_loop(first, n_chunks, body, init)
+    for j in range(t_q * g):
+        _, l_f, acc_f = final[j]
+        y_ref[j] = (acc_f / jnp.maximum(l_f.reshape(bkv, 1), 1e-30)).astype(
+            y_ref.dtype
+        )
+
+
+def decode_attention_multi(
+    q: jax.Array,  # (B, H, T, Dh)
+    k_new: jax.Array,  # (B, H_kv, T, Dh)
+    v_new: jax.Array,  # (B, H_kv, T, Dh)
+    k_cache: jax.Array,  # (L, S, B, H_kv, Dh)
+    v_cache: jax.Array,
+    layer: jax.Array,  # () int32
+    pos: jax.Array,  # () int32 — first new position
+    starts: jax.Array | None = None,  # (B,) int32 per-row window start
+    interpret: bool = False,
+):
+    """T-query fused decode attention for one layer (GQA-capable).
+
+    Writes the T new K/V rows at cache positions [pos, pos+T) and returns
+    (y (B, H, T, Dh), k_cache, v_cache) where query t attends cache slots
+    [starts[b], pos + t]. T == 1, H_kv == H reduces to decode_attention
+    semantics. Requires pos + T <= S and Dh % 128 == 0.
+    """
+    b, h, t_q, dh = q.shape
+    h_kv = k_new.shape[1]
+    assert h % h_kv == 0, (h, h_kv)
+    g = h // h_kv
+    l, s = k_cache.shape[0], k_cache.shape[1]
+    bkv = b * h_kv
+    chunk = _chunk_for(bkv, dh)
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    starts_bkv = jnp.repeat(starts.astype(jnp.int32), h_kv).reshape(bkv, 1)
+    # query rows ordered j = t*g + i, columns r = b*H_kv + hkv, where the
+    # model's head h = hkv*g + i (grouped-heads split, matching jnp.repeat
+    # of KV heads in the oracle)
+    q2 = (
+        q.reshape(b, h_kv, g, t_q, dh)
+        .transpose(3, 2, 0, 1, 4)
+        .reshape(t_q * g, bkv, dh)
+    )
+    k2 = k_new.transpose(2, 0, 1, 3).reshape(t_q, bkv, dh)
+    v2 = v_new.transpose(2, 0, 1, 3).reshape(t_q, bkv, dh)
+    k_flat = k_cache.reshape(l, s, bkv, dh)
+    v_flat = v_cache.reshape(l, s, bkv, dh)
+    idx = jnp.stack([
+        layer.astype(jnp.int32),
+        pos.astype(jnp.int32),
+        jnp.minimum(jnp.min(starts.astype(jnp.int32)), pos.astype(jnp.int32)),
+    ])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # starts
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k cache
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v cache
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, bkv, dh), k_cache.dtype),
+            pltpu.VMEM((2, chunk, bkv, dh), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    y, k_out, v_out = pl.pallas_call(
+        partial(_decode_attn_multi_kernel, chunk, t_q, g),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_q * g, bkv, dh), q.dtype),
+            jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
+            jax.ShapeDtypeStruct(v_flat.shape, v_flat.dtype),
+        ),
+        grid_spec=grid_spec,
+        input_output_aliases={5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx, q2, k2, v2, starts_bkv, k_flat, v_flat)
+    y4 = (
+        y.reshape(t_q, g, b, h_kv, dh)
+        .transpose(2, 3, 1, 0, 4)
+        .reshape(b, h, t_q, dh)
+    )
+    return (
+        y4,
+        k_out.reshape(k_cache.shape),
+        v_out.reshape(v_cache.shape),
+    )
+
+
+def decode_attention_multi_reference(
+    q, k_new, v_new, k_cache, v_cache, layer, pos, starts=None
+):
+    """jnp semantics oracle (and CPU path) for decode_attention_multi."""
+    b, h, t_q, dh = q.shape
+    h_kv = k_new.shape[1]
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache,
+        k_new.transpose(2, 0, 1, 3)[None].astype(k_cache.dtype),
+        (layer, pos, 0, 0, 0),
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache,
+        v_new.transpose(2, 0, 1, 3)[None].astype(v_cache.dtype),
+        (layer, pos, 0, 0, 0),
+    )
+    lk = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+    lv = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+    if h_kv != h:
+        lk = jnp.repeat(lk, h // h_kv, axis=2)
+        lv = jnp.repeat(lv, h // h_kv, axis=2)
+    s = jnp.einsum(
+        "bhtd,sbhd->bhts", q.astype(jnp.float32), lk.astype(jnp.float32)
+    ) / np.sqrt(dh)
+    slot = jnp.arange(lk.shape[0])
+    bounds = pos + jnp.arange(t_q)
+    valid = slot[None, None, None, :] <= bounds[None, None, :, None]
+    if starts is not None:
+        valid = valid & (slot[None, None, None, :] >= starts[:, None, None, None])
+    s = jnp.where(valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    y = jnp.einsum("bhts,sbhd->bhtd", p, lv.astype(jnp.float32))
     return y.astype(q.dtype), k_cache, v_cache
 
 
