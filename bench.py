@@ -405,6 +405,23 @@ def main():
     # process that only serves, so the isolated number is the honest one;
     # the child logs before/after RTT probes so a degraded run is visible.
     serving_extras = {}
+
+    def _serving_anomalies(extras: dict) -> list[str]:
+        """Signals that a serving run hit a transient tunnel/host episode
+        (the documented p50 6.88 -> 32.7 -> 5.76 s spread on identical
+        config) rather than the code's real behavior."""
+        reasons = []
+        rtt = extras.get("serving_rtt_probe_ms") or []
+        if rtt and max(rtt) > 90:  # healthy dispatch-with-fetch is ~25-30 ms
+            reasons.append(f"rtt_probe_ms={rtt}")
+        if (extras.get("host_load_per_cpu") or 0) > 1.5:
+            reasons.append(f"host_load_per_cpu={extras['host_load_per_cpu']}")
+        if (extras.get("engine_warmup_s") or 0) > 400:  # cached norm ~140 s
+            reasons.append(f"engine_warmup_s={extras['engine_warmup_s']}")
+        if (extras.get("engine_poisson_p50_s") or 0) > 15:  # norm 4-7 s
+            reasons.append(f"engine_poisson_p50_s={extras['engine_poisson_p50_s']}")
+        return reasons
+
     try:
         import subprocess
 
@@ -414,21 +431,48 @@ def main():
         t0 = time.perf_counter()
         _ck.save_npz(params_npz, jax.tree.map(np.asarray, params))
         log(f"saved int4 params for serving child in {time.perf_counter()-t0:.1f}s")
-        r = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "scripts", "bench_serving.py"),
-             params_npz],
-            capture_output=True, text=True, timeout=3000,
-        )
-        for line in (r.stderr or "").splitlines():
-            if "cpu_aot" in line or "Platform" in line:
-                continue
-            log(f"[serving] {line}")
-        if r.returncode == 0 and r.stdout.strip():
-            serving_extras = json.loads(r.stdout.strip().splitlines()[-1])
-        else:
+
+        def _run_child(env_extra=None):
+            env = dict(os.environ, **(env_extra or {}))
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "bench_serving.py"),
+                 params_npz],
+                capture_output=True, text=True, timeout=4500, env=env,
+            )
+            for line in (r.stderr or "").splitlines():
+                if "cpu_aot" in line or "Platform" in line:
+                    continue
+                log(f"[serving] {line}")
+            if r.returncode == 0 and r.stdout.strip():
+                return json.loads(r.stdout.strip().splitlines()[-1])
             log(f"serving child failed rc={r.returncode}")
+            return {}
+
+        serving_extras = _run_child()
+        # self-validation (VERDICT r4 #3): if the run shows a transient
+        # anomaly, re-run ONCE in a fresh subprocess and report the clean
+        # run; both runs stay visible in the JSON.
+        anomalies = _serving_anomalies(serving_extras)
+        if anomalies and serving_extras:
+            log(f"serving anomaly detected ({anomalies}); re-running once "
+                "in a fresh subprocess")
+            first_run = serving_extras
+            second = _run_child()
+            second_anoms = _serving_anomalies(second)
+            chosen = second if second and len(second_anoms) <= len(anomalies) else first_run
+            chosen = dict(chosen)
+            chosen["serving_anomaly_first_run"] = {
+                "reasons": anomalies,
+                "engine_poisson_p50_s": first_run.get("engine_poisson_p50_s"),
+                "engine_aggregate_serving_rtf": first_run.get(
+                    "engine_aggregate_serving_rtf"
+                ),
+            }
+            if second_anoms:
+                chosen["serving_anomaly_second_run"] = second_anoms
+            serving_extras = chosen
     except Exception as e:
         log(f"serving sections skipped: {e}")
     chunked_rtf = serving_extras.get("chunked_rtf")
@@ -501,6 +545,26 @@ def main():
             "measured in a fresh subprocess (scripts/bench_serving.py)"
         ),
         "serving_rtt_probe_ms": serving_rtt,
+        "engine_warmup_s": serving_extras.get("engine_warmup_s"),
+        # stream TTFA under load (VERDICT r4 #4): first audio segment of the
+        # streaming quartile while riding the busy batch
+        "stream_ttfa_p50_s": serving_extras.get("stream_ttfa_p50_s"),
+        "stream_ttfa_max_s": serving_extras.get("stream_ttfa_max_s"),
+        # 16-slot int8-KV capacity mode under the same mixed workload
+        # (VERDICT r4 #5): 24 requests at doubled arrival rate
+        "engine16_poisson_p50_s": serving_extras.get("engine16_engine_poisson_p50_s"),
+        "engine16_poisson_p95_s": serving_extras.get("engine16_engine_poisson_p95_s"),
+        "engine16_aggregate_serving_rtf": serving_extras.get(
+            "engine16_engine_aggregate_serving_rtf"
+        ),
+        "engine16_effective_agg_tok_s": serving_extras.get(
+            "engine16_engine_effective_agg_tok_s"
+        ),
+        "engine16_stream_ttfa_p50_s": serving_extras.get("engine16_stream_ttfa_p50_s"),
+        "engine16_warmup_s": serving_extras.get("engine16_engine_warmup_s"),
+        "engine16_stats": serving_extras.get("engine16_engine_stats"),
+        "serving_anomaly_first_run": serving_extras.get("serving_anomaly_first_run"),
+        "serving_anomaly_second_run": serving_extras.get("serving_anomaly_second_run"),
         "vs_baseline_note": "denominator 300 tok/s is BASELINE.json's north-star target; the reference publishes no GPU decode figure (BASELINE.json.published is empty)",
         "batch8_aggregate_tokens_per_sec": round(batch_tps, 1) if batch_tps else None,
         "batch16_int8kv_aggregate_tokens_per_sec": (

@@ -152,11 +152,29 @@ def _spec_decode_fn(
     cfg_rows: int = 2,
     prompt_guidance_scale: jax.Array | float = 1.0,
     end_of_text_token: jax.Array | int = 0,
+    draft_rows: int = 0,  # 0 = cfg_rows; 1 = CFG-free draft (see below)
 ):
-    """Speculative decode loop (B=1). Returns (out_buf, out_len, stats)."""
+    """Speculative decode loop (B=1). Returns (out_buf, out_len, stats).
+
+    ``draft_rows=1`` runs the draft WITHOUT classifier-free guidance: one
+    speaker-conditioned row, proposals sampled from its plain
+    temperature/top-p distribution. Rejection sampling stays exact for ANY
+    proposal distribution q — q only has to be the distribution the draft
+    tokens were actually sampled from — so this halves the per-round draft
+    compute; a draft distilled against the target's guidance-MERGED
+    distribution (scripts/distill_draft.py) bakes the guidance into its
+    single row, so acceptance does not pay for the missing rows either.
+    """
     spk2_t = fs._cfg_rows(spk_emb, cfg_rows)
-    spk2_d = fs._cfg_rows(spk_emb, cfg_rows)
+    if draft_rows == 0:
+        draft_rows = cfg_rows
+    spk2_d = fs._cfg_rows(spk_emb, draft_rows) if draft_rows > 1 else spk_emb
     mask2 = fs.make_spk_cond_mask(1, cfg_rows)
+    mask2_d = (
+        fs.make_spk_cond_mask(1, draft_rows)
+        if draft_rows > 1
+        else jnp.ones((1, 1, 1))
+    )
     block_limit = min(cfg_t.block_size, cfg_d.block_size)
     # NOTE (measured dead end, round 4): bounding the verify attention to
     # the live cache prefix via a lax.switch over static attn_len buckets —
@@ -190,15 +208,23 @@ def _spec_decode_fn(
 
     def draft_step(carry, k_i):
         cur_d, kvd, posd = carry
-        idx2 = _rows(cur_d.reshape(1, 1))
+        if draft_rows == 1:
+            idx2 = cur_d.reshape(1, 1)
+        else:
+            idx2 = _rows(cur_d.reshape(1, 1))
         positions = posd[None]
         x = tfm.embed_inputs(
-            params_d, cfg_d, idx2, positions, spk2_d, mask2, compute_dtype
+            params_d, cfg_d, idx2, positions, spk2_d, mask2_d, compute_dtype
         )
         am = tfm.causal_mask_for(positions, kvd.max_seq_len)[None, None]
         out, kvd = tfm.apply_blocks(params_d, cfg_d, x, am, kvd, posd)
         logits = tfm.output_logits(params_d, cfg_d, out)[0][:, 0, :]
-        qdist = _guided_probs(logits)  # (V,)
+        if draft_rows == 1:
+            qdist = S.logits_to_probs(
+                logits[0], temperature=temperature, top_p=top_p
+            )
+        else:
+            qdist = _guided_probs(logits)  # (V,)
         d = jax.random.categorical(k_i, jnp.log(qdist + 1e-30)).astype(jnp.int32)
         return (d, kvd, posd + 1), (d, qdist)
 
@@ -268,9 +294,30 @@ spec_decode = jax.jit(
     _spec_decode_fn,
     static_argnames=(
         "cfg_t", "cfg_d", "gamma", "max_steps", "end_of_audio_token",
-        "compute_dtype", "cfg_rows",
+        "compute_dtype", "cfg_rows", "draft_rows",
     ),
 )
+
+
+@partial(jax.jit, static_argnames=("cfg_d", "compute_dtype"))
+def _draft_prefill_1row(
+    params_d, cfg_d, padded, spk_emb, kv_d, *, compute_dtype=jnp.bfloat16
+):
+    """Fill the CFG-free draft's 1-row cache with the prompt (no sampling).
+
+    Pad rows beyond the true prompt length are harmless for the same reason
+    they are in fs.prefill: a query at position p only attends [0, p], and
+    row p is overwritten by that step's own K/V write before it is read.
+    """
+    t = padded.shape[1]
+    positions = jnp.arange(t)
+    x = tfm.embed_inputs(
+        params_d, cfg_d, padded, positions, spk_emb,
+        jnp.ones((1, 1, 1)), compute_dtype,
+    )
+    am = tfm.causal_mask_for(positions, kv_d.max_seq_len)[None, None]
+    _, kv_d = tfm.apply_blocks(params_d, cfg_d, x, am, kv_d, jnp.asarray(0))
+    return kv_d
 
 
 def generate_spec(
@@ -292,6 +339,7 @@ def generate_spec(
     prompt_pad_multiple: int = 128,
     compute_dtype=jnp.bfloat16,
     return_stats: bool = False,
+    draft_use_cfg: bool = True,
 ):
     """Host-facing speculative generation (B=1), mirroring
     :func:`first_stage.generate`'s contract: returns the full sequence
@@ -310,6 +358,13 @@ def generate_spec(
     ``accepted / proposed`` is the draft acceptance rate, ``emitted /
     rounds`` the tokens-per-target-forward yield (1.0 is ordinary decoding's
     rate; the speedup ceiling is this yield times the per-round cost ratio).
+
+    ``draft_use_cfg=False`` runs the draft WITHOUT classifier-free guidance
+    (one speaker-conditioned row): rejection sampling is exact for any
+    proposal distribution, so output quality is unchanged while per-round
+    draft compute halves. Use with drafts distilled against the target's
+    guidance-merged distribution (scripts/distill_draft.py) — their single
+    row already predicts the guided distribution.
     """
     import numpy as np
 
@@ -327,8 +382,9 @@ def generate_spec(
     if max_steps <= 0:
         raise ValueError("Prompt is too long to generate more tokens")
 
+    draft_rows = cfg_rows if draft_use_cfg else 1
     kv_t = tfm.KVCache.create(cfg_t, cfg_rows, cfg_t.block_size, dtype=compute_dtype)
-    kv_d = tfm.KVCache.create(cfg_d, cfg_rows, cfg_d.block_size, dtype=compute_dtype)
+    kv_d = tfm.KVCache.create(cfg_d, draft_rows, cfg_d.block_size, dtype=compute_dtype)
     spk_emb = jnp.asarray(spk_emb).reshape(1, -1)
 
     key_prefill, key_spec = jax.random.split(key)
@@ -349,12 +405,21 @@ def generate_spec(
         jnp.asarray(t_true, jnp.int32), spk_emb, kv_t, key_prefill,
         temperature_a, top_p_a, guidance, **common,
     )
-    # the draft's sampled token is discarded — its prefill only fills kv_d
-    _, kv_d = fs.prefill(
-        params_d, cfg_d, jnp.asarray(padded)[None, :],
-        jnp.asarray(t_true, jnp.int32), spk_emb, kv_d, key_prefill,
-        temperature_a, top_p_a, guidance, **common,
-    )
+    if draft_rows == 1:
+        # CFG-free draft: one speaker-conditioned row; prefill is a plain
+        # cached forward (no sampling — the target's prefill samples the
+        # first token)
+        kv_d = _draft_prefill_1row(
+            params_d, cfg_d, jnp.asarray(padded)[None, :], spk_emb, kv_d,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        # the draft's sampled token is discarded — its prefill only fills kv_d
+        _, kv_d = fs.prefill(
+            params_d, cfg_d, jnp.asarray(padded)[None, :],
+            jnp.asarray(t_true, jnp.int32), spk_emb, kv_d, key_prefill,
+            temperature_a, top_p_a, guidance, **common,
+        )
 
     out_buf, out_len, stats = spec_decode(
         params_t, params_d, first_token, jnp.asarray(t_true, jnp.int32),
@@ -362,7 +427,7 @@ def generate_spec(
         jnp.asarray(max_steps - 1, jnp.int32),
         cfg_t=cfg_t, cfg_d=cfg_d, gamma=gamma, max_steps=cfg_t.block_size,
         end_of_audio_token=end_of_audio_token,
-        compute_dtype=compute_dtype, cfg_rows=cfg_rows,
+        compute_dtype=compute_dtype, cfg_rows=cfg_rows, draft_rows=draft_rows,
         prompt_guidance_scale=prompt_guidance, end_of_text_token=eot,
     )
 

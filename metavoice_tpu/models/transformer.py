@@ -728,7 +728,6 @@ def apply_blocks(
 
         _mega_ok = (
             use_fused
-            and cfg.n_local_heads == cfg.n_head  # block kernels are MHA-only
             and tp_axis is None  # block kernels fuse across the TP psums
             and cfg.nonlinearity_type == "swiglu"
             and cfg.dim % 1024 == 0
@@ -759,6 +758,7 @@ def apply_blocks(
                 kv_cache.k, kv_cache.v,
                 jnp.asarray(cache_pos, jnp.int32),
                 cfg.n_head,
+                n_kv_head=cfg.n_local_heads,
                 starts=attn_starts,
                 norm_eps=cfg.norm_eps,
                 wfmt="i8",
@@ -814,6 +814,7 @@ def apply_blocks(
                     kv_cache.k, kv_cache.v,
                     jnp.asarray(cache_pos, jnp.int32),
                     cfg.n_head,
+                    n_kv_head=cfg.n_local_heads,
                     starts=attn_starts,
                     norm_eps=cfg.norm_eps,
                     **head_kwargs,
@@ -846,6 +847,7 @@ def apply_blocks(
                     k_full, v_full, li,
                     jnp.asarray(cache_pos, jnp.int32),
                     cfg.n_head,
+                    n_kv_head=cfg.n_local_heads,
                     starts=attn_starts,
                     k_scale=ks_full,
                     v_scale=vs_full,

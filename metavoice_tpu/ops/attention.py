@@ -551,7 +551,12 @@ def decode_attention_multi(
         ),
         grid_spec=grid_spec,
         input_output_aliases={5: 1, 6: 2},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # T*g live accumulators + the double-buffered chunks exceed the
+        # default 16 MB scoped-vmem limit at full-model shapes
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(idx, q2, k2, v2, starts_bkv, k_flat, v_flat)
     y4 = (
@@ -830,6 +835,7 @@ def _decode_block_int4_kernel(
     dh: int,
     chunk: int,
     groupsize: int,
+    g: int,  # query heads per kv head (GQA group size; 1 = MHA)
     cache_int8: bool,
     cache_packed: bool,
     kv8_mode: str,
@@ -897,14 +903,15 @@ def _decode_block_int4_kernel(
         krm_read.start()
         vrm_read.start()
     bpad, d = x_ref.shape
-    bh = acc_ref.shape[0]
+    bh = acc_ref.shape[0]  # query rows b * n_head
+    bkv = bh // g  # cache rows b * n_kv_head
     b = bh * dh // d
     tile = w_buf.shape[2]
     x = x_ref[:]
     xsum = jnp.dot(x, xones_ref[:], preferred_element_type=jnp.float32)
 
     # ---- phase 1: qkv = x @ Wqkv (int4), streaming packed weight tiles ------
-    n_qkv_tiles = (3 * d) // tile
+    n_qkv_tiles = qkv_scr.shape[1] // tile  # (H + 2*H_kv) * Dh columns
 
     def qkv_dma(slot, j):
         sl = pl.ds(j * tile, tile)
@@ -933,21 +940,22 @@ def _decode_block_int4_kernel(
     jax.lax.fori_loop(0, n_qkv_tiles, qkv_body, None)
 
     # ---- phase 2: write new K/V row into the cache --------------------------
+    dkv = (bkv // b) * dh  # K (= V) projection width per batch row
     q = qkv_scr[:b, :d].reshape(bh, dh) * (1.0 / np.sqrt(dh))
     q_bf16 = (
         q.astype(jnp.bfloat16)
         if (cache_packed or (cache_int8 and kv8_mode == "bf16"))
         else None
     )
-    k_row = qkv_scr[:b, d : 2 * d].reshape(bh, dh)
-    v_row = qkv_scr[:b, 2 * d :].reshape(bh, dh)
+    k_row = qkv_scr[:b, d : d + dkv].reshape(bkv, dh)
+    v_row = qkv_scr[:b, d + dkv : d + 2 * dkv].reshape(bkv, dh)
 
     def _stage_scales(k_s, v_s):
-        # zero-pad the (bh, 1) scale rows out to the tables' 128-aligned
+        # zero-pad the (bkv, 1) scale rows out to the tables' 128-aligned
         # lane width and stage them as (1, bh_pad) rows for the DMA
         bh_pad = ks_stage.shape[-1]
-        if bh_pad > bh:
-            pad = jnp.zeros((bh_pad - bh, 1), jnp.float32)
+        if bh_pad > bkv:
+            pad = jnp.zeros((bh_pad - bkv, 1), jnp.float32)
             k_s = jnp.concatenate([k_s, pad], axis=0)
             v_s = jnp.concatenate([v_s, pad], axis=0)
         ks_stage[:] = k_s.reshape(1, bh_pad)
@@ -1091,7 +1099,160 @@ def _decode_block_int4_kernel(
             s_pre = s_pre * (ks[:, :bh] if ks.shape[-1] > bh else ks)
         return s_pre
 
-    if cache_packed:
+    if g > 1:
+        # GQA chunk loops (all three cache formats): K/V chunks stay in
+        # KV-HEAD space ((C, BKV, ...) as DMA'd) and the g query heads of
+        # each group run as a STATIC loop of (C, BKV) score blocks sharing
+        # the chunk — identical VPU work to MHA at the same query count,
+        # 1/g the cache DMA bytes, no repeat relayout (the relayout cost
+        # class that made the int8 KV cache a wash; CLAUDE.md).
+        starts_row = starts_ref[:].reshape(1, bkv)
+        q_g = qkv_scr[:b, :d].reshape(bkv, g, dh) * (1.0 / np.sqrt(dh))
+
+        if cache_packed:
+            c4 = chunk // 4
+
+            def body_g(c, carry):
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < n_chunks)
+                def _():
+                    for dma in get_dma(jax.lax.rem(c + 1, 2), c + 1):
+                        dma.start()
+
+                for dma in get_dma(slot, c):
+                    dma.wait()
+                kw_ = k_buf[slot]  # (C4, BKV, Dh) i32 words
+                vw_ = v_buf[slot]
+                ks4 = ks_buf[slot]  # (4, C4, BHpad) f32
+                vs4 = vs_buf[slot]
+                base_ids = (
+                    jax.lax.broadcasted_iota(jnp.int32, (c4, bkv), 0) * 4
+                    + c * chunk
+                )
+                # unpack the four byte lanes ONCE, shared across the g heads
+                kjs = [
+                    ((kw_ << (24 - 8 * j)) >> 24).astype(jnp.bfloat16)
+                    for j in range(4)
+                ]
+                vjs = [
+                    ((vw_ << (24 - 8 * j)) >> 24).astype(jnp.bfloat16)
+                    for j in range(4)
+                ]
+                valids = [
+                    ((base_ids + j) <= pos) & ((base_ids + j) >= starts_row)
+                    for j in range(4)
+                ]
+                out = []
+                for i in range(g):
+                    m_prev, l_prev, acc = carry[i]
+                    q_i = q_g[:, i, :].astype(jnp.bfloat16)
+                    s_js = []
+                    m_new = m_prev
+                    for j in range(4):
+                        sj = jnp.sum(
+                            q_i[None, :, :] * kjs[j], axis=-1, dtype=jnp.float32
+                        )  # (C4, BKV)
+                        ksj = ks4[j]
+                        sj = sj * (ksj[:, :bkv] if ksj.shape[-1] > bkv else ksj)
+                        sj = jnp.where(valids[j], sj, -1e30)
+                        s_js.append(sj)
+                        m_new = jnp.maximum(
+                            m_new, jnp.max(sj, axis=0, keepdims=True)
+                        )
+                    alpha = jnp.exp(m_prev - m_new)
+                    l_add = jnp.zeros((1, bkv), jnp.float32)
+                    pv = jnp.zeros((bkv, dh), jnp.float32)
+                    for j in range(4):
+                        pj = jnp.exp(s_js[j] - m_new)
+                        l_add = l_add + jnp.sum(pj, axis=0, keepdims=True)
+                        vsj = vs4[j]
+                        pj = pj * (vsj[:, :bkv] if vsj.shape[-1] > bkv else vsj)
+                        pv = pv + jnp.sum(
+                            pj[:, :, None].astype(jnp.bfloat16) * vjs[j],
+                            axis=0,
+                            dtype=jnp.float32,
+                        )
+                    out.append(
+                        (
+                            m_new,
+                            l_prev * alpha + l_add,
+                            acc * alpha.reshape(bkv, 1) + pv,
+                        )
+                    )
+                return tuple(out)
+        else:
+
+            def body_g(c, carry):
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < n_chunks)
+                def _():
+                    for dma in get_dma(jax.lax.rem(c + 1, 2), c + 1):
+                        dma.start()
+
+                for dma in get_dma(slot, c):
+                    dma.wait()
+                k, v = _load_kv(slot)  # (C, BKV, Dh)
+                ids = (
+                    jax.lax.broadcasted_iota(jnp.int32, (chunk, bkv), 0)
+                    + c * chunk
+                )
+                valid = (ids <= pos) & (ids >= starts_row)
+                if cache_int8:
+                    ks = ks_buf[slot]
+                    ks = ks[:, :bkv] if ks.shape[-1] > bkv else ks
+                    vs = vs_buf[slot]
+                    vs = vs[:, :bkv] if vs.shape[-1] > bkv else vs
+                out = []
+                for i in range(g):
+                    m_prev, l_prev, acc = carry[i]
+                    if k.dtype == jnp.bfloat16:
+                        s = jnp.sum(
+                            q_g[:, i, :].astype(jnp.bfloat16)[None, :, :] * k,
+                            axis=-1,
+                            dtype=jnp.float32,
+                        )
+                    else:
+                        s = jnp.sum(q_g[:, i, :][None, :, :] * k, axis=-1)
+                    if cache_int8:
+                        s = s * ks
+                    s = jnp.where(valid, s, -1e30)
+                    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+                    alpha = jnp.exp(m_prev - m_new)
+                    p = jnp.exp(s - m_new)
+                    l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+                    if cache_int8:
+                        p = p * vs
+                    if v.dtype == jnp.bfloat16:
+                        pv = jnp.sum(
+                            p[:, :, None].astype(jnp.bfloat16) * v,
+                            axis=0,
+                            dtype=jnp.float32,
+                        )
+                    else:
+                        pv = jnp.sum(p[:, :, None] * v, axis=0)
+                    out.append((m_new, l_new, acc * alpha.reshape(bkv, 1) + pv))
+                return tuple(out)
+
+        init = tuple(
+            (
+                jnp.full((1, bkv), -1e30, jnp.float32),
+                jnp.zeros((1, bkv), jnp.float32),
+                jnp.zeros((bkv, dh), jnp.float32),
+            )
+            for _ in range(g)
+        )
+        final = jax.lax.fori_loop(first, n_chunks, body_g, init)
+        ys = [
+            acc_f / jnp.maximum(l_f.reshape(bkv, 1), 1e-30)
+            for (_, l_f, acc_f) in final
+        ]
+        # interleave back to query-head order: rows (b, h_kv, i) -> b*H + h
+        y_attn = (
+            jnp.stack(ys, axis=1).reshape(bh, dh).reshape(b, d).astype(jnp.bfloat16)
+        )
+    elif cache_packed:
         # packed-cache chunk loop: the chunk arrives as (C/4, BH, Dh) int32
         # words; each byte lane j is unpacked with an arithmetic shift pair
         # (native i32 VPU ops — no i8 relayout) into the positions
@@ -1310,18 +1471,22 @@ def decode_attention_block_int4(
     groupsize: int = 128,
     tile: int = W4_TILE,
     interpret: bool = False,
-    k_scale: jax.Array | None = None,  # (L, S, 1, B*H) f32 for the int8 cache
+    k_scale: jax.Array | None = None,  # (L, S, 1, B*H_kv) f32 for the int8 cache
     v_scale: jax.Array | None = None,
     kv8_mode: str = "bf16",  # int8-cache convert strategy: f32 | i32 | bf16
     chunk: int | None = None,  # cache-stream chunk length override
+    n_kv_head: int | None = None,  # GQA cache heads (default: n_head)
 ):
     """Fused int4 attention block for one decode layer (packed-weight variant
     of decode_attention_block_int8; weights stay STACKED across layers and
     are DMA-sliced by the scalar-prefetched layer index).
 
     Returns (y (B, D), k_cache, v_cache, k_scale, v_scale) — the scale pair
-    is None unless the int8 KV cache is in use. Requires MHA, Dh % 128 == 0,
-    D % tile == 0, D % (8*groupsize) == 0.
+    is None unless the int8 KV cache is in use. Requires Dh % 128 == 0,
+    D % tile == 0, D % (8*groupsize) == 0. GQA (``n_kv_head < n_head``,
+    reference fam/llm/fast_model.py:208-221): the cache carries n_kv_head
+    heads and the chunk loops run in kv-head space — cache HBM reads (and
+    the int8 capacity-cache footprint) shrink by n_head/n_kv_head.
 
     The quantized cache comes in two storage formats (see KVCache):
     plain int8 (k_cache int8, k_scale (L, S, 1, BHpad)) and int8-in-int32
@@ -1335,6 +1500,17 @@ def decode_attention_block_int4(
     b, d = xa.shape
     dh = d // n_head
     bh = b * n_head
+    if n_kv_head is None:
+        n_kv_head = n_head
+    assert n_head % n_kv_head == 0, (n_head, n_kv_head)
+    g = n_head // n_kv_head
+    bkv = b * n_kv_head
+    qout = wqkv_pw.shape[2]  # (H + 2*H_kv) * Dh
+    assert qout == d + 2 * n_kv_head * dh, (qout, d, n_kv_head, dh)
+    # GQA qkv widths are not always divisible by the default 1024 tile
+    while tile > 256 and (d % tile or qout % tile):
+        tile //= 2
+    assert d % tile == 0 and qout % tile == 0
     cache_int8 = k_scale is not None
     cache_packed = cache_int8 and k_cache.dtype == jnp.int32
     l = k_cache.shape[0]
@@ -1346,14 +1522,16 @@ def decode_attention_block_int4(
         # serving path), mirroring MVTPU_STACK_CHUNK on the megakernel
         import os as _os
 
-        chunk = int(_os.environ.get("MVTPU_BLOCK_CHUNK", _chunk_for(bh, dh)))
+        chunk = int(_os.environ.get("MVTPU_BLOCK_CHUNK", _chunk_for(bkv, dh)))
     gp = wqkv_sc.shape[1] // 2
     x_pad = jnp.zeros((bpad, d), jnp.bfloat16).at[:b].set(xa.astype(jnp.bfloat16))
     if starts is None:
         starts = jnp.zeros((b,), jnp.int32)
-    starts_bh = jnp.repeat(starts.astype(jnp.int32), n_head).reshape(bh, 1)
-    k_flat = k_cache.reshape(l, k_cache.shape[1], bh, dh)
-    v_flat = v_cache.reshape(l, v_cache.shape[1], bh, dh)
+    # chunk-loop masks live in kv-head space (the GQA loop shares each
+    # chunk across the g query heads of a group)
+    starts_bh = jnp.repeat(starts.astype(jnp.int32), n_kv_head).reshape(bkv, 1)
+    k_flat = k_cache.reshape(l, k_cache.shape[1], bkv, dh)
+    v_flat = v_cache.reshape(l, v_cache.shape[1], bkv, dh)
     # [layer, pos, min_start]: the kernel skips cache chunks entirely below
     # min(starts) — fully masked for every row, so bit-exact (clamped to pos
     # so the chunk-loop prologue DMA can never run past the valid range)
@@ -1388,9 +1566,9 @@ def decode_attention_block_int4(
     scratch = [
         pltpu.VMEM((2, d // 8, tile), jnp.int32),
         pltpu.VMEM((2, 2 * gp, tile), wqkv_sc.dtype),
-        pltpu.VMEM((bpad, 3 * d), jnp.float32),
-        pltpu.VMEM((2, kv_chunk_rows, bh, dh), k_cache.dtype),
-        pltpu.VMEM((2, kv_chunk_rows, bh, dh), v_cache.dtype),
+        pltpu.VMEM((bpad, qout), jnp.float32),
+        pltpu.VMEM((2, kv_chunk_rows, bkv, dh), k_cache.dtype),
+        pltpu.VMEM((2, kv_chunk_rows, bkv, dh), v_cache.dtype),
     ]
     operands = [idx, x_pad, xones, starts_bh, wqkv_pw, wqkv_sc, wo_pw, wo_sc, k_flat, v_flat]
     if cache_int8:
@@ -1407,10 +1585,10 @@ def decode_attention_block_int4(
             jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
         ]
         bh_pad = k_scale.shape[-1]
-        if bh_pad % 128 != 0 or bh_pad < bh:
+        if bh_pad % 128 != 0 or bh_pad < bkv:
             raise ValueError(
                 f"int8-cache scale tables must have a 128-aligned lane width "
-                f">= B*H (kv_scale_width); got {k_scale.shape} for bh={bh}"
+                f">= B*H_kv (kv_scale_width); got {k_scale.shape} for bkv={bkv}"
             )
         if cache_packed:
             if k_scale.shape != (l, 4, s // 4, 1, bh_pad):
@@ -1433,8 +1611,8 @@ def decode_attention_block_int4(
         ]
         if cache_packed:
             scratch += [
-                pltpu.VMEM((1, bh, dh), jnp.int32),  # new-row K word RMW
-                pltpu.VMEM((1, bh, dh), jnp.int32),  # new-row V word RMW
+                pltpu.VMEM((1, bkv, dh), jnp.int32),  # new-row K word RMW
+                pltpu.VMEM((1, bkv, dh), jnp.int32),  # new-row V word RMW
             ]
         operands += [k_scale, v_scale]
         # aliases: inputs idx..v_flat = 0..9, k_scale=10, v_scale=11
@@ -1466,7 +1644,7 @@ def decode_attention_block_int4(
     outs = pl.pallas_call(
         partial(
             _decode_block_int4_kernel,
-            dh, chunk, groupsize, cache_int8, cache_packed, kv8_mode,
+            dh, chunk, groupsize, g, cache_int8, cache_packed, kv8_mode,
             _chunkv2_enabled(),
         ),
         out_shape=tuple(out_shape),

@@ -68,6 +68,7 @@ def _decode_stack_kernel(
     tile: int,
     n_layers: int,
     b: int,
+    g: int,  # query heads per kv head (GQA group size; 1 = MHA)
     norm_eps: float,
     bigdot: bool,
     slabdot: bool,
@@ -131,7 +132,8 @@ def _decode_stack_kernel(
     li = pl.program_id(0)
     pos = pos_ref[0]
     bpad, d = x_ref.shape
-    bh = acc_ref.shape[0]
+    bh = acc_ref.shape[0]  # query rows b * n_head
+    bkv = k_buf.shape[2]  # cache rows b * n_kv_head (== bh when MHA)
 
     def matmul(x, xsum, w_words, sc):
         if wfmt == "i8":
@@ -199,7 +201,7 @@ def _decode_stack_kernel(
     xsum = jnp.dot(xa_pad, xones_ref[:], preferred_element_type=jnp.float32)
 
     # ---- phase 1: qkv projection (int4 weight stream) ----------------------
-    n_qkv_tiles = (3 * d) // tile
+    n_qkv_tiles = qkv_scr.shape[1] // tile  # (H + 2*H_kv) * Dh columns
 
     def qkv_body(j, _):
         slot = jax.lax.rem(j, 2)
@@ -218,9 +220,10 @@ def _decode_stack_kernel(
     jax.lax.fori_loop(0, n_qkv_tiles, qkv_body, None)
 
     # ---- phase 2: cache row write + attention with o/w1/w3 prefetch --------
+    dkv = (bkv // b) * dh  # K (= V) projection width per batch row
     q = qkv_scr[:b, :d].reshape(bh, dh) * (1.0 / np.sqrt(dh))
-    k_row = qkv_scr[:b, d : 2 * d].reshape(bh, dh)
-    v_row = qkv_scr[:b, 2 * d :].reshape(bh, dh)
+    k_row = qkv_scr[:b, d : d + dkv].reshape(bkv, dh)
+    v_row = qkv_scr[:b, d + dkv : d + 2 * dkv].reshape(bkv, dh)
     k_buf[0, 0] = k_row.astype(k_out.dtype)
     v_buf[0, 0] = v_row.astype(v_out.dtype)
     kw = pltpu.make_async_copy(k_buf.at[0, pl.ds(0, 1)], k_out.at[li, pl.ds(pos, 1)], kv_w_sems.at[0])
@@ -240,7 +243,60 @@ def _decode_stack_kernel(
         dma.start()
 
     n_chunks = (pos + chunk) // chunk
-    if chunkv2:
+    if g > 1:
+        # GQA chunk loop: K/V chunks stay in KV-HEAD space ((C, BKV, Dh) as
+        # DMA'd) and the g query heads of each group run as a STATIC loop of
+        # (C, BKV) score blocks sharing the chunk — identical VPU work to
+        # MHA at the same query count, 1/g the cache DMA bytes, and no
+        # repeat relayout (see ops/attention.py multi-kernel notes).
+        q_g = qkv_scr[:b, :d].reshape(bkv, g, dh) * (1.0 / np.sqrt(dh))
+        starts_row = starts_ref[:].reshape(1, bkv)
+
+        def attn_body_g(c, carry):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in chunk_dma(jax.lax.rem(c + 1, 2), c + 1):
+                    dma.start()
+
+            for dma in chunk_dma(slot, c):
+                dma.wait()
+            k = k_buf[slot].astype(jnp.float32)  # (C, BKV, Dh)
+            v = v_buf[slot].astype(jnp.float32)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, bkv), 0) + c * chunk
+            valid = (ids <= pos) & (ids >= starts_row)
+            out = []
+            for i in range(g):
+                m_prev, l_prev, acc = carry[i]
+                s = jnp.sum(q_g[:, i, :][None, :, :] * k, axis=-1)  # (C, BKV)
+                s = jnp.where(valid, s, -1e30)
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+                acc = acc * alpha.reshape(bkv, 1) + jnp.sum(p[:, :, None] * v, axis=0)
+                out.append((m_new, l_new, acc))
+            return tuple(out)
+
+        init = tuple(
+            (
+                jnp.full((1, bkv), -1e30, jnp.float32),
+                jnp.zeros((1, bkv), jnp.float32),
+                jnp.zeros((bkv, dh), jnp.float32),
+            )
+            for _ in range(g)
+        )
+        final = jax.lax.fori_loop(0, n_chunks, attn_body_g, init)
+        ys = [
+            acc_f / jnp.maximum(l_f.reshape(bkv, 1), 1e-30)
+            for (_, l_f, acc_f) in final
+        ]
+        # interleave back to query-head order: rows (b, h_kv, i) -> b*H + h
+        y_attn = (
+            jnp.stack(ys, axis=1).reshape(bh, dh).reshape(b, d).astype(jnp.bfloat16)
+        )
+    elif chunkv2:
         # transpose-free chunk loop: scores stay in the (chunk, BH) layout
         # the cache DMA delivers — no per-chunk (C, BH)<->(BH, C) relayouts
         # (the VPU cost the perf notes blame for the ~180 GB/s ceiling at
@@ -453,11 +509,12 @@ def decode_stack_int4(
     w3_sc: jax.Array,
     w2_pw: jax.Array,  # (L, Ip/8, D)
     w2_sc: jax.Array,
-    k_cache: jax.Array,  # (L, S, B, H, Dh) bf16
+    k_cache: jax.Array,  # (L, S, B, H_kv, Dh) bf16
     v_cache: jax.Array,
     pos: jax.Array,  # () int32
     n_head: int,
     *,
+    n_kv_head: int | None = None,  # GQA cache heads (default: n_head)
     starts: jax.Array | None = None,
     norm_eps: float = 1e-5,
     groupsize: int = 128,
@@ -485,19 +542,30 @@ def decode_stack_int4(
     b, d = x.shape
     dh = d // n_head
     bh = b * n_head
+    if n_kv_head is None:
+        n_kv_head = n_head
+    g = n_head // n_kv_head
+    assert n_head % n_kv_head == 0, (n_head, n_kv_head)
+    bkv = b * n_kv_head
+    qout = wqkv_pw.shape[2]  # (H + 2*H_kv) * Dh
+    assert qout == d + 2 * n_kv_head * dh, (qout, d, n_kv_head, dh)
     l, s = k_cache.shape[0], k_cache.shape[1]
     ip = w1_pw.shape[2]
     words = 8 if wfmt == "i4" else 4  # values packed per i32 word
     assert w2_pw.shape[1] * words == ip and w2_pw.shape[2] == d
-    assert d % tile == 0 and ip % tile == 0 and (3 * d) % tile == 0
-    assert dh % 128 == 0 and bh % 8 == 0
+    # GQA qkv widths (e.g. 2560 for d=2048, H_kv=2) are not always divisible
+    # by the default 1024 tile: drop to the largest tile all phases accept
+    while tile > 256 and (d % tile or ip % tile or qout % tile):
+        tile //= 2
+    assert d % tile == 0 and ip % tile == 0 and qout % tile == 0
+    assert dh % 128 == 0 and bh % 8 == 0 and bkv % 8 == 0
     bpad = max(8, b)
     if chunk is None:
         # cap at 128: the chunk loop reads whole chunks even when `pos` sits
         # mid-chunk, and at serving positions (~64-500) the wasted tail read
         # of a 256-chunk outweighs its lower per-chunk softmax overhead
         # (measured: 527 tok/s at 256 vs 542 at 128 on the full model)
-        chunk = min(_chunk_for(bh, dh), 128)
+        chunk = min(_chunk_for(bkv, dh), 128)
     import os as _os
 
     # experiment knobs (documented in docs/PERFORMANCE.md)
@@ -513,9 +581,11 @@ def decode_stack_int4(
     x_pad = jnp.zeros((bpad, d), jnp.bfloat16).at[:b].set(x.astype(jnp.bfloat16))
     if starts is None:
         starts = jnp.zeros((b,), jnp.int32)
-    starts_bh = jnp.repeat(starts.astype(jnp.int32), n_head).reshape(bh, 1)
-    k_flat = k_cache.reshape(l, s, bh, dh)
-    v_flat = v_cache.reshape(l, s, bh, dh)
+    # the chunk-loop masks live in kv-head space (the GQA loop shares each
+    # chunk across the g query heads of a group)
+    starts_bh = jnp.repeat(starts.astype(jnp.int32), n_kv_head).reshape(bkv, 1)
+    k_flat = k_cache.reshape(l, s, bkv, dh)
+    v_flat = v_cache.reshape(l, s, bkv, dh)
     if wfmt == "i8":
         # one affine 'group' spans the whole contraction (per-channel int8):
         # xsum column 0 carries sum(x), the epilogue applies c = -128*s
@@ -563,7 +633,7 @@ def decode_stack_int4(
             pl.BlockSpec((1, 1, d), lambda i, *_: (i, 0, 0)),  # norm2 row
             pl.BlockSpec((d, gp), lambda i, *_: (0, 0)),  # xones
             pl.BlockSpec((ip, g2p), lambda i, *_: (0, 0)),  # hones
-            pl.BlockSpec((bh, 1), lambda i, *_: (0, 0)),  # starts
+            pl.BlockSpec((bkv, 1), lambda i, *_: (0, 0)),  # starts
             pl.BlockSpec(lnf.shape, lambda i, *_: (0, 0)),  # ln_f (or dummy)
             pl.BlockSpec(memory_space=pltpu.HBM),  # wqkv
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -590,9 +660,9 @@ def decode_stack_int4(
             pltpu.VMEM((bpad, d), jnp.bfloat16),  # x_scr
             pltpu.VMEM((2, d // words, tile), jnp.int32),  # w_buf
             pltpu.VMEM((2, 2 * gp, tile), wqkv_sc.dtype),  # sc_buf
-            pltpu.VMEM((bpad, 3 * d), jnp.float32),  # qkv_scr
-            pltpu.VMEM((2, chunk, bh, dh), k_cache.dtype),  # k_buf
-            pltpu.VMEM((2, chunk, bh, dh), v_cache.dtype),  # v_buf
+            pltpu.VMEM((bpad, qout), jnp.float32),  # qkv_scr
+            pltpu.VMEM((2, chunk, bkv, dh), k_cache.dtype),  # k_buf
+            pltpu.VMEM((2, chunk, bkv, dh), v_cache.dtype),  # v_buf
             pltpu.VMEM((2, d // words, tile), jnp.int32),  # w1_buf
             pltpu.VMEM((2, 2 * g1p, tile), w1_sc.dtype),
             pltpu.VMEM((2, d // words, tile), jnp.int32),  # w3_buf
@@ -617,7 +687,7 @@ def decode_stack_int4(
     )
     xo, k_out, v_out, lg = pl.pallas_call(
         partial(
-            _decode_stack_kernel, dh, chunk, groupsize, tile, l, b, norm_eps,
+            _decode_stack_kernel, dh, chunk, groupsize, tile, l, b, g, norm_eps,
             bigdot, slabdot, chunkv2, with_head, wfmt,
         ),
         out_shape=(

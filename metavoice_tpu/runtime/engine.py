@@ -327,7 +327,7 @@ class ContinuousBatchingEngine:
                 )
                 ks, vs = fs.merge_slot_scales_packed(
                     self._kv.k_scale, self._kv.v_scale,
-                    temp.k_scale, temp.v_scale, phys, rc, ru, cfg.n_head,
+                    temp.k_scale, temp.v_scale, phys, rc, ru, cfg.n_local_heads,
                 )
             else:
                 k, v = fs.merge_slot_cache(
@@ -336,7 +336,7 @@ class ContinuousBatchingEngine:
                 if self._kv.quantized:
                     ks, vs = fs.merge_slot_scales(
                         self._kv.k_scale, self._kv.v_scale,
-                        temp.k_scale, temp.v_scale, phys, rc, ru, cfg.n_head,
+                        temp.k_scale, temp.v_scale, phys, rc, ru, cfg.n_local_heads,
                     )
                 else:
                     ks = vs = None
@@ -631,7 +631,7 @@ class ContinuousBatchingEngine:
             ks, vs = fs.merge_slot_scales_packed(
                 self._kv.k_scale, self._kv.v_scale,
                 temp.k_scale, temp.v_scale,
-                phys_start, row_c, row_u, self._cfg.n_head,
+                phys_start, row_c, row_u, self._cfg.n_local_heads,
             )
         else:
             k, v = fs.merge_slot_cache(
@@ -641,7 +641,7 @@ class ContinuousBatchingEngine:
                 ks, vs = fs.merge_slot_scales(
                     self._kv.k_scale, self._kv.v_scale,
                     temp.k_scale, temp.v_scale,
-                    phys_start, row_c, row_u, self._cfg.n_head,
+                    phys_start, row_c, row_u, self._cfg.n_local_heads,
                 )
             else:
                 ks = vs = None

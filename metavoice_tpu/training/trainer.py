@@ -49,6 +49,7 @@ def save_checkpoint(
         "model_args": {
             "n_layer": model_cfg.n_layer,
             "n_head": model_cfg.n_head,
+            "n_local_heads": model_cfg.n_local_heads,
             "n_embd": model_cfg.dim,
             "block_size": model_cfg.block_size,
             "vocab_sizes": list(model_cfg.vocab_sizes),

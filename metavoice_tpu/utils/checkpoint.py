@@ -71,6 +71,7 @@ def load_first_stage_pt(path: str, cfg: TransformerConfig | None = None, dtype=n
             ("block_size", "block_size"),
             ("n_layer", "n_layer"),
             ("n_head", "n_head"),
+            ("n_local_heads", "n_local_heads"),
             ("n_embd", "dim"),
             ("causal", "causal"),
             ("norm_type", "norm_type"),
@@ -412,6 +413,7 @@ def load_first_stage_npz(path: str):
             ("block_size", "block_size"),
             ("n_layer", "n_layer"),
             ("n_head", "n_head"),
+            ("n_local_heads", "n_local_heads"),
             ("n_embd", "dim"),
             ("causal", "causal"),
             ("norm_type", "norm_type"),

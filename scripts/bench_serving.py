@@ -156,32 +156,43 @@ def main():
 
     # ---- continuous-batching serving latency under MIXED Poisson arrivals
     # (BASELINE config 5): two prompt buckets, 25% streaming, rebase-forcing
-    # margin. Latency = submit -> wav written (streams: final segment).
-    try:
+    # margin. Latency = submit -> wav written (streams: final segment;
+    # streams additionally report time-to-first-audio under load).
+    long_prompt_text = (
+        "This request carries a deliberately long prompt so that it "
+        "lands in the two-hundred-and-fifty-six token prompt bucket "
+        "instead of the short one. " * 4
+    )
+
+    def _consume_stream(handle, sink):
+        n = 0
+        for _seg in handle:
+            if n == 0:
+                # time-to-first-audio while riding the busy batch — the
+                # number a real stream=true user feels (VERDICT r4 #4);
+                # solo TTFA hides the queueing + segment scheduling
+                sink["first_t"] = time.perf_counter()
+            n += 1
+        sink["done_t"] = time.perf_counter()
+        sink["segments"] = n
+
+    def run_engine_scenario(eng_tts, slots, n_req, mean_gap, prefix=""):
+        """One mixed-Poisson scenario; returns {prefix+metric: value}."""
         from metavoice_tpu.runtime.engine import ContinuousBatchingEngine
 
+        res = {}
         eng = ContinuousBatchingEngine(
-            tts, slots=8, segment_tokens=64, rebase_margin=1024
+            eng_tts, slots=slots, segment_tokens=64, rebase_margin=1024
         )
         req_tokens = 512  # ~3.4 s of audio per request
         t0 = time.perf_counter()
         eng.warmup()
-        log(f"engine warmup: {time.perf_counter()-t0:.1f}s")
+        warmup_s = time.perf_counter() - t0
+        res[prefix + "engine_warmup_s"] = round(warmup_s, 1)
+        log(f"{prefix or 'engine '}warmup: {warmup_s:.1f}s ({slots} slots, "
+            f"cache {eng_tts._cache_dtype or 'bf16'})")
         for k in eng.stats:
             eng.stats[k] = 0
-
-        long_prompt_text = (
-            "This request carries a deliberately long prompt so that it "
-            "lands in the two-hundred-and-fifty-six token prompt bucket "
-            "instead of the short one. " * 4
-        )
-
-        def _consume_stream(handle, sink):
-            n = 0
-            for _seg in handle:
-                n += 1
-            sink["done_t"] = time.perf_counter()
-            sink["segments"] = n
 
         from metavoice_tpu.utils import phases
 
@@ -189,7 +200,6 @@ def main():
             phases.reset()
             phases.enable()
         rng_l = np.random.default_rng(0)
-        n_req = 12
         futs, submit_t, stream_outs = [], [], []
         t_start = time.perf_counter()
         # bisect knobs (diagnosis only; the recorded metric uses neither)
@@ -207,8 +217,8 @@ def main():
             else:
                 futs.append(eng.submit(txt, ref_path, max_new_tokens=req_tokens))
             submit_t.append(time.perf_counter())
-            time.sleep(float(rng_l.exponential(0.25)))
-        lats, paths = [], []
+            time.sleep(float(rng_l.exponential(mean_gap)))
+        lats, paths, ttfas = [], [], []
         for f, ts in zip(futs, submit_t):
             if f is None:
                 continue
@@ -221,36 +231,78 @@ def main():
             th.join(timeout=1200)
             if "done_t" in sink:
                 lats.append(sink["done_t"] - ts)
+            if "first_t" in sink:
+                ttfas.append(sink["first_t"] - ts)
         if lats:
             wall_all = time.perf_counter() - t_start
             audio_all = sum(aio.duration_s(p) for p in paths)
             occupancy = eng.stats["row_tokens"] / max(
                 eng.stats["segments"] * eng.n_slots * eng.segment_tokens, 1
             )
-            out["engine_poisson_p50_s"] = round(float(np.percentile(lats, 50)), 2)
-            out["engine_poisson_p95_s"] = round(float(np.percentile(lats, 95)), 2)
-            out["engine_aggregate_serving_rtf"] = round(
+            res[prefix + "engine_poisson_p50_s"] = round(
+                float(np.percentile(lats, 50)), 2
+            )
+            res[prefix + "engine_poisson_p95_s"] = round(
+                float(np.percentile(lats, 95)), 2
+            )
+            res[prefix + "engine_aggregate_serving_rtf"] = round(
                 wall_all / max(audio_all, 1e-6), 3
             )
-            out["engine_effective_agg_tok_s"] = round(
+            res[prefix + "engine_effective_agg_tok_s"] = round(
                 eng.stats["row_tokens"] / wall_all, 1
             )
-            out["engine_stats"] = dict(eng.stats, occupancy=round(occupancy, 3))
+            res[prefix + "engine_stats"] = dict(
+                eng.stats, occupancy=round(occupancy, 3)
+            )
+            if ttfas:
+                # stream TTFA under load (VERDICT r4 #4): p50 + worst over
+                # the streaming quartile of the mixed workload
+                res[prefix + "stream_ttfa_p50_s"] = round(
+                    float(np.percentile(ttfas, 50)), 2
+                )
+                res[prefix + "stream_ttfa_max_s"] = round(float(max(ttfas)), 2)
             log(
-                f"engine mixed Poisson({n_req} req x {req_tokens} tok, 2 prompt "
-                f"buckets, 3 streams, mean gap 250 ms): "
-                f"p50 {out['engine_poisson_p50_s']}s p95 {out['engine_poisson_p95_s']}s, "
+                f"{prefix or 'engine '}mixed Poisson({n_req} req x {req_tokens} "
+                f"tok, {slots} slots, 2 prompt buckets, "
+                f"{len(stream_outs)} streams, mean gap {mean_gap*1000:.0f} ms): "
+                f"p50 {res[prefix + 'engine_poisson_p50_s']}s "
+                f"p95 {res[prefix + 'engine_poisson_p95_s']}s, "
                 f"{audio_all:.1f}s audio in {wall_all:.1f}s wall -> serving RTF "
-                f"{out['engine_aggregate_serving_rtf']}, effective "
-                f"{out['engine_effective_agg_tok_s']} agg tok/s ({len(lats)} ok); "
-                f"stats {out['engine_stats']}"
+                f"{res[prefix + 'engine_aggregate_serving_rtf']}, effective "
+                f"{res[prefix + 'engine_effective_agg_tok_s']} agg tok/s "
+                f"({len(lats)} ok); stream TTFA "
+                f"{res.get(prefix + 'stream_ttfa_p50_s')}s; "
+                f"stats {res[prefix + 'engine_stats']}"
             )
         if os.environ.get("MVTPU_PHASE_TIMERS"):
             phases.enable(False)
             log(phases.format_report(time.perf_counter() - t_start))
         eng.shutdown()
+        return res
+
+    try:
+        out.update(run_engine_scenario(tts, slots=8, n_req=12, mean_gap=0.25))
     except Exception as e:
         log(f"engine latency measurement skipped: {e}")
+
+    # ---- 16-slot int8-KV capacity mode under the SAME mixed workload
+    # (VERDICT r4 #5): the planner's batch-16 choice (bench.py proves its
+    # ~3000+ agg tok/s in a pure decode loop) must survive joins/rebases/
+    # streams + per-join int8 quantization. Doubled request count + arrival
+    # rate so the extra slots actually fill.
+    if not os.environ.get("MVTPU_BENCH_NO_ENGINE16"):
+        try:
+            tts16 = TTS(
+                comps, output_dir="/tmp/mvtpu_bench",
+                enforce_min_ref_duration=False, kv_cache_dtype="int8",
+            )
+            out.update(
+                run_engine_scenario(
+                    tts16, slots=16, n_req=24, mean_gap=0.125, prefix="engine16_"
+                )
+            )
+        except Exception as e:
+            log(f"engine16 latency measurement skipped: {e}")
 
     rtt1 = rtt_probe_ms()
     log(f"RTT probe (end): {rtt1:.1f} ms")

@@ -45,9 +45,16 @@ for k in data.files:
         d = d.setdefault(p, {})
     d[parts[-1]] = jnp.asarray(a)
 
-# realistic draft shape for a 24L/2048d target: 4L/1024d (~52M params)
+# realistic draft shape for a 24L/2048d target: 4L/1024d (~52M params).
+# MVTPU_SPEC_DRAFT_Q=int4 quantizes the draft so its decode steps ride the
+# whole-stack megakernel (weight reads drop to ~26 MB/step).
 cfg_d = first_stage_config(n_layer=4, n_head=8, dim=1024)
 params_d = tfm.init_params(jax.random.PRNGKey(1), cfg_d, dtype=jnp.bfloat16)
+if os.environ.get("MVTPU_SPEC_DRAFT_Q") == "int4":
+    from metavoice_tpu.ops import quantized as _qz
+
+    params_d = _qz.quantize_params_int4_i32(params_d)
+    log("draft quantized to int4 (megakernel path)")
 
 key = jax.random.PRNGKey(0)
 prompt = list(range(2100, 2164))

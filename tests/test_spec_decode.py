@@ -227,3 +227,42 @@ def test_spec_respects_budget(params):
         prompt_pad_multiple=16, compute_dtype=jnp.float32,
     )
     assert len(out) <= len(PROMPT) + 7
+
+
+def test_spec_cfg_free_draft_greedy_matches(params):
+    """draft_use_cfg=False with guidance 1.0: the draft's single cond row IS
+    the target's merged distribution (merge at scale 1 returns the cond
+    row), so greedy self-draft speculation must accept everything and stay
+    token-identical to the ordinary decode."""
+    kw = dict(
+        temperature=1e-6, top_p=1.0, guidance_scale=1.0,
+        max_new_tokens=24, end_of_audio_token=EOA, prompt_pad_multiple=16,
+        compute_dtype=jnp.float32,
+    )
+    out_ref = fs.generate(
+        params, TINY, PROMPT, jnp.ones((256,)), key=jax.random.PRNGKey(1), **kw
+    )
+    out_spec, stats = sd.generate_spec(
+        params, TINY, params, TINY, PROMPT, jnp.ones((256,)),
+        key=jax.random.PRNGKey(2), gamma=4, return_stats=True,
+        draft_use_cfg=False, **kw,
+    )
+    np.testing.assert_array_equal(out_spec, out_ref)
+    assert stats["accepted"] == stats["proposed"], stats
+
+
+def test_spec_cfg_free_draft_sampling_valid(params, draft_params):
+    """CFG-free small draft under real guidance: valid tokens, some
+    acceptance accounting, budget respected."""
+    out, stats = sd.generate_spec(
+        params, TINY, draft_params, DRAFT, PROMPT, jnp.ones((256,)),
+        key=jax.random.PRNGKey(5), gamma=4, temperature=1.0, top_p=0.95,
+        guidance_scale=3.0, max_new_tokens=20, end_of_audio_token=EOA,
+        prompt_pad_multiple=16, compute_dtype=jnp.float32,
+        return_stats=True, draft_use_cfg=False,
+    )
+    gen = np.asarray(out[len(PROMPT):])
+    assert len(gen) <= 20
+    assert gen.min() >= 0 and gen.max() < 121
+    assert stats["proposed"] == stats["rounds"] * 4
+    assert 0 <= stats["accepted"] <= stats["proposed"]
