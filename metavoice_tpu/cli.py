@@ -53,6 +53,12 @@ def _add_model_args(ap: argparse.ArgumentParser) -> None:
         "--speculative_gamma", type=int, default=4,
         help="tokens proposed per speculation round (with --draft_checkpoint)",
     )
+    ap.add_argument(
+        "--draft_no_cfg", action="store_true",
+        help="run the draft without classifier-free guidance (halves draft "
+        "cost; use with drafts distilled on the guidance-merged target "
+        "distribution, scripts/distill_draft.py)",
+    )
     ap.add_argument("--seed", type=int, default=1337)
     ap.add_argument("--output_dir", default="outputs")
     ap.add_argument(
@@ -84,6 +90,7 @@ def _build_tts(args):
         encodec_path=args.encodec_path,
         draft_checkpoint=getattr(args, "draft_checkpoint", None),
         speculative_gamma=getattr(args, "speculative_gamma", 4),
+        draft_use_cfg=not getattr(args, "draft_no_cfg", False),
         output_dir=args.output_dir,
         quantisation_mode=args.quantisation_mode,
         kv_cache_dtype=args.kv_cache_dtype,

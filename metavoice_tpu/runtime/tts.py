@@ -146,6 +146,7 @@ class TTS:
         draft_params=None,
         draft_cfg=None,
         speculative_gamma: int = 4,
+        draft_use_cfg: bool = True,
     ):
         self.c = components
         if components.vocoder not in ("encodec", "mbd"):
@@ -259,6 +260,11 @@ class TTS:
         self._draft_params = draft_params
         self._draft_cfg = draft_cfg
         self._spec_gamma = int(speculative_gamma)
+        # CFG-free draft (models/spec_decode.generate_spec draft_use_cfg):
+        # exactness holds for any proposal distribution; halves draft cost.
+        # Default True — only distilled drafts trained on the guidance-
+        # MERGED teacher distribution should turn it off.
+        self._draft_use_cfg = bool(draft_use_cfg)
         # cumulative acceptance ledger, exposed for observability:
         # accepted/proposed = draft acceptance rate, emitted/rounds = tokens
         # gained per target forward (ordinary decoding's rate is 1.0)
@@ -458,16 +464,26 @@ class TTS:
         if draft_checkpoint:
             if draft_checkpoint.endswith(".npz"):
                 dp, dcfg, _, d_quant = ck.load_first_stage_npz(draft_checkpoint)
-                if d_quant:
+                if d_quant not in (None, "int4"):
                     raise ValueError(
-                        "draft_checkpoint must be a DENSE checkpoint (the "
-                        "draft is small; quantized drafts are not supported)"
+                        "draft_checkpoint must be dense or int4-quantized "
+                        f"(got quantisation_mode={d_quant!r})"
                     )
             else:
                 dp, dcfg, _ = ck.load_first_stage_pt(draft_checkpoint)
-            kwargs["draft_params"] = jax.tree.map(
-                lambda a: jnp.asarray(a, jnp.bfloat16), dp
-            )
+                d_quant = None
+            if d_quant:
+                # pre-quantized int4 draft: decode steps ride the whole-
+                # stack megakernel (chip-measured faster than the bf16
+                # draft; scripts/diag_spec_cost.py MVTPU_SPEC_DRAFT_Q)
+                kwargs["draft_params"] = jax.tree.map(
+                    jnp.asarray, dp,
+                    is_leaf=lambda x: not isinstance(x, (dict, list)),
+                )
+            else:
+                kwargs["draft_params"] = jax.tree.map(
+                    lambda a: jnp.asarray(a, jnp.bfloat16), dp
+                )
             kwargs["draft_cfg"] = dcfg
 
         pre_quantised = None
@@ -621,6 +637,7 @@ class TTS:
                         end_of_text_token=eot,
                         prompt_pad_multiple=bucket,
                         compute_dtype=self._compute_dtype,
+                        draft_use_cfg=self._draft_use_cfg,
                     )
         # second stage (single shape — it pads to its full context)
         coarse = [[1, 2, 3, 4], [5, 6, 7, 8]]
@@ -861,6 +878,7 @@ class TTS:
                 prompt_pad_multiple=self.runtime.prompt_pad_multiple,
                 compute_dtype=self._compute_dtype,
                 return_stats=True,
+                draft_use_cfg=self._draft_use_cfg,
             )
             for k, v in st.items():
                 self.spec_stats[k] += v
