@@ -385,14 +385,19 @@ class TTS:
         *,
         small: bool = False,
         vocoder: str = "encodec",
+        first_stage_overrides: dict | None = None,
         **kwargs,
     ) -> "TTS":
-        """Random-weight instance for development and benchmarking."""
+        """Random-weight instance for development and benchmarking.
+
+        ``first_stage_overrides``: extra first_stage_config kwargs (e.g.
+        ``{"n_local_heads": 2}`` for a GQA first stage)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        cfg1 = first_stage_config() if not small else first_stage_config(
-            n_layer=2, n_head=4, dim=128, block_size=512
-        )
+        fs_kw = dict(first_stage_overrides or {})
+        if small:
+            fs_kw = dict(n_layer=2, n_head=4, dim=128, block_size=512) | fs_kw
+        cfg1 = first_stage_config(**fs_kw)
         cfg2 = second_stage_config() if not small else second_stage_config(
             n_layer=2, n_head=2, dim=64, block_size=256
         )
