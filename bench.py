@@ -165,6 +165,34 @@ def main():
     params = qz.quantize_params_int4_i32(params_bf16)
     param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
     log(f"int4-i32 packed params: {param_bytes/1e9:.2f} GB")
+
+    # GQA variant derived from the same weights (keep 2 of 16 KV heads):
+    # byte REDUCTION is the only lever left at the batch-8 HBM roof
+    # (docs/PERFORMANCE.md), and the reference model is explicitly
+    # GQA-capable (fam/llm/fast_model.py:208-221). Sliced out of the MHA
+    # [q|k|v] column blocks so no second 1.24B init is paid.
+    params_gqa = None
+    cfg_gqa = None
+    try:
+        h_kv = 2
+        cfg_gqa = first_stage_config(n_local_heads=h_kv)
+        dh, nh = cfg.head_dim, cfg.n_head
+        lay = dict(params_bf16["layers"])
+        w = lay["wqkv"]
+        lay["wqkv"] = jnp.concatenate(
+            [
+                w[..., : nh * dh],
+                w[..., nh * dh : (nh + h_kv) * dh],
+                w[..., 2 * nh * dh : (2 * nh + h_kv) * dh],
+            ],
+            axis=-1,
+        )
+        gq = dict(params_bf16)
+        gq["layers"] = lay
+        params_gqa = qz.quantize_params_int4_i32(gq)
+        del gq, lay, w
+    except Exception as e:
+        log(f"GQA derivation skipped: {e}")
     del params_bf16
     tps = measure_decode(params, "int4", runs=8)
     headline_config = (
@@ -225,7 +253,7 @@ def main():
     )
 
     # ---- batched serving throughput (BASELINE config 5) ------------------------
-    batch_tps = None
+    batch_tps = batch8_deep_tps = None
     try:
         import gc
 
@@ -261,6 +289,19 @@ def main():
         tb = time.perf_counter() - t0
         batch_tps = b * 96 / (tb - ta)
         log(f"batch-{b} continuous decode: {batch_tps:.0f} aggregate tok/s")
+        # deep-position window (pos 1200+): the attention-DMA-dominated
+        # regime real serving runs in (engine requests reach pos ~1300) and
+        # where GQA's cache-byte cut pays. Same two-run overhead-cancelling
+        # timing; the position jump reuses the compiled program.
+        kv_b = run_b(8, 1200, kv_b)
+        t0 = time.perf_counter()
+        kv_b = run_b(8, 1208, kv_b)
+        ta2 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        kv_b = run_b(104, 1216, kv_b)
+        tb2 = time.perf_counter() - t0
+        batch8_deep_tps = b * 96 / (tb2 - ta2)
+        log(f"batch-{b} deep decode (pos 1200+): {batch8_deep_tps:.0f} aggregate tok/s")
         del kv_b, first_b
         gc.collect()
     except Exception as e:  # batched path must not break the headline metric
@@ -309,6 +350,146 @@ def main():
         gc.collect()
     except Exception as e:
         log(f"batch-16 measurement skipped: {e}")
+
+    # ---- GQA batch-8 (VERDICT r4 #2): n_local_heads=2 through the fused
+    # int4 serving kernels. Cache bytes and attention DMA shrink 8x vs MHA —
+    # the only remaining throughput lever at the measured batch-8 HBM roof.
+    gqa_tps = gqa_deep_tps = None
+    try:
+        import gc
+
+        if params_gqa is None:
+            raise RuntimeError("GQA params unavailable")
+        bg = 8
+        prompts_g = [
+            list(np.random.default_rng(i).integers(2049, cfg_gqa.vocab_size, size=40 + 7 * i))
+            for i in range(bg)
+        ]
+        spk_g = jax.random.normal(key, (bg, cfg_gqa.speaker_emb_dim), jnp.bfloat16)
+        padded_g, pads_g = fs.left_pad_prompts(prompts_g, bucket=128)
+        kv_g = tfm.KVCache.create(cfg_gqa, 2 * bg, cfg_gqa.block_size, dtype=jnp.bfloat16)
+        first_g, kv_g = fs.prefill_batch(
+            params_gqa, cfg_gqa, jnp.asarray(padded_g), jnp.asarray(pads_g), spk_g,
+            kv_g, key, temperature, top_p, guidance,
+        )
+
+        def run_g(n, pos, kvb):
+            buf, lens, kvb = fs.decode_batch(
+                params_gqa, cfg_gqa, first_g, jnp.asarray(pos, jnp.int32),
+                jnp.asarray(pads_g), spk_g, kvb, jax.random.PRNGKey(9), temperature,
+                top_p, guidance, jnp.asarray(n, jnp.int32), cfg_gqa.block_size,
+                never_eoa, jnp.bfloat16,
+            )
+            np.asarray(lens)
+            return kvb
+
+        kv_g = run_g(4, 128, kv_g)  # compile
+        t0 = time.perf_counter()
+        kv_g = run_g(8, 132, kv_g)
+        tga = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        kv_g = run_g(104, 140, kv_g)
+        tgb = time.perf_counter() - t0
+        gqa_tps = bg * 96 / (tgb - tga)
+        log(f"GQA(h_kv=2) batch-8 decode: {gqa_tps:.0f} aggregate tok/s")
+        kv_g = run_g(8, 1200, kv_g)
+        t0 = time.perf_counter()
+        kv_g = run_g(8, 1208, kv_g)
+        tga = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        kv_g = run_g(104, 1216, kv_g)
+        tgb = time.perf_counter() - t0
+        gqa_deep_tps = bg * 96 / (tgb - tga)
+        log(f"GQA(h_kv=2) batch-8 deep decode (pos 1200+): {gqa_deep_tps:.0f} aggregate tok/s")
+        del kv_g, first_g, params_gqa
+        gc.collect()
+    except Exception as e:
+        log(f"GQA measurement skipped: {e}")
+
+    # ---- realized speculative decoding (VERDICT r4 #1): single-stream
+    # tok/s with the in-repo distilled draft (scripts/distill_draft.py,
+    # checkpoints/bench_draft_int4.npz — distilled against THIS bench
+    # target's own guidance-merged distribution, so acceptance is real).
+    # CFG-free int4 draft + the T=gamma multi-token verify kernel. Beats
+    # the reference's one-compiled-step-per-token loop
+    # (fam/llm/fast_inference_utils.py:148-174) twice over.
+    spec_extras = {}
+    try:
+        draft_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "checkpoints", "bench_draft_int4.npz",
+        )
+        if not os.path.exists(draft_path):
+            raise FileNotFoundError(draft_path)
+        from metavoice_tpu.models import spec_decode as sd
+        from metavoice_tpu.utils import checkpoint as ckpt
+
+        dp, dcfg, _, dq = ckpt.load_first_stage_npz(draft_path)
+        dp = jax.tree.map(
+            jnp.asarray, dp, is_leaf=lambda x: not isinstance(x, (dict, list))
+        )
+        prompt_spec = list(range(2100, 2164))
+
+        def run_base_spec():
+            return fs.generate(
+                params, cfg, prompt_spec, spk, key=jax.random.PRNGKey(3),
+                max_new_tokens=n_tokens, end_of_audio_token=never_eoa,
+                temperature=1.0, top_p=0.95, guidance_scale=3.0,
+            )
+
+        seq0 = run_base_spec()  # compile (prefill shapes already cached)
+        tb_best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            seq0 = run_base_spec()
+            dt = time.perf_counter() - t0
+            tb_best = dt if tb_best is None else min(tb_best, dt)
+        base_spec_tps = (len(seq0) - len(prompt_spec)) / tb_best
+        log(f"spec baseline (fs.generate): {base_spec_tps:.1f} tok/s")
+
+        gamma = int(os.environ.get("MVTPU_BENCH_SPEC_GAMMA", "8"))
+
+        def run_spec():
+            return sd.generate_spec(
+                params, cfg, dp, dcfg, prompt_spec, spk,
+                key=jax.random.PRNGKey(3), gamma=gamma,
+                max_new_tokens=n_tokens, end_of_audio_token=never_eoa,
+                temperature=1.0, top_p=0.95, guidance_scale=3.0,
+                return_stats=True, draft_use_cfg=False,
+            )
+
+        t0 = time.perf_counter()
+        run_spec()
+        log(f"spec compile+first run: {time.perf_counter()-t0:.1f}s")
+        ts_best, st = None, None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            seq_s, st = run_spec()
+            dt = time.perf_counter() - t0
+            ts_best = dt if ts_best is None else min(ts_best, dt)
+        emitted = len(seq_s) - len(prompt_spec)
+        spec_tps = emitted / ts_best
+        alpha = st["accepted"] / max(st["proposed"], 1)
+        spec_extras = {
+            "spec_tokens_per_sec": round(spec_tps, 1),
+            "spec_acceptance": round(alpha, 3),
+            "spec_gamma": gamma,
+            "spec_baseline_tokens_per_sec": round(base_spec_tps, 1),
+            "spec_speedup": round(spec_tps / base_spec_tps, 3),
+            "spec_tokens_per_round": round(
+                st["emitted"] / max(st["rounds"], 1), 2
+            ),
+            "spec_note": (
+                "single-stream fs.generate vs generate_spec (CFG-free int4 "
+                "draft distilled in-repo against this target, T=gamma "
+                "multi-token verify kernel); identical sampling semantics "
+                "(exact rejection sampling)"
+            ),
+        }
+        log(f"spec decode: {spec_tps:.1f} tok/s (x{spec_tps/base_spec_tps:.2f}), "
+            f"acceptance {alpha:.3f}, {st['emitted']}/{st['rounds']} tok/round")
+    except Exception as e:
+        log(f"speculative measurement skipped: {e}")
 
     # ---- streaming TTFA: time to the FIRST audible segment out of the real
     # public streaming path (north star: p50 < 500 ms). Speaker embedding is
@@ -567,9 +748,22 @@ def main():
         "serving_anomaly_second_run": serving_extras.get("serving_anomaly_second_run"),
         "vs_baseline_note": "denominator 300 tok/s is BASELINE.json's north-star target; the reference publishes no GPU decode figure (BASELINE.json.published is empty)",
         "batch8_aggregate_tokens_per_sec": round(batch_tps, 1) if batch_tps else None,
+        "batch8_deep_aggregate_tokens_per_sec": (
+            round(batch8_deep_tps, 1) if batch8_deep_tps else None
+        ),
         "batch16_int8kv_aggregate_tokens_per_sec": (
             round(batch16_tps, 1) if batch16_tps else None
         ),
+        "gqa_batch8_aggregate_tokens_per_sec": round(gqa_tps, 1) if gqa_tps else None,
+        "gqa_batch8_deep_aggregate_tokens_per_sec": (
+            round(gqa_deep_tps, 1) if gqa_deep_tps else None
+        ),
+        "gqa_note": (
+            "n_local_heads=2 (8x fewer KV heads) through the same fused int4 "
+            "decode kernels, same-weight slice of the MHA model; deep window "
+            "= pos 1200+ where attention DMA dominates" if gqa_tps else None
+        ),
+        **spec_extras,
         "achieved_bandwidth_gb_s": round(bandwidth_gbs, 1),
         "params_b": round(n_params / 1e9, 3),
         "tokens_per_sec_int8_packed": round(tps_int8, 2),

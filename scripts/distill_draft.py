@@ -123,6 +123,24 @@ def load_target():
         params = qz.quantize_params_int4_i32(
             tfm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
         )
+        flat = {}
+
+        def rec(d, pre):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    rec(v, pre + k + "/")
+                elif isinstance(v, (list, tuple)):
+                    for i, x in enumerate(v):
+                        flat[f"{pre}{k}/{i}"] = np.asarray(x)
+                else:
+                    flat[pre + k] = np.asarray(v)
+
+        rec(params, "")
+        np.savez(cache, **{
+            k: (a.view(np.uint16) if a.dtype.name == "bfloat16" else a)
+            for k, a in flat.items()
+        })
+        log(f"target cache saved: {cache}")
     spk = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.speaker_emb_dim), jnp.bfloat16)
     return params, cfg, spk
 
@@ -179,7 +197,8 @@ def main():
     ap.add_argument("--out", default="/tmp/mv_draft.npz")
     ap.add_argument("--corpus", default="/tmp/mv_draft_corpus.npy")
     ap.add_argument("--eval_only", default=None)
-    ap.add_argument("--gammas", default="4,8")
+    ap.add_argument("--resume", default=None, help="continue training from a saved draft")
+    ap.add_argument("--gammas", default="2,4,8")
     args = ap.parse_args()
 
     params_t, cfg, spk = load_target()
@@ -215,7 +234,13 @@ def main():
         log(f"corpus built: {corpus.shape} in {time.time()-t0:.1f}s")
 
     # ---- phase 2: teacher-in-the-loop distillation ---------------------------
-    params_d = tfm.init_params(jax.random.PRNGKey(7), cfg_d, dtype=jnp.float32)
+    if args.resume:
+        params_d = jax.tree.map(
+            lambda x: x.astype(jnp.float32), flat_load(args.resume)
+        )
+        log(f"resumed draft from {args.resume}")
+    else:
+        params_d = tfm.init_params(jax.random.PRNGKey(7), cfg_d, dtype=jnp.float32)
     opt = optax.adamw(
         optax.warmup_cosine_decay_schedule(0.0, args.lr, 100, args.steps, args.lr * 0.1)
     )
@@ -242,8 +267,14 @@ def main():
             params_d, opt_state, tokens, pt, jax.random.PRNGKey(step), args.window
         )
         if step % 100 == 0 or step == args.steps - 1:
-            log(f"step {step}: loss {float(np.asarray(loss)):.4f} "
-                f"({time.time()-t0:.0f}s)")
+            # KL(teacher || draft) = CE - teacher entropy: the quantity that
+            # bounds acceptance (alpha ~ E[min(1, p/q)] shrinks with KL)
+            ent = float(np.asarray(
+                -jnp.mean(jnp.sum(pt * jnp.log(pt + 1e-12), axis=-1))
+            ))
+            ls = float(np.asarray(loss))
+            log(f"step {step}: loss {ls:.4f} (teacher H {ent:.3f} -> "
+                f"KL {ls - ent:.3f}) ({time.time()-t0:.0f}s)")
 
     flat_save(args.out, jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params_d
