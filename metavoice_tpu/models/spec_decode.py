@@ -142,6 +142,8 @@ def _spec_decode_fn(
     top_p: jax.Array,
     guidance_scale: jax.Array,
     max_new_tokens: jax.Array,  # () int32 dynamic cap (<= max_steps)
+    draft_temperature: jax.Array | None = None,  # () f32; None = temperature
+    draft_top_p: jax.Array | None = None,  # () f32; None = top_p
     *,
     cfg_t: TransformerConfig,
     cfg_d: TransformerConfig,
@@ -164,7 +166,22 @@ def _spec_decode_fn(
     compute; a draft distilled against the target's guidance-MERGED
     distribution (scripts/distill_draft.py) bakes the guidance into its
     single row, so acceptance does not pay for the missing rows either.
+
+    ``draft_temperature`` / ``draft_top_p`` shape the PROPOSAL distribution
+    only (the target's verify distribution keeps the caller's sampling
+    params). Rejection sampling is exact for any proposal q as long as q is
+    the distribution the draft tokens were actually sampled from — both
+    knobs are applied before sampling AND recorded in q, so output
+    marginals are unchanged (frequency oracle:
+    tests/test_spec_decode.py). Sharpening the proposal (temperature < 1)
+    raises acceptance when the draft's modes align with the target's but
+    its tails are miscalibrated — the cheap acceptance lever for distilled
+    drafts.
     """
+    if draft_temperature is None:
+        draft_temperature = temperature
+    if draft_top_p is None:
+        draft_top_p = top_p
     spk2_t = fs._cfg_rows(spk_emb, cfg_rows)
     if draft_rows == 0:
         draft_rows = cfg_rows
@@ -221,10 +238,18 @@ def _spec_decode_fn(
         logits = tfm.output_logits(params_d, cfg_d, out)[0][:, 0, :]
         if draft_rows == 1:
             qdist = S.logits_to_probs(
-                logits[0], temperature=temperature, top_p=top_p
+                logits[0], temperature=draft_temperature, top_p=draft_top_p
             )
         else:
-            qdist = _guided_probs(logits)  # (V,)
+            if cfg_rows == 3:
+                merged = S.cfg_merge3(
+                    logits, guidance_scale, prompt_guidance_scale
+                )
+            else:
+                merged = S.cfg_merge(logits, guidance_scale)
+            qdist = S.logits_to_probs(
+                merged[0], temperature=draft_temperature, top_p=draft_top_p
+            )  # (V,)
         d = jax.random.categorical(k_i, jnp.log(qdist + 1e-30)).astype(jnp.int32)
         return (d, kvd, posd + 1), (d, qdist)
 
@@ -340,6 +365,8 @@ def generate_spec(
     compute_dtype=jnp.bfloat16,
     return_stats: bool = False,
     draft_use_cfg: bool = True,
+    draft_temperature: float | None = None,
+    draft_top_p: float | None = None,
 ):
     """Host-facing speculative generation (B=1), mirroring
     :func:`first_stage.generate`'s contract: returns the full sequence
@@ -365,6 +392,11 @@ def generate_spec(
     draft compute halves. Use with drafts distilled against the target's
     guidance-merged distribution (scripts/distill_draft.py) — their single
     row already predicts the guided distribution.
+
+    ``draft_temperature`` / ``draft_top_p`` (default: the target's values)
+    shape the draft's PROPOSAL distribution only; output marginals are
+    provably unchanged (see ``_spec_decode_fn``). Sharpened proposals
+    (temperature < 1) typically raise acceptance for distilled drafts.
     """
     import numpy as np
 
@@ -421,10 +453,17 @@ def generate_spec(
             temperature_a, top_p_a, guidance, **common,
         )
 
+    dtemp_a = jnp.asarray(
+        temperature if draft_temperature is None else draft_temperature,
+        jnp.float32,
+    )
+    dtop_a = jnp.asarray(
+        top_p if draft_top_p is None else draft_top_p, jnp.float32
+    )
     out_buf, out_len, stats = spec_decode(
         params_t, params_d, first_token, jnp.asarray(t_true, jnp.int32),
         spk_emb, kv_t, kv_d, key_spec, temperature_a, top_p_a, guidance,
-        jnp.asarray(max_steps - 1, jnp.int32),
+        jnp.asarray(max_steps - 1, jnp.int32), dtemp_a, dtop_a,
         cfg_t=cfg_t, cfg_d=cfg_d, gamma=gamma, max_steps=cfg_t.block_size,
         end_of_audio_token=end_of_audio_token,
         compute_dtype=compute_dtype, cfg_rows=cfg_rows, draft_rows=draft_rows,
