@@ -375,6 +375,9 @@ def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
             # decode — single-device decode routes to the megakernel before
             # reaching here
             if on_tpu and n % 128 == 0:
+                kp8 = w["p8"].shape[-2] * 4
+                if x2.shape[-1] < kp8:  # packer padded K; pad rows are inert
+                    x2 = jnp.pad(x2, ((0, 0), (0, kp8 - x2.shape[-1])))
                 y2 = qz.matmul_int8_i32(x2, w["p8"], w["sc8"])
             else:
                 y2 = qz.matmul_int8_i32_reference(x2, w["p8"], w["sc8"])
@@ -390,6 +393,13 @@ def _linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
             # single-token steps to the fused megakernels instead.
             n = w["pw"].shape[-1]
             if on_tpu and n % 128 == 0:
+                # the packer pads K to a multiple of 8*groupsize (1024); for
+                # dims off that grid (e.g. a 1280-dim distilled draft) the
+                # activations must be zero-padded to the packed K — pad rows
+                # are numerically inert (their quant groups carry s = c = 0)
+                kp = w["pw"].shape[0] * 8
+                if x2.shape[-1] < kp:
+                    x2 = jnp.pad(x2, ((0, 0), (0, kp - x2.shape[-1])))
                 y2 = qz.matmul_int4_i32(x2, w["pw"], w["sc"])
             else:
                 y2 = qz.matmul_int4_i32_reference(x2, w["pw"], w["sc"])

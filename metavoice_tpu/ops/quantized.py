@@ -1115,10 +1115,19 @@ def matmul_int8_i32(
 
 
 def matmul_int8_i32_reference(x, pw, sc):
-    """jnp semantics oracle for the packed-int8 matmul."""
+    """jnp semantics oracle for the packed-int8 matmul.
+
+    x (..., in) with in <= 4*pw.shape[0]; zero-pads x to the packed K
+    (pad rows multiply zero activations and contribute nothing to the
+    row sum, so the result is exact).
+    """
     q = unpack_int8_i32(pw).astype(jnp.float32)
     gp = sc.shape[0] // 2
     s = sc[0].astype(jnp.float32)
     c = sc[gp].astype(jnp.float32)
     xf = x.astype(jnp.float32)
+    kp = 4 * pw.shape[0]
+    if xf.shape[-1] != kp:
+        pad = [(0, 0)] * (xf.ndim - 1) + [(0, kp - xf.shape[-1])]
+        xf = jnp.pad(xf, pad)
     return (xf @ (q + 128.0)) * s + jnp.sum(xf, axis=-1, keepdims=True) * c

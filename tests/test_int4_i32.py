@@ -428,3 +428,32 @@ def test_matmul_int8_i32_large_m_tiled():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=0.6, rtol=0.1,
     )
+
+
+def test_linear_off_grid_k_pads_activations():
+    """_linear with off-packer-grid K (e.g. a 1280-dim distilled draft).
+
+    The int4 packer pads K to 8*groupsize (1024) multiples, the int8 packer
+    to multiples of 4; _linear must zero-pad the activations to the packed K
+    before dispatching (the pad rows are numerically inert). Exercises the
+    reference paths (CPU) for both formats and the oracle's own x-padding.
+    """
+    from metavoice_tpu.models import transformer as tfm
+
+    rng = np.random.default_rng(11)
+    for k, quant, keys, tol in (
+        (1280, qz.quantize_int4_i32, ("pw", "sc"), 0.12),
+        (1282, qz.quantize_int4_i32, ("pw", "sc"), 0.12),
+        (1282, qz.quantize_int8_i32, ("p8", "sc8"), 0.03),
+    ):
+        w = jnp.asarray(rng.normal(size=(k, 256)) * 0.05, jnp.bfloat16)
+        x = jnp.asarray(rng.normal(size=(1, k)), jnp.bfloat16)
+        oracle = np.asarray(
+            jnp.dot(x.astype(jnp.float32), w.astype(jnp.float32))
+        )
+        packed = quant(w)
+        y = np.asarray(
+            tfm._linear(x, dict(zip(keys, packed))).astype(jnp.float32)
+        )
+        err = np.abs(y - oracle).max() / (np.abs(oracle).max() + 1e-9)
+        assert err < tol, (keys[0], k, err)
