@@ -432,3 +432,81 @@ def load_first_stage_npz(path: str):
     else:
         cfg = first_stage_config()
     return params, cfg, tok_info, meta.get("quantisation_mode")
+
+
+# --------------------------------------------------------------------------------------
+# Speculative-decoding demo artifacts (structured-teacher delta)
+# --------------------------------------------------------------------------------------
+#
+# Round-5 measurement (scripts/diag_draft_holdout.py): a draft distilled
+# against the RANDOM-weight bench target memorizes its corpus (train KL 0.13,
+# held-out KL 1.30) — a random 1.24B conditional distribution has no structure
+# a smaller student can learn, so realized speculative decoding is impossible
+# there. Real pretrained weights ARE learnable; scripts/train_structured_teacher.py
+# reproduces that property in-repo by finetuning the bench target's last K
+# blocks on a seeded low-entropy process. The delta below ships those K
+# trained blocks in the int4-packed SERVING format: bench.py applies it to its
+# already-quantized bench params to reconstruct the exact teacher the draft
+# was distilled against (per-layer int4 grouping makes slice-then-quantize ==
+# quantize-then-slice; pinned by tests/test_spec_structured.py).
+
+
+def save_spec_teacher_delta(path: str, qparams: Any, tail: int) -> None:
+    """Write the last ``tail`` blocks (+ final norm) of an int4-packed tree."""
+    delta = {
+        "layers": {
+            k: (
+                {"pw": v["pw"][-tail:], "sc": v["sc"][-tail:]}
+                if isinstance(v, dict) else v[-tail:]
+            )
+            for k, v in qparams["layers"].items()
+        },
+        "ln_f_w": qparams["ln_f_w"],
+    }
+    flat = _flatten(delta)
+    bf16_keys = sorted(k for k, v in flat.items() if v.dtype.name == "bfloat16")
+    flat = {
+        k: (v.astype(np.float32) if k in set(bf16_keys) else v)
+        for k, v in flat.items()
+    }
+    meta = {"format": "spec_teacher_delta", "tail": tail, "bf16_keys": bf16_keys}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, __meta__=json.dumps(meta), **flat)
+
+
+def load_spec_teacher_delta(path: str):
+    """-> (delta_tree, tail). Leaves are numpy (bf16 narrowed back)."""
+    import ml_dtypes
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    bf16 = set(meta.get("bf16_keys") or [])
+    flat = {
+        k: (data[k].astype(ml_dtypes.bfloat16) if k in bf16 else data[k])
+        for k in data.files
+        if k != "__meta__"
+    }
+    return _unflatten(flat), int(meta["tail"])
+
+
+def apply_spec_teacher_delta(qparams: Any, delta: Any, tail: int) -> Any:
+    """Graft the delta's trained blocks onto an int4-packed param tree.
+
+    Returns a new tree whose stacked layer leaves carry the delta in their
+    last ``tail`` positions and whose final norm is the delta's.
+    """
+    import jax.numpy as jnp
+
+    layers = dict(qparams["layers"])
+    for name, v in delta["layers"].items():
+        if isinstance(v, dict):
+            cur = dict(layers[name])
+            cur["pw"] = jnp.asarray(cur["pw"]).at[-tail:].set(jnp.asarray(v["pw"]))
+            cur["sc"] = jnp.asarray(cur["sc"]).at[-tail:].set(jnp.asarray(v["sc"]))
+            layers[name] = cur
+        else:
+            layers[name] = jnp.asarray(layers[name]).at[-tail:].set(jnp.asarray(v))
+    out = dict(qparams)
+    out["layers"] = layers
+    out["ln_f_w"] = jnp.asarray(delta["ln_f_w"])
+    return out

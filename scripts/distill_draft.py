@@ -98,10 +98,14 @@ def flat_load(path):
     return params
 
 
-def load_target():
-    """The bench target: PRNGKey(0) 1.24B, int4-packed (bench.py:100-165)."""
+def load_target(cache="/tmp/mv_int4_params.npz"):
+    """The bench target: PRNGKey(0) 1.24B, int4-packed (bench.py:100-165).
+
+    ``cache`` can point at an alternative int4 target in the same flat-npz
+    format — e.g. the structured-teacher cache written by
+    scripts/train_structured_teacher.py.
+    """
     cfg = first_stage_config()
-    cache = "/tmp/mv_int4_params.npz"
     if os.path.exists(cache):
         log("loading cached int4 target ...")
         data = np.load(cache)
@@ -119,6 +123,11 @@ def load_target():
         if isinstance(params.get("wtes"), dict):
             params["wtes"] = [params["wtes"][str(i)] for i in range(len(params["wtes"]))]
     else:
+        if cache != "/tmp/mv_int4_params.npz":
+            raise FileNotFoundError(
+                f"{cache}: alternative target caches must already exist "
+                "(run scripts/train_structured_teacher.py first)"
+            )
         log("init + quantize target (cold, ~4 min on chip) ...")
         params = qz.quantize_params_int4_i32(
             tfm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
@@ -218,6 +227,8 @@ def main():
     ap.add_argument("--resume", default=None, help="continue training from a saved draft")
     ap.add_argument("--gammas", default="4,8")
     ap.add_argument("--draft_quant", default="int4", choices=["int4", "int8", "bf16"])
+    ap.add_argument("--target_cache", default="/tmp/mv_int4_params.npz",
+                    help="int4 target cache (e.g. the structured teacher)")
     ap.add_argument(
         "--draft_temps", default="1.0,0.8,0.6",
         help="proposal-sharpening sweep at the first gamma (exactness holds "
@@ -225,7 +236,7 @@ def main():
     )
     args = ap.parse_args()
 
-    params_t, cfg, spk = load_target()
+    params_t, cfg, spk = load_target(args.target_cache)
     log(f"devices: {jax.devices()}")
     cfg_d = first_stage_config(
         n_layer=args.layers, n_head=args.heads, dim=args.dim
